@@ -1,0 +1,79 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline catalog queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect, no disk write) — the honest measure of plan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from delta_lake_gcp_implementation_spark.plans import CATALOG
+from delta_lake_gcp_implementation_spark.session import get_spark
+
+HEADLINE = [
+    "star_rollup",
+    "fact_build",
+    "customer_rollup",
+    "topn_revenue",
+    "validation_kept",
+    "dedup_latest_version",
+    "best_record",
+    "tumbling_window",
+    "session_window",
+    "point_in_time",
+    "summary_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure
+    # the plan, not first-run JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        CATALOG["star_rollup"].builder(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = CATALOG[name].builder
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp scheduler/GC stalls
+            t0 = time.perf_counter()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Aggregation operators (SURVEY.md section 2.4).
+
+All are single-shuffle hash aggregations with map-side partial
+aggregation (Spark default); nothing collects to the driver except
+scalar control-flow reads, mirroring the reference's
+``.first()['cnt']`` pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def customer_rollup(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    amount_col: str,
+    active_pred: Column,
+    tier_bounds: tuple[int, int, int] = (100, 50, 20),
+) -> DataFrame:
+    """A2: per-entity lifetime rollup + tier bucketing
+    (``gold_dim_customer_scd2.py:32-54``): COUNT/MIN/MAX/SUM plus
+    ``MAX(CASE WHEN ...)`` activity flag and a CASE ladder over the
+    aggregated count.
+    """
+    p, g, s = tier_bounds
+    agg = df.groupBy(key).agg(
+        F.count("*").alias("transaction_count"),
+        F.min(ts_col).alias("first_transaction_date"),
+        F.max(ts_col).alias("last_transaction_date"),
+        F.sum(amount_col).alias("lifetime_value"),
+        F.max(F.when(active_pred, True).otherwise(False)).alias("is_active"),
+    )
+    tier = (
+        F.when(F.col("transaction_count") >= p, "Platinum")
+        .when(F.col("transaction_count") >= g, "Gold")
+        .when(F.col("transaction_count") >= s, "Silver")
+        .otherwise("Bronze")
+    )
+    return agg.withColumn("customer_tier", tier)
+
+
+def conditional_counts(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
+    """A4: ``SUM(CASE WHEN p THEN 1 ELSE 0 END)`` audit block
+    (``validate_fact_transactions.py:233-241``)."""
+    return df.agg(
+        *[
+            F.sum(F.when(p, 1).otherwise(0)).cast("bigint").alias(name)
+            for name, p in preds.items()
+        ]
+    )
+
+
+def greatest_watermark(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A7: ``GREATEST(MAX(a), MAX(b))`` next-watermark computation
+    (``load_bronze.py:113-116``)."""
+    return df.agg(
+        F.greatest(*[F.max(c) for c in cols]).alias("next_watermark")
+    )
+
+
+def pct_of_total(
+    df: DataFrame, group_col: str, weight: Column | None = None
+) -> DataFrame:
+    """A10: grouped counts with percent-of-total.
+
+    Implemented as groupBy + a scalar total joined back via a windowless
+    cross-broadcast rather than an unpartitioned window: an
+    ``OVER ()`` window funnels every group row through one partition,
+    while broadcasting the 1-row total keeps the plan fully parallel.
+    """
+    counts = df.groupBy(group_col).agg(
+        (F.count("*") if weight is None else F.sum(weight)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    # single IEEE division of exact integer operands -> deterministic
+    # across engines without rounding
+    return counts.join(F.broadcast(total)).select(
+        group_col,
+        F.col("cnt"),
+        (100.0 * F.col("cnt") / F.col("total")).alias("pct"),
+    )

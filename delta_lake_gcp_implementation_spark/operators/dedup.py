@@ -1,0 +1,252 @@
+"""Deduplication operators.
+
+Reference parity (SURVEY.md section 2.5):
+
+- W1 intra-batch dedup: ``ROW_NUMBER() OVER (PARTITION BY
+  transaction_id, updated_at ORDER BY transaction_id)`` keep rn=1
+  (``validate_bronze.py:114-168``) — removes exact duplicate key rows
+  before MERGE so the upsert has unique source keys.
+- W2 latest-version dedup (CDC collapse): ``ROW_NUMBER() OVER
+  (PARTITION BY transaction_id ORDER BY updated_at DESC)`` keep rn=1
+  (``validate_silver.py:121-129``).
+
+Plus the large-scale training-data dedup family (exact hash, MinHash+
+LSH, SimHash, n-gram Jaccard) the reference does not have but a 100 TB
+pipeline needs.  All operators are shuffle-on-key hash partitioned —
+no single-partition windows, no driver-side loops — so they scale with
+the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_first_version(
+    df: DataFrame, keys: list[str], order_by: list[Column] | None = None
+) -> DataFrame:
+    """W1: collapse exact duplicate (key) rows, keeping one deterministic
+    winner.  Partitioned window — shuffles once on ``keys`` and scales
+    linearly with data (hash partitioning over the cluster).
+    """
+    order_by = order_by or [F.col(k) for k in keys]
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak: list[Column] | None = None,
+) -> DataFrame:
+    """W2: CDC collapse — keep the most recent version per logical key.
+
+    ``tiebreak`` columns make the winner deterministic when
+    ``version_col`` ties (the reference tie-breaks on transaction_id,
+    ``validate_silver.py:124``).
+    """
+    order = [F.col(version_col).desc()] + (tiebreak or [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact_content(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Exact content dedup via hash-groupBy: one representative (lowest
+    id) per distinct content hash.  Map-side partial aggregation makes
+    this a single shuffle of (hash -> min_id) pairs, not of documents.
+    """
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_hash")
+    )
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Explode text into distinct character k-shingles — the substrate
+    for MinHash / Jaccard.  Pure built-in expressions (sequence +
+    transform + explode), JVM-side, no Python UDF.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1)),
+                    ),
+                    lambda i: F.col(text_col).substr(i, F.lit(k)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    return shingled
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: for hash function i, min over
+    shingles of md5(i || shingle) (hex-string ordering — a valid
+    min-hash family, chosen because it is reproducible in ANSI SQL for
+    the oracle).  One shuffle (groupBy id).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(
+            f"mh_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 16, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: split the signature into bands of ``band_size``
+    hashes, bucket-join docs sharing any band.  The join is an
+    equi-join on (band_idx, band_key) — hash-partitioned, broadcast-free,
+    and skew-safe under AQE.  Returns candidate (id_a < id_b) pairs.
+    """
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for (candidate) pairs.
+
+    With ``candidates`` (from LSH) the join is linear in candidate
+    count; without, it is the all-pairs baseline (only for small dims /
+    verification).  Returns (id_a, id_b, jaccard) above threshold.
+    """
+    sh = char_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Per token take the first 16 hex chars of md5 as a 64-bit fingerprint;
+    per bit, sum +1/-1 across tokens; sign -> bit.  Entirely built-in
+    expressions (explode + bitwise ops + groupBy), one shuffle on id.
+    Near-dup detection = hamming distance on the signature
+    (``bit_count(simhash_a ^ simhash_b)``).
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # md5 prefix (16 hex chars) -> unsigned 64-bit value carried as
+    # decimal(20,0): conv() returns a decimal string, and decimal math
+    # avoids signed-bigint overflow on the high bit
+    hashed = tokens.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 16), 16, 10)
+        .cast("decimal(20,0)")
+        .alias("h_dec"),
+    )
+    # extract each bit via div/mod on the decimal (avoids signed
+    # overflow; powers of two pass as string literals — a python int
+    # 2^63 overflows the py4j long protocol)
+    def p2(b: int):
+        return F.lit(str(2**b)).cast("decimal(20,0)")
+
+    bit_cols = []
+    for b in range(64):
+        # floor (not cast: decimal cast rounds HALF_UP) then mod 2
+        bit = F.floor(F.col("h_dec") / p2(b)) % 2
+        bit_cols.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b_{b}")
+        )
+    sums = hashed.groupBy(id_col).agg(*bit_cols)
+    sig = sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"b_{b}") > 0, p2(b)).otherwise(
+                    F.lit(0).cast("decimal(20,0)")
+                )
+                for b in range(64)
+            ],
+            F.lit(0).cast("decimal(20,0)"),
+        ).alias("simhash"),
+    )
+    return sig

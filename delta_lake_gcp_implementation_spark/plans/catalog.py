@@ -1,0 +1,76 @@
+"""Aggregated query catalog: name -> QuerySpec(builder, oracle_sql).
+
+Consumed by ``__spark_entry__`` (driver contract) and ``bench.py``.
+``oracle_sql=None`` marks genuinely non-SQL-expressible operators; the
+driver then records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import relational as R
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: str | None
+
+
+CATALOG: dict[str, QuerySpec] = {
+    # scans / projections / filters
+    "typed_projection": QuerySpec(R.q_typed_projection, R.ORACLE_TYPED_PROJECTION),
+    "watermark_filter": QuerySpec(R.q_watermark_filter, R.ORACLE_WATERMARK_FILTER),
+    "date_range_filter": QuerySpec(R.q_date_range_filter, R.ORACLE_DATE_RANGE_FILTER),
+    "validation_quarantine": QuerySpec(
+        R.q_validation_quarantine, R.ORACLE_VALIDATION_QUARANTINE
+    ),
+    "validation_kept": QuerySpec(R.q_validation_kept, R.ORACLE_VALIDATION_KEPT),
+    "soft_delete_filter": QuerySpec(
+        R.q_soft_delete_filter, R.ORACLE_SOFT_DELETE_FILTER
+    ),
+    # joins
+    "star_rollup": QuerySpec(R.q_star_rollup, R.ORACLE_STAR_ROLLUP),
+    "fact_build": QuerySpec(R.q_fact_build, R.ORACLE_FACT_BUILD),
+    "anti_join": QuerySpec(R.q_anti_join, R.ORACLE_ANTI_JOIN),
+    "semi_join": QuerySpec(R.q_semi_join, R.ORACLE_SEMI_JOIN),
+    "point_in_time": QuerySpec(R.q_point_in_time, R.ORACLE_POINT_IN_TIME),
+    # aggregations
+    "customer_rollup": QuerySpec(R.q_customer_rollup, R.ORACLE_CUSTOMER_ROLLUP),
+    "multikey_distinct_agg": QuerySpec(
+        R.q_multikey_distinct_agg, R.ORACLE_MULTIKEY_DISTINCT_AGG
+    ),
+    "conditional_agg": QuerySpec(R.q_conditional_agg, R.ORACLE_CONDITIONAL_AGG),
+    "summary_stats": QuerySpec(R.q_summary_stats, R.ORACLE_SUMMARY_STATS),
+    "distinct_projection": QuerySpec(
+        R.q_distinct_projection, R.ORACLE_DISTINCT_PROJECTION
+    ),
+    "greatest_watermark": QuerySpec(
+        R.q_greatest_watermark, R.ORACLE_GREATEST_WATERMARK
+    ),
+    "max_key_seed": QuerySpec(R.q_max_key_seed, R.ORACLE_MAX_KEY_SEED),
+    "having_dup_audit": QuerySpec(R.q_having_dup_audit, R.ORACLE_HAVING_DUP_AUDIT),
+    "pct_breakdown": QuerySpec(R.q_pct_breakdown, R.ORACLE_PCT_BREAKDOWN),
+    # windows
+    "dedup_first_version": QuerySpec(
+        R.q_dedup_first_version, R.ORACLE_DEDUP_FIRST_VERSION
+    ),
+    "dedup_latest_version": QuerySpec(
+        R.q_dedup_latest_version, R.ORACLE_DEDUP_LATEST_VERSION
+    ),
+    "surrogate_keys": QuerySpec(R.q_surrogate_keys, R.ORACLE_SURROGATE_KEYS),
+    "best_record": QuerySpec(R.q_best_record, R.ORACLE_BEST_RECORD),
+    "lag_transitions": QuerySpec(R.q_lag_transitions, R.ORACLE_LAG_TRANSITIONS),
+    # top-k / union
+    "watermark_top1": QuerySpec(R.q_watermark_top1, R.ORACLE_WATERMARK_TOP1),
+    "topn_revenue": QuerySpec(R.q_topn_revenue, R.ORACLE_TOPN_REVENUE),
+    "union_slices": QuerySpec(R.q_union_slices, R.ORACLE_UNION_SLICES),
+    # time windows / json
+    "tumbling_window": QuerySpec(R.q_tumbling_window, R.ORACLE_TUMBLING_WINDOW),
+    "session_window": QuerySpec(R.q_session_window, R.ORACLE_SESSION_WINDOW),
+    "json_extract": QuerySpec(R.q_json_extract, R.ORACLE_JSON_EXTRACT),
+}

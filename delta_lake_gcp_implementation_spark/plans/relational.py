@@ -1,0 +1,848 @@
+"""Relational query catalog (SURVEY.md section 2 operator demos).
+
+Every query here exists to demonstrate one operator family from the
+reference on the driver's TPC-H-ish tables (FIXTURES.md section B
+mapping) and is paired with DuckDB oracle SQL.
+
+Cross-engine determinism rules (applied throughout):
+
+- Double reductions (SUM/AVG) are order-sensitive in the last ULPs,
+  and Spark rounds a double's shortest decimal repr (BigDecimal
+  HALF_UP) while DuckDB rounds the binary value — they disagree
+  whenever a value is decimal-exact at the rounding boundary.  Rules:
+  (1) money columns are 2dp-exact -> SUM through DECIMAL casts (exact,
+  order-independent, and the right answer at 100 TB anyway);
+  (2) per-row arithmetic with an identical expression tree is
+  bit-deterministic -> never round it;
+  (3) a single division of identical operands is bit-deterministic ->
+  AVG = exact-decimal-sum cast to double / count, unrounded;
+  (4) round(x, d) only when x is decimal-exact at exactly d digits.
+- ``row_number()`` is INT in Spark, BIGINT in DuckDB -> cast to bigint.
+- ``year()`` etc. are INT in Spark, BIGINT in DuckDB -> oracle casts.
+- events.ts is TIMESTAMP(NANOS): Spark truncates to micros at load
+  (tables.load_table); oracle mirrors via the ``EV`` CTE below.
+- Every window/top-k ordering includes a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import aggregates as agg_ops
+from ..operators import dedup as dedup_ops
+from ..operators import joins as join_ops
+from ..operators import windows as win_ops
+from ..tables import load_table
+
+# Oracle-side mirror of tables.load_table's ns->us truncation.
+EV = (
+    "WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, "
+    "user_id, event_type, value, props FROM events) "
+)
+
+
+# ---------------------------------------------------------------- S/P: scans, projections, filters
+
+
+def q_typed_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 typed projection + 2.8 scalar family: CASE ladder, COALESCE/
+    NULLIF, CONCAT_WS with NULL-dropping, SUBSTRING, date parts
+    (reference cast block ``validate_bronze.py:26-43``)."""
+    o = load_table(spark, sf, "orders")
+    return o.select(
+        F.col("o_orderkey"),
+        F.when(F.col("o_orderstatus") == "O", "OPEN")
+        .when(F.col("o_orderstatus") == "F", "FULFILLED")
+        .otherwise("PARTIAL")
+        .alias("status_desc"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_code"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.concat_ws(
+            ";",
+            F.when(F.col("o_totalprice") > 300000, "HIGH_VALUE"),
+            F.when(F.col("o_orderpriority").like("1%"), "URGENT"),
+        ).alias("flags"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+    )
+
+
+ORACLE_TYPED_PROJECTION = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'O' THEN 'OPEN'
+            WHEN o_orderstatus = 'F' THEN 'FULFILLED'
+            ELSE 'PARTIAL' END AS status_desc,
+       CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_code,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       concat_ws(';',
+                 CASE WHEN o_totalprice > 300000 THEN 'HIGH_VALUE' END,
+                 CASE WHEN o_orderpriority LIKE '1%' THEN 'URGENT' END) AS flags,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm
+FROM orders
+"""
+
+
+def q_watermark_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P1 high-watermark incremental filter: new rows OR late-arriving
+    updates past the bookmark (``validate_bronze.py:44``)."""
+    ev = load_table(spark, sf, "events")
+    w = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    return ev.filter(
+        (F.col("ts") > w) | ((F.col("ts") <= w) & (F.col("value") > 900))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+ORACLE_WATERMARK_FILTER = EV + """
+SELECT event_id, ts, user_id, event_type, value
+FROM ev
+WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+   OR (ts <= TIMESTAMP '2024-01-20 00:00:00' AND value > 900)
+"""
+
+
+def q_date_range_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 backfill date-range slice (``bronze_backfill.py:47``)."""
+    o = load_table(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderdate")
+        .cast("date")
+        .between(F.lit("1997-01-01"), F.lit("1997-12-31"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+ORACLE_DATE_RANGE_FILTER = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders
+WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+"""
+
+# C1 tier-1 quarantine predicate over lineitem (validate_bronze.py:100-104):
+# NULL key fields, non-positive quantity, "future" ship date.
+_T1_PRED = (
+    "l_quantity IS NULL OR l_quantity <= 0 OR l_shipdate IS NULL "
+    "OR l_shipdate > TIMESTAMP '2001-09-01 00:00:00' OR l_discount < 0"
+)
+
+
+def q_validation_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """C1/P4 quarantine branch with CASE error classification
+    (``validate_bronze.py:65-105``)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(F.expr(_T1_PRED)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_shipdate",
+        F.when(F.col("l_quantity").isNull(), "NULL_QUANTITY")
+        .when(F.col("l_quantity") <= 0, "NON_POSITIVE_QUANTITY")
+        .when(F.col("l_shipdate").isNull(), "NULL_SHIP_DATE")
+        .when(
+            F.col("l_shipdate") > F.lit("2001-09-01 00:00:00").cast("timestamp"),
+            "FUTURE_SHIP_DATE",
+        )
+        .otherwise("NEGATIVE_DISCOUNT")
+        .alias("error_reason"),
+        F.lit("TIER1").alias("error_tier"),
+    )
+
+
+ORACLE_VALIDATION_QUARANTINE = f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+       CASE WHEN l_quantity IS NULL THEN 'NULL_QUANTITY'
+            WHEN l_quantity <= 0 THEN 'NON_POSITIVE_QUANTITY'
+            WHEN l_shipdate IS NULL THEN 'NULL_SHIP_DATE'
+            WHEN l_shipdate > TIMESTAMP '2001-09-01 00:00:00' THEN 'FUTURE_SHIP_DATE'
+            ELSE 'NEGATIVE_DISCOUNT' END AS error_reason,
+       'TIER1' AS error_tier
+FROM lineitem
+WHERE {_T1_PRED}
+"""
+
+
+def q_validation_kept(spark: SparkSession, sf: str) -> DataFrame:
+    """C1 survivor branch: negated tier-1 predicate + tier-2 quality
+    flag + CONCAT_WS error list + tier-3 COALESCE fix
+    (``validate_bronze.py:114-168``)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(~F.expr(_T1_PRED)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("l_returnflag", F.lit("N")).alias("returnflag_fixed"),
+        F.when(
+            (F.col("l_discount") > 0.09) | (F.col("l_tax") > 0.07),
+            "FAILED_VALIDATION",
+        )
+        .otherwise("PASSED")
+        .alias("data_quality_flag"),
+        F.concat_ws(
+            ";",
+            F.when(F.col("l_discount") > 0.09, "HIGH_DISCOUNT"),
+            F.when(F.col("l_tax") > 0.07, "HIGH_TAX"),
+        ).alias("validation_errors"),
+    )
+
+
+ORACLE_VALIDATION_KEPT = f"""
+SELECT l_orderkey, l_linenumber,
+       COALESCE(l_returnflag, 'N') AS returnflag_fixed,
+       CASE WHEN l_discount > 0.09 OR l_tax > 0.07 THEN 'FAILED_VALIDATION'
+            ELSE 'PASSED' END AS data_quality_flag,
+       concat_ws(';',
+                 CASE WHEN l_discount > 0.09 THEN 'HIGH_DISCOUNT' END,
+                 CASE WHEN l_tax > 0.07 THEN 'HIGH_TAX' END) AS validation_errors
+FROM lineitem
+WHERE NOT ({_T1_PRED})
+"""
+
+
+def q_soft_delete_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 NULL-tolerant soft-delete filter — three-valued logic form
+    ``(flag = false OR flag IS NULL)`` (``validate_silver.py:77``)."""
+    ev = load_table(spark, sf, "events")
+    return ev.filter(
+        (F.col("value") < 900) | F.col("value").isNull()
+    ).select("event_id", "user_id", "value")
+
+
+ORACLE_SOFT_DELETE_FILTER = EV + """
+SELECT event_id, user_id, value
+FROM ev
+WHERE value < 900 OR value IS NULL
+"""
+
+
+# ---------------------------------------------------------------- J: joins
+
+
+def q_star_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship C8-shaped star aggregation: fact lineitem joined through
+    orders -> customer -> nation -> region with broadcast dims, derived
+    revenue measure, multi-key rollup
+    (``validate_fact_transactions.py:201-224`` shape)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.count("*").alias("lineitem_count"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount")).cast("decimal(8,2)")
+            )
+            .cast("decimal(30,4)")
+            .alias("revenue"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_discount"),
+        )
+    )
+
+
+ORACLE_STAR_ROLLUP = """
+SELECT r_name, n_name,
+       count(DISTINCT o_orderkey) AS order_count,
+       count(*) AS lineitem_count,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS revenue,
+       CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_discount
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_fact_build(spark: SparkSession, sf: str) -> DataFrame:
+    """C8 row-level fact build: J1 five-way star join + derived measures
+    (net amount shape of ``validate_fact_transactions.py:178-180``) +
+    UNIX-epoch hour delta (``validate_bronze.py:146``)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    fact = join_ops.star_join(
+        li.join(o, li.l_orderkey == o.o_orderkey),
+        [
+            (c, F.col("o_custkey") == F.col("c_custkey")),
+            (n, F.col("c_nationkey") == F.col("n_nationkey")),
+            (r, F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return fact.select(
+        "l_orderkey",
+        "l_linenumber",
+        "c_custkey",
+        "n_name",
+        "r_name",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("net_amount"),
+        (
+            (F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate"))
+            / F.lit(3600)
+        )
+        .cast("bigint")
+        .alias("ship_delay_hours"),
+    )
+
+
+ORACLE_FACT_BUILD = """
+SELECT l_orderkey, l_linenumber, c_custkey, n_name, r_name,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_amount,
+       CAST((CAST(epoch(l_shipdate) AS BIGINT) - CAST(epoch(o_orderdate) AS BIGINT)) / 3600 AS BIGINT)
+           AS ship_delay_hours
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 anti join: customers with no orders (NOT EXISTS new-member
+    shape, ``gold_dim_customer_scd2.py:76-96``)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return join_ops.anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+"""
+
+
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 semi join: customers with at least one 1997 order (EXISTS
+    shape, ``silver_propagate_deletes.py:53-62``)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    return join_ops.semi_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND year(o_orderdate) = 1997)
+"""
+
+
+def q_point_in_time(spark: SparkSession, sf: str) -> DataFrame:
+    """C7/SCD2 point-in-time lookup: build per-customer effective-dated
+    versions from order dates (lead window), select the version covering
+    the as-of date — the reference's documented range-predicate query
+    (``README.md:311-319``)."""
+    o = load_table(spark, sf, "orders")
+    versions = (
+        o.select("o_custkey", F.col("o_orderdate").alias("effective_start"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("effective_start")
+    dim = versions.withColumn(
+        "effective_end",
+        F.coalesce(
+            F.lead("effective_start").over(w) - F.expr("INTERVAL 1 SECOND"),
+            F.lit("2200-01-01 00:00:00").cast("timestamp"),
+        ),
+    )
+    as_of = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    return dim.filter((as_of >= F.col("effective_start")) & (as_of <= F.col("effective_end"))).select(
+        "o_custkey", "effective_start", "effective_end"
+    )
+
+
+ORACLE_POINT_IN_TIME = """
+WITH versions AS (
+    SELECT DISTINCT o_custkey, o_orderdate AS effective_start FROM orders
+), dim AS (
+    SELECT o_custkey, effective_start,
+           COALESCE(lead(effective_start) OVER (PARTITION BY o_custkey ORDER BY effective_start)
+                    - INTERVAL 1 SECOND,
+                    TIMESTAMP '2200-01-01 00:00:00') AS effective_end
+    FROM versions
+)
+SELECT o_custkey, effective_start, effective_end
+FROM dim
+WHERE TIMESTAMP '1998-06-15 00:00:00' BETWEEN effective_start AND effective_end
+"""
+
+
+# ---------------------------------------------------------------- A: aggregations
+
+
+def q_customer_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 lifetime rollup + tier CASE ladder
+    (``gold_dim_customer_scd2.py:32-54``)."""
+    o = load_table(spark, sf, "orders")
+    out = agg_ops.customer_rollup(
+        o,
+        key="o_custkey",
+        ts_col="o_orderdate",
+        amount_col="o_totalprice",
+        active_pred=F.col("o_orderstatus") == "O",
+        tier_bounds=(15, 10, 5),
+    )
+    return out.select(
+        "o_custkey",
+        "transaction_count",
+        "first_transaction_date",
+        "last_transaction_date",
+        F.col("lifetime_value").cast("decimal(30,2)").alias("lifetime_value"),
+        "is_active",
+        "customer_tier",
+    )
+
+
+ORACLE_CUSTOMER_ROLLUP = """
+SELECT o_custkey,
+       count(*) AS transaction_count,
+       min(o_orderdate) AS first_transaction_date,
+       max(o_orderdate) AS last_transaction_date,
+       CAST(sum(o_totalprice) AS DECIMAL(30,2)) AS lifetime_value,
+       max(CASE WHEN o_orderstatus = 'O' THEN true ELSE false END) AS is_active,
+       CASE WHEN count(*) >= 15 THEN 'Platinum'
+            WHEN count(*) >= 10 THEN 'Gold'
+            WHEN count(*) >= 5 THEN 'Silver'
+            ELSE 'Bronze' END AS customer_tier
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def q_multikey_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 multi-key group with COUNT(DISTINCT)
+    (``gold_dim_merchant_scd2.py:33-47``)."""
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.max("o_orderdate").alias("last_order_date"),
+        F.count("*").alias("order_count"),
+    )
+
+
+ORACLE_MULTIKEY_DISTINCT_AGG = """
+SELECT o_orderstatus, o_orderpriority,
+       count(DISTINCT o_custkey) AS distinct_customers,
+       max(o_orderdate) AS last_order_date,
+       count(*) AS order_count
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 SUM(CASE WHEN ...) audit block
+    (``validate_fact_transactions.py:233-241``)."""
+    li = load_table(spark, sf, "lineitem")
+    return agg_ops.conditional_counts(
+        li,
+        {
+            "returned_count": F.col("l_returnflag") == "R",
+            "high_discount_count": F.col("l_discount") > 0.09,
+            "zero_tax_count": F.col("l_tax") == 0,
+            "null_quantity_count": F.col("l_quantity").isNull(),
+        },
+    )
+
+
+ORACLE_CONDITIONAL_AGG = """
+SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_count,
+       CAST(sum(CASE WHEN l_discount > 0.09 THEN 1 ELSE 0 END) AS BIGINT) AS high_discount_count,
+       CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_tax_count,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_quantity_count
+FROM lineitem
+"""
+
+
+def q_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 summary-stats block (``validate_fact_transactions.py:324-333``)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("row_count"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(30,2)")
+        .alias("gross_total"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(8,2)")
+        )
+        .cast("decimal(30,4)")
+        .alias("discount_total"),
+    )
+
+
+ORACLE_SUMMARY_STATS = """
+SELECT count(*) AS row_count,
+       count(DISTINCT l_orderkey) AS distinct_orders,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_suppliers,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS gross_total,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS discount_total
+FROM lineitem
+"""
+
+
+def q_distinct_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """A6 DISTINCT projection (``gold_dim_payment_methods.py:53-56``)."""
+    c = load_table(spark, sf, "customer")
+    return c.select("c_mktsegment").distinct()
+
+
+ORACLE_DISTINCT_PROJECTION = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_greatest_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """A7 GREATEST(MAX, MAX) next-watermark (``load_bronze.py:113-116``)
+    across two tables via 1-row cross join (broadcast, no shuffle)."""
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    a = o.agg(F.max("o_orderdate").alias("max_order"))
+    b = li.agg(F.max("l_shipdate").alias("max_ship"))
+    return a.crossJoin(F.broadcast(b)).select(
+        F.greatest("max_order", "max_ship").alias("next_watermark")
+    )
+
+
+ORACLE_GREATEST_WATERMARK = """
+SELECT GREATEST((SELECT max(o_orderdate) FROM orders),
+                (SELECT max(l_shipdate) FROM lineitem)) AS next_watermark
+"""
+
+
+def q_max_key_seed(spark: SparkSession, sf: str) -> DataFrame:
+    """A8 COALESCE(MAX(key), 0) surrogate seed on an empty slice
+    (``gold_dim_customer_scd2.py:64-67``)."""
+    c = load_table(spark, sf, "customer")
+    return c.filter(F.col("c_mktsegment") == "NO_SUCH_SEGMENT").agg(
+        F.coalesce(F.max("c_custkey"), F.lit(0)).alias("max_key")
+    )
+
+
+ORACLE_MAX_KEY_SEED = """
+SELECT COALESCE(max(c_custkey), 0) AS max_key
+FROM customer WHERE c_mktsegment = 'NO_SUCH_SEGMENT'
+"""
+
+
+def q_having_dup_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """A9 GROUP BY + HAVING duplicate audit
+    (``bronze/TESTING_GUIDE.md:110-118``)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("order_count"))
+        .filter(F.col("order_count") > 15)
+    )
+
+
+ORACLE_HAVING_DUP_AUDIT = """
+SELECT o_custkey, count(*) AS order_count
+FROM orders GROUP BY o_custkey HAVING count(*) > 15
+"""
+
+
+def q_pct_breakdown(spark: SparkSession, sf: str) -> DataFrame:
+    """A10 grouped breakdown with percent-of-total
+    (``bronze/README.md:386``) — broadcast total, no OVER() single
+    partition."""
+    o = load_table(spark, sf, "orders")
+    return agg_ops.pct_of_total(o, "o_orderstatus")
+
+
+ORACLE_PCT_BREAKDOWN = """
+SELECT o_orderstatus, count(*) AS cnt,
+       100.0 * count(*) / (SELECT count(*) FROM orders) AS pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------- W: windows
+
+
+def q_dedup_first_version(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 intra-batch dedup: one row per (user_id, event_type), first by
+    (ts, event_id) (``validate_bronze.py:161``)."""
+    ev = load_table(spark, sf, "events")
+    return dedup_ops.keep_first_version(
+        ev, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+ORACLE_DEDUP_FIRST_VERSION = EV + """
+, ranked AS (
+    SELECT event_id, user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM ev
+)
+SELECT event_id, user_id, event_type, ts FROM ranked WHERE rn = 1
+"""
+
+
+def q_dedup_latest_version(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 CDC collapse to latest version per key
+    (``validate_silver.py:121-129``)."""
+    ev = load_table(spark, sf, "events")
+    return dedup_ops.keep_latest(
+        ev, ["user_id"], "ts", [F.col("event_id").desc()]
+    ).select("event_id", "user_id", "event_type", "ts", "value")
+
+
+ORACLE_DEDUP_LATEST_VERSION = EV + """
+, ranked AS (
+    SELECT event_id, user_id, event_type, ts, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev
+)
+SELECT event_id, user_id, event_type, ts, value FROM ranked WHERE rn = 1
+"""
+
+
+def q_surrogate_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 dense surrogate keys ordered by business key
+    (``gold_dim_customer_scd2.py:79``)."""
+    n = load_table(spark, sf, "nation")
+    return win_ops.surrogate_keys(
+        n.select("n_name"), order_by=["n_name"], key_col="nation_key", start_at=100
+    ).select("nation_key", "n_name")
+
+
+ORACLE_SURROGATE_KEYS = """
+SELECT CAST(row_number() OVER (ORDER BY n_name) + 100 AS BIGINT) AS nation_key, n_name
+FROM nation
+"""
+
+
+def q_best_record(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 best-record pick with multi-key ordering
+    (``gold_dim_merchant_scd2.py:59-82``)."""
+    li = load_table(spark, sf, "lineitem")
+    return win_ops.best_record(
+        li,
+        ["l_suppkey"],
+        [
+            F.col("l_shipdate").desc(),
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+
+
+ORACLE_BEST_RECORD = """
+WITH ranked AS (
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+           row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate DESC, l_extendedprice DESC,
+                                       l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_lag_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """W5 LAG status-transition audit
+    (``bronze/TESTING_GUIDE.md:408-425``)."""
+    ev = load_table(spark, sf, "events")
+    out = win_ops.lag_transitions(
+        ev, "user_id", [F.col("ts"), F.col("event_id")], "event_type"
+    )
+    return out.select("event_id", "user_id", "event_type", "prev_event_type", "transition")
+
+
+ORACLE_LAG_TRANSITIONS = EV + """
+SELECT event_id, user_id, event_type,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_event_type,
+       concat_ws(' -> ',
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 event_type) AS transition
+FROM ev
+"""
+
+
+# ---------------------------------------------------------------- O/U: top-k, union
+
+
+def q_watermark_top1(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 watermark read: latest row by timestamp
+    (``read_watermark.py:32-35``)."""
+    ev = load_table(spark, sf, "events")
+    return win_ops.top_k(
+        ev, [F.col("ts").desc(), F.col("event_id").desc()], 1
+    ).select("event_id", "ts", "user_id")
+
+
+ORACLE_WATERMARK_TOP1 = EV + """
+SELECT event_id, ts, user_id FROM ev ORDER BY ts DESC, event_id DESC LIMIT 1
+"""
+
+
+def q_topn_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """O2 top-10 revenue report (``Gold Layer README.md:417-431``) —
+    rank by the ROUNDED measure + unique tie-break for cross-engine
+    determinism."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount")).cast("decimal(8,2)")
+            )
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+    )
+    return win_ops.top_k(rev, [F.col("revenue").desc(), F.col("o_custkey")], 10)
+
+
+ORACLE_TOPN_REVENUE = """
+SELECT o_custkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey
+LIMIT 10
+"""
+
+
+def q_union_slices(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 UNION ALL of two audit slices (``docs/RUNBOOK.md:224-250``)."""
+    o = load_table(spark, sf, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_totalprice", F.lit("HIGH_VALUE").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 1000).select(
+        "o_orderkey", "o_totalprice", F.lit("LOW_VALUE").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+ORACLE_UNION_SLICES = """
+SELECT o_orderkey, o_totalprice, 'HIGH_VALUE' AS bucket FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'LOW_VALUE' AS bucket FROM orders WHERE o_totalprice < 1000
+"""
+
+
+# ---------------------------------------------------------------- time windows / JSON
+
+
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — batch analog of
+    the Structured Streaming path (SURVEY.md section 2.9 extension)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_TUMBLING_WINDOW = EV + """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM ev GROUP BY 1, 2
+"""
+
+
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark
+    ``session_window``; oracle reproduces via gaps-and-islands."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = EV + """
+, flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON scalar extraction from the events props column (extension —
+    the reference serializes JSON driver-side only)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("props_k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = EV + """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+FROM ev
+"""

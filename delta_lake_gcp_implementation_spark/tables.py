@@ -1,0 +1,55 @@
+"""Testdata table loaders.
+
+The driver provides TPC-H-ish parquet tables (TESTDATA.md) at
+``/root/testdata/sf{0.001,0.01,0.1}/``.  Loaders keep explicit column
+selection out of hot paths — Catalyst prunes columns and pushes filters
+into the parquet scan when the plan is declarative.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS), unreadable by Spark
+        # without this flag.  Set at runtime so the engine also works
+        # on sessions we didn't build (e.g. the verify driver's).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read via nanosAsLong; truncate to Spark's
+        # native microsecond timestamps with *integer* division (ns
+        # epoch exceeds 2^53 — float division would corrupt low digits).
+        # Oracle-side equivalent: make_timestamp(epoch_ns(ts)//1000).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for ``spark.sql`` queries."""
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

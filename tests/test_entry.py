@@ -1,0 +1,39 @@
+"""Driver-contract smoke tests: entry() + every catalog query runs at
+sf0.001 and produces a stable schema."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {
+        "r_name",
+        "n_name",
+        "order_count",
+        "lineitem_count",
+        "revenue",
+        "avg_discount",
+    }
+
+
+def test_every_query_runs_at_smoke_sf(spark, sf_dir):
+    qs = entrymod.queries()
+    assert len(qs) >= 30
+    for name, builder in qs.items():
+        df = builder(spark, sf_dir)
+        n = df.count()
+        assert n >= 0, name
+        assert df.columns, name
+
+
+def test_oracle_sql_keys_subset_of_queries():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(isinstance(v, str) and v.strip() for v in os_.values())

@@ -1,0 +1,157 @@
+"""Unit tests for the operator library on small in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.operators import (
+    aggregates as agg_ops,
+    dedup as dedup_ops,
+    joins as join_ops,
+    windows as win_ops,
+)
+
+
+def test_keep_first_version_removes_exact_dups(spark):
+    df = spark.createDataFrame(
+        [("t1", "2024-01-01", 1), ("t1", "2024-01-01", 2), ("t2", "2024-01-02", 3)],
+        ["id", "updated_at", "payload"],
+    )
+    out = dedup_ops.keep_first_version(df, ["id", "updated_at"])
+    assert out.count() == 2
+    assert out.filter("id = 't1'").count() == 1
+
+
+def test_keep_latest_collapses_cdc(spark):
+    df = spark.createDataFrame(
+        [("t1", 1, "Pending"), ("t1", 3, "Successful"), ("t1", 2, "Failed")],
+        ["id", "version", "status"],
+    )
+    out = dedup_ops.keep_latest(df, ["id"], "version")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].status == "Successful"
+
+
+def test_keep_latest_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("t1", 1, "a"), ("t1", 1, "b")], ["id", "version", "v"]
+    )
+    out = dedup_ops.keep_latest(df, ["id"], "version", [F.col("v").desc()])
+    assert out.collect()[0].v == "b"
+
+
+def test_surrogate_keys_dense_and_offset(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["k"])
+    out = win_ops.surrogate_keys(df, ["k"], "sk", start_at=10).orderBy("sk")
+    assert [(r.sk, r.k) for r in out.collect()] == [(11, "a"), (12, "b"), (13, "c")]
+
+
+def test_scalable_keys_unique(spark):
+    df = spark.range(1000).repartition(8)
+    out = win_ops.scalable_keys(df, "sk")
+    assert out.select("sk").distinct().count() == 1000
+
+
+def test_anti_semi_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert join_ops.anti_join(left, right, ["k"]).collect()[0].k == 1
+    assert join_ops.semi_join(left, right, ["k"]).count() == 2
+
+
+def test_point_in_time_join(spark):
+    fact = spark.createDataFrame(
+        [Row(k="c1", d="2024-02-15"), Row(k="c1", d="2024-06-15")]
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    dim = spark.createDataFrame(
+        [
+            Row(k="c1", tier="Bronze",
+                effective_start_date="2024-01-01", effective_end_date="2024-03-31"),
+            Row(k="c1", tier="Gold",
+                effective_start_date="2024-04-01", effective_end_date="2200-01-01"),
+        ]
+    ).select(
+        "k", "tier",
+        F.col("effective_start_date").cast("timestamp").alias("effective_start_date"),
+        F.col("effective_end_date").cast("timestamp").alias("effective_end_date"),
+    )
+    out = join_ops.point_in_time_join(fact, dim, "k", F.col("d"))
+    got = {(r.d.month, r.tier) for r in out.collect()}
+    assert got == {(2, "Bronze"), (6, "Gold")}
+
+
+def test_customer_rollup_tiers(spark):
+    rows = [("c1", f"2024-01-{i:02d}", 10.0) for i in range(1, 21)] + [
+        ("c2", "2024-01-01", 5.0)
+    ]
+    df = spark.createDataFrame(rows, ["cid", "ts", "amount"])
+    out = agg_ops.customer_rollup(
+        df, "cid", "ts", "amount", F.lit(True), tier_bounds=(100, 50, 20)
+    )
+    tiers = {r.cid: r.customer_tier for r in out.collect()}
+    assert tiers == {"c1": "Silver", "c2": "Bronze"}
+
+
+def test_greatest_watermark(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01", "2024-02-01"), ("2024-03-01", "2024-01-15")], ["a", "b"]
+    ).select(F.col("a").cast("timestamp").alias("a"), F.col("b").cast("timestamp").alias("b"))
+    wm = agg_ops.greatest_watermark(df, ["a", "b"]).collect()[0].next_watermark
+    assert wm.month == 3
+
+
+def test_pct_of_total_sums_to_100(spark):
+    df = spark.createDataFrame([("x",)] * 3 + [("y",)] * 7, ["g"])
+    out = agg_ops.pct_of_total(df, "g")
+    total = sum(r.pct for r in out.collect())
+    assert abs(total - 100.0) < 1e-9
+
+
+def test_exact_content_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = dedup_ops.dedup_exact_content(df, "text", "doc_id")
+    kept = {r.doc_id for r in out.collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark engines " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sh = dedup_ops.char_shingles(df, "text", "doc_id")
+    sig = dedup_ops.minhash_signatures(sh, "doc_id", n_hashes=16)
+    pairs = dedup_ops.minhash_candidate_pairs(sig, "doc_id", n_hashes=16, band_size=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        ["doc_id", "text"],
+    )
+    out = dedup_ops.ngram_jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.9)
+    rows = out.collect()
+    assert len(rows) == 1 and (rows[0].id_a, rows[0].id_b) == (1, 2)
+    assert abs(rows[0].jaccard - 1.0) < 1e-9
+
+
+def test_simhash_near_vs_far(spark):
+    base = "spark dataframe shuffle partition broadcast join " * 10
+    near = base.replace("broadcast", "replicated")
+    far = "entirely unrelated words about cooking pasta recipes " * 10
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sig = {r.doc_id: int(r.simhash) for r in
+           dedup_ops.simhash64(df, "text", "doc_id").collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(sig[1], sig[2]) < hamming(sig[1], sig[3])
