@@ -201,6 +201,106 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_bits(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash with a <=60-bit signature carried as signed BIGINT.
+
+    Per whitespace token, hash = first ``bits/4`` hex chars of md5 as a
+    BIGINT (cross-engine: DuckDB ``('0x'||substr(md5(t),1,n))::BIGINT``);
+    per bit, sum +1/-1 across tokens; sign -> bit.  Plain bigint bitwise
+    ops (shiftright/&) — cheaper than the decimal path of
+    :func:`simhash64` and exactly mirrorable in ANSI SQL, at the cost of
+    a shorter signature (32 bits is plenty for banded candidate search;
+    use 64 for final hamming verification).
+    """
+    assert bits % 4 == 0 and bits <= 60
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = tokens.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b_{b}")
+        for b in range(bits)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
+    sig = sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"b_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("simhash"),
+    )
+    return sig
+
+
+def simhash_hamming_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, found at scale via
+    band-bucketing: split the signature into ``n_bands`` contiguous bit
+    bands; any pair within hamming distance < n_bands must share at
+    least one exact band (pigeonhole), so the candidate join is an
+    equi-join on (band_idx, band_value) — hash-partitioned, no cross
+    join.  Returns (id_a, id_b, hamming) with hamming <= max_hamming.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("band")
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from . import relational as R
+from . import textops as X
 
 
 @dataclass(frozen=True)
@@ -73,4 +74,31 @@ CATALOG: dict[str, QuerySpec] = {
     "tumbling_window": QuerySpec(R.q_tumbling_window, R.ORACLE_TUMBLING_WINDOW),
     "session_window": QuerySpec(R.q_session_window, R.ORACLE_SESSION_WINDOW),
     "json_extract": QuerySpec(R.q_json_extract, R.ORACLE_JSON_EXTRACT),
+    # text analysis (documents)
+    "token_counts": QuerySpec(X.q_token_counts, X.ORACLE_TOKEN_COUNTS),
+    "quality_score": QuerySpec(X.q_quality_score, X.ORACLE_QUALITY_SCORE),
+    "lang_id": QuerySpec(X.q_lang_id, X.ORACLE_LANG_ID),
+    "doc_fingerprint": QuerySpec(X.q_doc_fingerprint, X.ORACLE_DOC_FINGERPRINT),
+    # dedup family (documents)
+    "dedup_exact": QuerySpec(X.q_dedup_exact, X.ORACLE_DEDUP_EXACT),
+    "minhash_signatures": QuerySpec(
+        X.q_minhash_signatures, X.ORACLE_MINHASH_SIGNATURES
+    ),
+    "minhash_lsh_pairs": QuerySpec(
+        X.q_minhash_lsh_pairs, X.ORACLE_MINHASH_LSH_PAIRS
+    ),
+    "ngram_jaccard": QuerySpec(X.q_ngram_jaccard, X.ORACLE_NGRAM_JACCARD),
+    "simhash_signatures": QuerySpec(
+        X.q_simhash_signatures, X.ORACLE_SIMHASH_SIGNATURES
+    ),
+    "simhash_near_dups": QuerySpec(
+        X.q_simhash_near_dups, X.ORACLE_SIMHASH_NEAR_DUPS
+    ),
+    # similarity search (embeddings)
+    "cosine_topk": QuerySpec(X.q_cosine_topk, X.ORACLE_COSINE_TOPK),
+    "ann_lsh_topk": QuerySpec(X.q_ann_lsh_topk, X.ORACLE_ANN_LSH_TOPK),
+    # multimodal plumbing (documents as stand-in blobs)
+    "multimodal_metadata": QuerySpec(
+        X.q_multimodal_metadata, X.ORACLE_MULTIMODAL_METADATA
+    ),
 }

@@ -1,0 +1,479 @@
+"""Training-data pipeline query catalog: text analysis, dedup family,
+similarity search, multimodal plumbing (SURVEY.md section 7 Phase 4).
+
+These operators go beyond the reference (which has no text/vector
+processing) and cover what a 100 TB LLM-training-data pipeline needs.
+Every query pairs a Spark builder with DuckDB oracle SQL; the oracle
+strings for MinHash / SimHash / ANN are *generated from the same Python
+constants* as the Spark plan, so both engines evaluate literally the
+same algorithm.
+
+Cross-engine hash basis: md5 (identical hex both engines); hex->int via
+at most 15 hex chars so values fit signed BIGINT; token/shingle
+generation uses only ASCII regex classes (identical in Java regex and
+RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as sim
+from ..functions import text as T
+from ..operators import dedup as dedup_ops
+from ..tables import load_table
+
+# ---------------------------------------------------------------- text analysis
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex subword proxy
+    (token-budget estimation over a document corpus)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{T.BPE_ISH_PATTERN}')) AS BIGINT)
+           AS bpe_ish_tokens
+FROM documents
+"""
+
+_SW_LIST = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+
+# shared oracle fragments (must mirror functions.text exactly)
+_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKS}) END"
+_SQL_SW_RATIO = f"""CASE WHEN len({_SQL_TOKS_LOWER}) = 0 THEN 0.0
+       ELSE len(list_filter({_SQL_TOKS_LOWER}, t -> t IN ({_SW_LIST})))
+            / len({_SQL_TOKS_LOWER}) END"""
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality scoring: length / token stats / punctuation
+    ratio / stopword ratio + CASE-ladder quality bucket."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", *T.quality_metrics(F.col("text")))
+
+
+ORACLE_QUALITY_SCORE = f"""
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars_measured,
+       CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+       CASE WHEN {_SQL_NTOK} = 0 THEN 0.0
+            ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                 / ({_SQL_NTOK}) END AS mean_token_len,
+       CASE WHEN len(text) = 0 THEN 0.0
+            ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS DOUBLE)
+                 / len(text) END AS punct_ratio,
+       {_SQL_SW_RATIO} AS stopword_ratio,
+       CASE WHEN ({_SQL_NTOK}) < 5
+                 OR (CASE WHEN {_SQL_NTOK} = 0 THEN 0.0
+                          ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                               / ({_SQL_NTOK}) END) < 2.0 THEN 'LOW'
+            WHEN ({_SQL_SW_RATIO}) >= 0.05
+                 AND (CASE WHEN len(text) = 0 THEN 0.0
+                           ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS DOUBLE)
+                                / len(text) END) < 0.2 THEN 'HIGH'
+            ELSE 'MEDIUM' END AS quality_bucket
+FROM documents
+"""
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_SQL_TOKS_LOWER}, t -> t IN ({wl})))"
+
+
+def _lang_ladder_sql() -> str:
+    langs = list(T.LANG_PROFILES)
+    scores = {m: _lang_score_sql(ws) for m, ws in T.LANG_PROFILES.items()}
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"({scores[lang]}) >= ({scores[other]})" for other in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID by n-gram (token-profile) heuristic: per-language
+    stopword hit counts, argmax with deterministic ladder tie-break."""
+    d = load_table(spark, sf, "documents")
+    scores = T.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        scores["en"].cast("bigint").alias("score_en"),
+        scores["de"].cast("bigint").alias("score_de"),
+    )
+
+
+ORACLE_LANG_ID = f"""
+SELECT doc_id,
+       lang AS lang_labeled,
+       {_lang_ladder_sql()} AS lang_pred,
+       CAST({_lang_score_sql(T.LANG_PROFILES["en"])} AS BIGINT) AS score_en,
+       CAST({_lang_score_sql(T.LANG_PROFILES["de"])} AS BIGINT) AS score_de
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5, compact 60-bit
+    integer form, and a winnowing-style rolling min-hash over char
+    8-grams (shift-resistant)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        T.fingerprint_int60(F.col("text")).alias("fp60"),
+        T.rolling_min_fingerprint(F.col("text"), k=8).alias("fp_rolling_min"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH base AS (
+    SELECT doc_id, text,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+    FROM documents
+)
+SELECT doc_id, fp_md5,
+       ('0x' || substr(fp_md5, 1, 15))::BIGINT AS fp60,
+       list_min([('0x' || substr(md5(g), 1, 15))::BIGINT
+                 FOR g IN list_distinct([substr(text, CAST(i AS INT), 8)
+                                         FOR i IN range(1, greatest(len(text) - 7, 1) + 1)])])
+           AS fp_rolling_min
+FROM base
+"""
+
+
+# ---------------------------------------------------------------- dedup family
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), lowest doc_id
+    survives (single shuffle of (hash, id) pairs — not documents)."""
+    d = load_table(spark, sf, "documents")
+    return dedup_ops.dedup_exact_content(d, "text", "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+FROM documents GROUP BY md5(text)
+"""
+
+_MH_N = 8  # hash functions
+_MH_K = 5  # char shingle width
+_MH_BAND = 2  # hashes per LSH band
+
+_SQL_SHINGLES = f"""
+sh AS (
+    SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {_MH_K}) AS shingle
+    FROM documents, unnest(range(1, greatest(len(text) - {_MH_K - 1}, 1) + 1)) AS t(i)
+)"""
+
+_SQL_SIG = (
+    "sig AS (\n    SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(_MH_N)
+    )
+    + "\n    FROM sh GROUP BY doc_id\n)"
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures over char-5 shingles (8 hash fns): the
+    fixed-size sketch for near-dup detection at corpus scale."""
+    d = load_table(spark, sf, "documents")
+    sh = dedup_ops.char_shingles(d, "text", "doc_id", k=_MH_K)
+    return dedup_ops.minhash_signatures(sh, "doc_id", n_hashes=_MH_N)
+
+
+ORACLE_MINHASH_SIGNATURES = (
+    "WITH " + _SQL_SHINGLES + ",\n" + _SQL_SIG + "\nSELECT * FROM sig"
+)
+
+
+def _sql_bands() -> str:
+    n_bands = _MH_N // _MH_BAND
+    selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"mh_{b * _MH_BAND + j}" for j in range(_MH_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {cols} AS band_key FROM sig"
+        )
+    return "bands AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signature (4 bands x 2),
+    equi-join on (band_idx, band_key) — hash-partitioned, no cross
+    join, scales with executors."""
+    sig = q_minhash_signatures(spark, sf)
+    return dedup_ops.minhash_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND
+    )
+
+
+ORACLE_MINHASH_LSH_PAIRS = (
+    "WITH "
+    + _SQL_SHINGLES
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + """
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity over LSH candidate pairs —
+    the verify stage after MinHash recall (threshold 0.5)."""
+    d = load_table(spark, sf, "documents")
+    cands = q_minhash_lsh_pairs(spark, sf)
+    return dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_MH_K, threshold=0.5, candidates=cands
+    )
+
+
+ORACLE_NGRAM_JACCARD = (
+    "WITH "
+    + _SQL_SHINGLES
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + """,
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN cands c ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+"""
+)
+
+_SH_BITS = 32
+_SH_BANDS = 4
+_SH_MAXHAM = 3
+
+
+def _sql_simhash_sig() -> str:
+    hexn = _SH_BITS // 4
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{b}"
+        for b in range(_SH_BITS)
+    )
+    recon = " + ".join(
+        f"CASE WHEN b_{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(_SH_BITS)
+    )
+    return f"""toks AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+),
+hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, {hexn}))::BIGINT AS h FROM toks
+),
+sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM sums)"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash signature per document (frequency-weighted token
+    fingerprint; hamming distance = similarity)."""
+    d = load_table(spark, sf, "documents")
+    return dedup_ops.simhash_bits(d, "text", "doc_id", bits=_SH_BITS)
+
+
+ORACLE_SIMHASH_SIGNATURES = (
+    "WITH " + _sql_simhash_sig() + "\nSELECT doc_id, simhash FROM sig"
+)
+
+
+def _sql_simhash_bands() -> str:
+    band_bits = _SH_BITS // _SH_BANDS
+    mask = (1 << band_bits) - 1
+    selects = [
+        f"SELECT doc_id, simhash, {i} AS band_idx, "
+        f"(simhash >> {i * band_bits}) & {mask} AS band_val FROM sig"
+        for i in range(_SH_BANDS)
+    ]
+    return "banded AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs at scale: band-bucketed candidate join
+    (pigeonhole guarantees recall for hamming < n_bands), then exact
+    hamming filter."""
+    sig = q_simhash_signatures(spark, sf)
+    return dedup_ops.simhash_hamming_pairs(
+        sig, "doc_id", bits=_SH_BITS, n_bands=_SH_BANDS, max_hamming=_SH_MAXHAM
+    )
+
+
+ORACLE_SIMHASH_NEAR_DUPS = (
+    "WITH "
+    + _sql_simhash_sig()
+    + ",\n"
+    + _sql_simhash_bands()
+    + f"""
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXHAM}
+"""
+)
+
+
+# ---------------------------------------------------------------- similarity search
+
+_ANN_PLANES = 8
+_ANN_DIM = 64
+_Q_CUT = 8  # vec_id < _Q_CUT are the query vectors
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the query set (vec_id <
+    8): broadcast queries x corpus scan, per-query window rank.  The
+    exactness baseline for ANN."""
+    e = load_table(spark, sf, "embeddings")
+    return sim.brute_force_topk(
+        e, e.filter(F.col("vec_id") < _Q_CUT), "vec_id", "embedding", k=5
+    )
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {_Q_CUT}),
+pairs AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.v, e.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+               AS cosine
+    FROM e, q WHERE q.vec_id <> e.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _sql_bucket_expr(vec_expr: str) -> str:
+    planes = sim.hyperplanes(_ANN_PLANES, _ANN_DIM)
+    terms = [
+        f"CASE WHEN list_dot_product({vec_expr}, {_sql_plane_literal(p)}) > 0 "
+        f"THEN {2 ** j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate nearest neighbors: random-hyperplane LSH bucket
+    equi-join (no cross join) + in-bucket cosine top-3.  The scale path:
+    bucket join hash-partitions over the cluster."""
+    e = load_table(spark, sf, "embeddings")
+    return sim.lsh_topk(
+        e,
+        e.filter(F.col("vec_id") < _Q_CUT),
+        "vec_id",
+        "embedding",
+        k=3,
+        n_planes=_ANN_PLANES,
+        dim=_ANN_DIM,
+    )
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v, {_sql_bucket_expr("v")} AS bucket FROM e),
+q AS (SELECT * FROM c WHERE vec_id < {_Q_CUT}),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cosine
+    FROM c JOIN q ON c.bucket = q.bucket
+    WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------- multimodal plumbing
+
+
+def q_multimodal_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-binary column plumbing: materialize content as a binary
+    column (here utf-8 bytes of text — stands in for image/audio blobs)
+    with typed metadata: byte length, content digest, format sniff.
+    The decode/feature stages live in ``operators.multimodal`` as
+    mapInPandas stubs."""
+    d = load_table(spark, sf, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(content).cast("bigint").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.when(F.substring("text", 1, 1).between("a", "m"), "formatA")
+        .otherwise("formatB")
+        .alias("sniffed_format"),
+    )
+
+
+ORACLE_MULTIMODAL_METADATA = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CASE WHEN substr(text, 1, 1) BETWEEN 'a' AND 'm' THEN 'formatA'
+            ELSE 'formatB' END AS sniffed_format
+FROM documents
+"""

@@ -1,0 +1,193 @@
+"""Unit tests for text-analysis / similarity functions and their
+catalog queries (documents/embeddings tables at sf0.001)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.functions import similarity as sim
+from delta_lake_gcp_implementation_spark.functions import text as T
+from delta_lake_gcp_implementation_spark.operators import dedup as dedup_ops
+from delta_lake_gcp_implementation_spark.plans import textops as X
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world  foo"), (2, ""), (3, "   "), (4, "one")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n, r.b)
+        for r in df.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n"),
+            T.bpe_ish_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert out[1] == (3, 3)
+    assert out[2][0] == 0
+    assert out[3][0] == 0
+    assert out[4] == (1, 1)
+
+
+def test_bpe_ish_splits_punct_and_digits(spark):
+    df = spark.createDataFrame([(1, "ab12, cd!")], ["doc_id", "text"])
+    n = df.select(T.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
+    # ab | 12 | , | cd | !
+    assert n == 5
+
+
+def test_stopword_ratio_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "xyzzy qwerty")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in df.select("doc_id", *T.quality_metrics(F.col("text"))).collect()}
+    assert abs(rows[1].stopword_ratio - 3 / 5) < 1e-12
+    assert rows[2].stopword_ratio == 0.0
+    assert rows[1].n_tokens == 5
+
+
+def test_lang_id_ladder_prefers_earlier_on_tie(spark):
+    # no profile words at all -> every score 0 -> ladder picks 'en'
+    df = spark.createDataFrame([(1, "xyzzy plugh")], ["doc_id", "text"])
+    assert df.select(T.lang_id(F.col("text")).alias("l")).collect()[0].l == "en"
+    # german profile words dominate -> 'de'
+    df2 = spark.createDataFrame([(1, "der und das ist ein")], ["doc_id", "text"])
+    assert df2.select(T.lang_id(F.col("text")).alias("l")).collect()[0].l == "de"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    fps = {
+        r.doc_id: (r.fp, r.fp60)
+        for r in df.select(
+            "doc_id",
+            T.fingerprint_md5(F.col("text")).alias("fp"),
+            T.fingerprint_int60(F.col("text")).alias("fp60"),
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # case + whitespace normalized
+    assert fps[1] != fps[3]
+    assert 0 <= fps[1][1] < 2**60
+
+
+def test_rolling_min_fingerprint_shift_resistant(spark):
+    base = "abcdefghijklmnopqrstuvwxyz0123456789" * 3
+    shifted = "ZZZ " + base  # local edit at the front
+    df = spark.createDataFrame([(1, base), (2, shifted)], ["doc_id", "text"])
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", T.rolling_min_fingerprint(F.col("text"), k=8).alias("fp")
+        ).collect()
+    }
+    # the min-gram usually survives a front edit (weak but deterministic check:
+    # identical tail k-grams -> fp can only move down via new grams)
+    assert fps[2] <= fps[1]
+
+
+def test_simhash_bits_range_and_similarity(spark):
+    base = "spark shuffle partition broadcast join agg " * 10
+    near = base.replace("agg", "aggregate")
+    far = "pasta recipe tomato basil garlic onion " * 10
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sig = {r.doc_id: r.simhash for r in
+           dedup_ops.simhash_bits(df, "text", "doc_id", bits=32).collect()}
+    assert all(0 <= s < 2**32 for s in sig.values())
+    ham12 = bin(sig[1] ^ sig[2]).count("1")
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_simhash_hamming_pairs_bucket_recall(spark):
+    # identical docs -> hamming 0 -> must be found by banding
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    sig = dedup_ops.simhash_bits(df, "text", "doc_id", bits=32)
+    pairs = dedup_ops.simhash_hamming_pairs(sig, "doc_id", bits=32, n_bands=4,
+                                            max_hamming=3)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert (1, 2, 0) in got
+    assert all(p[:2] != (1, 3) for p in got)
+
+
+def test_cosine_matches_numpy(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    v = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    out = (
+        e.filter(F.col("vec_id") < 3)
+        .select(
+            "vec_id",
+            sim.cosine(
+                sim.as_double(F.col("embedding")),
+                F.array(*[F.lit(float(x)) for x in v[0]]),
+            ).alias("cos"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    for r in out:
+        expect = float(
+            np.dot(v[r.vec_id], v[0])
+            / (math.sqrt(np.dot(v[r.vec_id], v[r.vec_id])) * math.sqrt(np.dot(v[0], v[0])))
+        )
+        assert abs(r.cos - expect) < 1e-9
+
+
+def test_brute_force_topk_shape(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 2), "vec_id",
+                               "embedding", k=4).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rs in by_q.items():
+        assert len(rs) == 4
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4]
+        cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_topk_is_subset_of_bucket(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.lsh_topk(e, e.filter(F.col("vec_id") < 4), "vec_id", "embedding",
+                       k=3, n_planes=8, dim=64)
+    rows = out.collect()
+    # every result's neighbor shares the query's bucket by construction;
+    # ranks are dense per query
+    for q in {r.query_id for r in rows}:
+        ranks = sorted(r.rank for r in rows if r.query_id == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_exact_dedup_on_documents(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = X.q_dedup_exact(spark, sf_dir)
+    # documents are all distinct -> one representative each
+    assert out.count() == d.count()
+
+
+def test_multimodal_metadata_bytes(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "zz")], ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_bytes, r.sniffed_format)
+        for r in df.select(
+            "doc_id",
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("n_bytes"),
+            F.when(F.substring("text", 1, 1).between("a", "m"), "formatA")
+            .otherwise("formatB")
+            .alias("sniffed_format"),
+        ).collect()
+    }
+    assert out[1] == (3, "formatA")
+    assert out[2] == (2, "formatB")
