@@ -1,0 +1,681 @@
+"""Medallion pipeline stages — the reference's composite algorithms
+C1-C10 (SURVEY.md section 2.11) as composable PySpark functions over a
+:class:`~..pipeline.storage.TableStore`.
+
+Stage map (reference citations in each function):
+
+- C1  validate_bronze   — 3-tier validation split + late-arrival flag + W1 dedup
+- C2  load_bronze       — composite-key MERGE + GREATEST watermark + job_control
+- C3  backfill_bronze   — date-range slice, MERGE, watermark NOT advanced
+- C4  full_refresh_bronze — no filter, INSERT OVERWRITE, watermark reset
+- C5  validate/load_silver — W2 CDC collapse + single-key MERGE
+- C6  gdpr_delete       — Bronze soft delete + Silver hard delete
+- C7  scd2_dim_customer — SCD Type 2 maintenance (tier changes)
+- C8  build_fact        — star join + derived measures + null-FK audit
+- C9  static_dims       — DISTINCT + surrogate keys + enrichment
+- C10 build_dim_date    — native sequence() date spine
+
+The in-process :func:`run_incremental` replaces Airflow: stages run in
+dependency order against one SparkSession, handing off through staging
+tables exactly like the reference (the staging table IS the IR,
+``docs/Gold_Layer_Developer_Guide.md:59-83``).
+
+Scale notes: every stage is a declarative DataFrame plan — filters
+reach the parquet scan, dims broadcast in the fact join, dedup windows
+hash-partition on their keys.  The only single-partition window is the
+dense surrogate-key assignment, kept for reference parity on *dims
+only* (dims are small by construction; see
+``operators.windows.scalable_keys`` for the 100 TB alternative).
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from .storage import TableStore
+
+# ---------------------------------------------------------------- shared helpers
+
+RAW_COLS = [
+    "transaction_id", "customer_id", "transaction_timestamp", "merchant_id",
+    "merchant_name", "product_category", "product_name", "amount",
+    "fee_amount", "cashback_amount", "loyalty_points", "payment_method",
+    "transaction_status", "device_type", "location_type", "currency",
+    "updated_at",
+]
+
+SILVER_COLS = RAW_COLS + [
+    "delta_change_type", "delta_version", "is_deleted", "deleted_at",
+]
+
+BRONZE_COLS = SILVER_COLS + [
+    "is_late_arrival", "arrival_delay_hours", "data_quality_flag",
+    "validation_errors",
+]
+
+
+def new_batch_id() -> str:
+    """Batch provenance id (reference: ``shared/generate_batch_id.py``)."""
+    return f"BATCH_{uuid.uuid4().hex[:12]}"
+
+
+def read_watermark(store: TableStore, layer: str) -> str | None:
+    """O1 watermark read: latest successful run's bookmark
+    (``read_watermark.py:29-35``: ORDER BY completed_at DESC LIMIT 1)."""
+    if not store.exists("job_control"):
+        return None
+    jc = store.read("job_control")
+    row = (
+        jc.filter(
+            (F.col("layer") == layer)
+            & (F.col("status") == "SUCCESS")
+            & F.col("last_processed_timestamp").isNotNull()
+        )
+        .orderBy(F.desc("completed_at"), F.desc("batch_id"))
+        .limit(1)
+        .collect()
+    )
+    return row[0].last_processed_timestamp if row else None
+
+
+def write_job_control(
+    store: TableStore,
+    job_name: str,
+    layer: str,
+    batch_id: str,
+    run_mode: str,
+    status: str,
+    watermark: str | None,
+    records_processed: int,
+    completed_at: str | None = None,
+) -> None:
+    """S12 metadata append (``shared/write_watermark.py:39-65``)."""
+    row = [
+        (
+            job_name, layer, batch_id, run_mode, status, watermark,
+            records_processed,
+            completed_at or datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S.%f"),
+        )
+    ]
+    df = store.spark.createDataFrame(
+        row,
+        "job_name string, layer string, batch_id string, run_mode string, "
+        "status string, last_processed_timestamp string, "
+        "records_processed long, completed_at string",
+    )
+    store.append("job_control", df)
+
+
+def typed_cast(raw: DataFrame) -> DataFrame:
+    """S2 typed projection: cast the 17 raw columns; timestamps parsed
+    by SUBSTRING truncation (``validate_bronze.py:26-43``)."""
+    return raw.select(
+        F.col("transaction_id").cast("string"),
+        F.col("customer_id").cast("string"),
+        F.to_timestamp(F.substring("transaction_timestamp", 1, 19)).alias(
+            "transaction_timestamp"
+        ),
+        F.col("merchant_id").cast("string"),
+        F.col("merchant_name").cast("string"),
+        F.col("product_category").cast("string"),
+        F.col("product_name").cast("string"),
+        F.col("amount").cast("double"),
+        F.col("fee_amount").cast("double"),
+        F.col("cashback_amount").cast("double"),
+        F.col("loyalty_points").cast("bigint").alias("loyalty_points"),
+        F.col("payment_method").cast("string"),
+        F.col("transaction_status").cast("string"),
+        F.col("device_type").cast("string"),
+        F.col("location_type").cast("string"),
+        F.col("currency").cast("string"),
+        F.to_timestamp(F.substring("updated_at", 1, 19)).alias("updated_at"),
+    )
+
+
+# ---------------------------------------------------------------- C1: validation split
+
+
+def _tier1_pred():
+    """P4 quarantine predicate (``validate_bronze.py:100-104``)."""
+    return (
+        F.col("transaction_id").isNull()
+        | F.col("transaction_id").like("% %")
+        | F.col("amount").isNull()
+        | F.col("transaction_timestamp").isNull()
+        | (F.col("transaction_timestamp") > F.current_timestamp())
+    )
+
+
+def validate_bronze(
+    store: TableStore,
+    raw: DataFrame,
+    batch_id: str,
+    watermark: str | None = None,
+) -> dict[str, int]:
+    """C1 three-tier validation split (``validate_bronze.py:65-181``):
+    Tier-1 -> quarantine with CASE error_reason; survivors get Tier-2
+    quality flags + Tier-3 COALESCE fixes + late-arrival flag + W1
+    dedup, landing in bronze staging."""
+    typed = typed_cast(raw)
+
+    if watermark is not None:
+        w = F.lit(watermark).cast("timestamp")
+        # P1: new events OR late-arriving updates (``validate_bronze.py:44``)
+        typed = typed.filter(
+            (F.col("transaction_timestamp") > w) | (F.col("updated_at") > w)
+        )
+
+    t1 = _tier1_pred()
+    quarantine = typed.filter(t1).select(
+        *RAW_COLS,
+        F.when(F.col("transaction_id").isNull(), "NULL_TRANSACTION_ID")
+        .when(F.col("transaction_id").like("% %"), "INVALID_TRANSACTION_ID_FORMAT")
+        .when(F.col("amount").isNull(), "NULL_AMOUNT")
+        .when(F.col("transaction_timestamp").isNull(), "NULL_TIMESTAMP")
+        .otherwise("FUTURE_TIMESTAMP")
+        .alias("error_reason"),
+        F.lit("TIER1").alias("error_tier"),
+        F.current_timestamp().alias("quarantined_at"),
+        F.lit(batch_id).alias("processing_batch_id"),
+    )
+    store.append("bronze.quarantine", quarantine)
+    n_quarantined = quarantine.count()
+
+    kept = typed.filter(~t1).select(
+        "transaction_id",
+        "customer_id",
+        "transaction_timestamp",
+        "merchant_id",
+        "merchant_name",
+        "product_category",
+        # Tier-3 COALESCE fixes (``validate_bronze.py:122-132``)
+        F.coalesce("product_name", F.lit("NOT_AVAILABLE")).alias("product_name"),
+        "amount",
+        "fee_amount",
+        "cashback_amount",
+        "loyalty_points",
+        "payment_method",
+        "transaction_status",
+        F.coalesce("device_type", F.lit("UNKNOWN")).alias("device_type"),
+        F.coalesce("location_type", F.lit("UNKNOWN")).alias("location_type"),
+        "currency",
+        "updated_at",
+    )
+
+    # Tier-2 flags (``validate_bronze.py:149-160``)
+    neg = F.col("amount") < 0
+    unk = F.col("merchant_id").like("MERCH_9%")
+    bad_status = ~F.col("transaction_status").isin(
+        ["Successful", "Pending", "Failed"]
+    )
+    kept = kept.withColumn(
+        "data_quality_flag",
+        F.when(neg | unk | bad_status, "FAILED_VALIDATION").otherwise("PASSED"),
+    ).withColumn(
+        "validation_errors",
+        F.concat_ws(
+            ";",
+            F.when(neg, "NEGATIVE_AMOUNT"),
+            F.when(unk, "UNKNOWN_MERCHANT"),
+            F.when(bad_status, "INVALID_STATUS"),
+        ),
+    )
+
+    # late arrivals: flag-and-process, never drop (``validate_bronze.py:139-148``)
+    if watermark is not None:
+        w = F.lit(watermark).cast("timestamp")
+        is_late = (F.col("transaction_timestamp") < w) & (F.col("updated_at") > w)
+    else:
+        is_late = F.lit(False)
+    kept = kept.withColumn("is_late_arrival", is_late).withColumn(
+        "arrival_delay_hours",
+        F.when(
+            is_late,
+            (
+                (F.unix_timestamp("updated_at")
+                 - F.unix_timestamp("transaction_timestamp")) / 3600
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+    # tracking columns
+    kept = (
+        kept.withColumn("delta_change_type", F.lit("INSERT"))
+        .withColumn("delta_version", F.lit(1).cast("bigint"))
+        .withColumn("is_deleted", F.lit(False))
+        .withColumn("deleted_at", F.lit(None).cast("timestamp"))
+    )
+
+    # W1 intra-batch dedup on the MERGE key (``validate_bronze.py:161``)
+    deduped = dedup_ops.keep_first_version(
+        kept, ["transaction_id", "updated_at"]
+    ).select(*BRONZE_COLS)
+
+    store.overwrite("bronze.transactions_staging", deduped)
+    n_staged = store.count("bronze.transactions_staging")
+    return {"quarantined": n_quarantined, "staged": n_staged}
+
+
+# ---------------------------------------------------------------- C2: incremental load
+
+
+def load_bronze(store: TableStore, batch_id: str, run_mode: str = "incremental") -> dict:
+    """C2 load step: composite-key MERGE (S7, ``load_bronze.py:66-109``)
+    + GREATEST watermark (A7, ``:113-116``) + job_control append."""
+    staged = store.read("bronze.transactions_staging")
+    store.upsert("bronze.transactions", staged, ["transaction_id", "updated_at"])
+    wm_row = staged.agg(
+        F.date_format(
+            F.greatest(F.max("transaction_timestamp"), F.max("updated_at")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("wm")
+    ).collect()[0]
+    n = staged.count()
+    write_job_control(
+        store, "load_bronze", "bronze", batch_id, run_mode, "SUCCESS",
+        wm_row.wm, n,
+    )
+    return {"merged": n, "watermark": wm_row.wm}
+
+
+# ---------------------------------------------------------------- C3 / C4
+
+
+def backfill_bronze(
+    store: TableStore, raw: DataFrame, start_date: str, end_date: str,
+    batch_id: str,
+) -> dict:
+    """C3 backfill (``bronze_backfill.py:26-236``): date-range filter
+    replaces the watermark; MERGE tagged BACKFILL; watermark NOT
+    advanced (job_control row carries NULL bookmark)."""
+    typed = typed_cast(raw).filter(
+        F.to_date("transaction_timestamp").between(start_date, end_date)
+    )
+    t1 = _tier1_pred()
+    kept = typed.filter(~t1)
+    kept = (
+        kept.withColumn("data_quality_flag", F.lit("PASSED"))
+        .withColumn("validation_errors", F.lit(""))
+        .withColumn("is_late_arrival", F.lit(False))
+        .withColumn("arrival_delay_hours", F.lit(0))
+        .withColumn("delta_change_type", F.lit("BACKFILL"))
+        .withColumn("delta_version", F.lit(1).cast("bigint"))
+        .withColumn("is_deleted", F.lit(False))
+        .withColumn("deleted_at", F.lit(None).cast("timestamp"))
+    )
+    deduped = dedup_ops.keep_first_version(
+        kept, ["transaction_id", "updated_at"]
+    ).select(*BRONZE_COLS)
+    n = deduped.count()
+    store.upsert("bronze.transactions", deduped, ["transaction_id", "updated_at"])
+    write_job_control(
+        store, "backfill_bronze", "bronze", batch_id, "backfill", "SUCCESS",
+        None, n,  # watermark intentionally NULL (``bronze_backfill.py:210-236``)
+    )
+    return {"merged": n}
+
+
+def full_refresh_bronze(store: TableStore, raw: DataFrame, batch_id: str) -> dict:
+    """C4 full refresh (``bronze_full_refresh.py:24-244``): no filter,
+    INSERT OVERWRITE, watermark reset to data max."""
+    counts = validate_bronze(store, raw, batch_id, watermark=None)
+    staged = store.read("bronze.transactions_staging")
+    store.overwrite("bronze.transactions", staged)
+    wm = staged.agg(
+        F.date_format(
+            F.greatest(F.max("transaction_timestamp"), F.max("updated_at")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("wm")
+    ).collect()[0].wm
+    write_job_control(
+        store, "full_refresh_bronze", "bronze", batch_id, "full_refresh",
+        "SUCCESS", wm, counts["staged"],
+    )
+    return {"written": counts["staged"], "watermark": wm}
+
+
+# ---------------------------------------------------------------- C5: silver CDC collapse
+
+
+def run_silver(store: TableStore, batch_id: str) -> dict:
+    """C5 Bronze-history -> Silver-current-state collapse
+    (``validate_silver.py:107-155`` + ``load_silver.py:75-151``):
+    slice Bronze past the Silver watermark, W2 keep-latest per
+    transaction_id, drop quality-tracking columns, soft-delete filter,
+    single-key MERGE."""
+    wm = read_watermark(store, "silver")
+    bronze = store.read("bronze.transactions")
+    if wm is not None:
+        bronze = bronze.filter(
+            F.col("updated_at") > F.lit(wm).cast("timestamp")
+        )
+    # P5 NULL-tolerant soft-delete filter (``validate_silver.py:77``)
+    live = bronze.filter(
+        (F.col("is_deleted") == False) | F.col("is_deleted").isNull()  # noqa: E712
+    )
+    latest = dedup_ops.keep_latest(
+        live, ["transaction_id"], "updated_at", [F.col("transaction_id")]
+    ).select(*SILVER_COLS)
+    store.overwrite("silver.transactions_staging", latest)
+    staged = store.read("silver.transactions_staging")
+    n = staged.count()
+    store.upsert("silver.transactions", staged, ["transaction_id"])
+    new_wm_rows = staged.agg(
+        F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm")
+    ).collect()
+    new_wm = new_wm_rows[0].wm if n > 0 else wm
+    write_job_control(
+        store, "load_silver", "silver", batch_id, "incremental", "SUCCESS",
+        new_wm, n,
+    )
+    return {"merged": n, "watermark": new_wm}
+
+
+# ---------------------------------------------------------------- C6: GDPR dual delete
+
+
+def gdpr_delete(store: TableStore, customer_id: str, batch_id: str) -> dict:
+    """C6 GDPR dual delete (``bronze_mark_deleted_by_customer.py:49-185``
+    + ``silver_propagate_deletes.py:39-213``): soft-delete in Bronze
+    (S10 UPDATE), hard-delete in Silver (J4 discovery + S9 MERGE
+    DELETE), audit row both sides."""
+    target = (F.col("customer_id") == customer_id) & (
+        (F.col("is_deleted") == False) | F.col("is_deleted").isNull()  # noqa: E712
+    )
+    n_bronze = store.read("bronze.transactions").filter(target).count()
+    store.update_where(
+        "bronze.transactions",
+        target,
+        {
+            "is_deleted": F.lit(True),
+            "deleted_at": F.current_timestamp(),
+            "delta_change_type": F.lit("DELETE"),
+        },
+    )
+    # J4/J5: silver rows whose ids are now deleted in bronze
+    deleted_ids = (
+        store.read("bronze.transactions")
+        .filter((F.col("customer_id") == customer_id) & (F.col("is_deleted") == True))  # noqa: E712
+        .select("transaction_id")
+        .distinct()
+    )
+    n_silver = (
+        store.read("silver.transactions")
+        .join(deleted_ids, "transaction_id", "left_semi")
+        .count()
+    )
+    store.delete_matched("silver.transactions", deleted_ids, ["transaction_id"])
+    write_job_control(
+        store, "gdpr_delete", "silver", batch_id, "gdpr", "SUCCESS", None,
+        n_bronze + n_silver,
+    )
+    return {"bronze_soft_deleted": n_bronze, "silver_hard_deleted": n_silver}
+
+
+# ---------------------------------------------------------------- C7: SCD2 dim maintenance
+
+
+def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
+    """C7 SCD Type 2 on customer tier (``gold_dim_customer_scd2.py:26-240``):
+    A2 rollup -> A8 key seed -> J3 anti-join new members -> J2 change
+    detection -> close old versions -> W3 re-key + insert new versions.
+
+    Dense surrogate keys use a global window — reference parity for
+    *small dims only* (SURVEY.md section 4)."""
+    silver = store.read("silver.transactions")
+    agg = silver.groupBy("customer_id").agg(
+        F.count("*").alias("transaction_count"),
+        F.min("transaction_timestamp").alias("first_transaction_date"),
+        F.max("transaction_timestamp").alias("last_transaction_date"),
+        F.sum("amount").alias("lifetime_value"),
+        F.max(
+            F.when(F.col("transaction_status") == "Successful", True).otherwise(False)
+        ).alias("is_active"),
+    ).withColumn(
+        "customer_tier",
+        F.when(F.col("transaction_count") >= 15, "Platinum")
+        .when(F.col("transaction_count") >= 10, "Gold")
+        .when(F.col("transaction_count") >= 5, "Silver")
+        .otherwise("Bronze"),
+    )
+
+    dim_name = "gold.dim_customer"
+    today = F.current_date()
+    far_future = F.lit("9999-12-31").cast("date")
+
+    if not store.exists(dim_name):
+        w = Window.orderBy("customer_id")
+        initial = agg.select(
+            F.row_number().over(w).cast("bigint").alias("customer_key"),
+            "customer_id", "customer_tier", "transaction_count",
+            "first_transaction_date", "last_transaction_date",
+            "lifetime_value", "is_active",
+            today.alias("effective_start_date"),
+            far_future.alias("effective_end_date"),
+            F.lit(True).alias("is_current"),
+        )
+        store.overwrite(dim_name, initial)
+        return {"inserted": store.count(dim_name), "closed": 0}
+
+    dim = store.read(dim_name)
+    current = dim.filter(F.col("is_current") == True)  # noqa: E712
+
+    # A8 max-key seed
+    max_key = dim.agg(
+        F.coalesce(F.max("customer_key"), F.lit(0)).alias("mk")
+    ).collect()[0].mk
+
+    # J3: brand-new members
+    new_members = agg.join(
+        current.select("customer_id"), "customer_id", "left_anti"
+    )
+    # J2: tier changed for existing current members
+    changed = (
+        agg.alias("a")
+        .join(current.alias("d"), "customer_id")
+        .filter(F.col("a.customer_tier") != F.col("d.customer_tier"))
+        .select("a.*")
+    )
+
+    # W3: dense keys for inserted versions (ordered by business key).
+    # Materialize to a staging table BEFORE mutating the dim — both the
+    # reference's retry-isolation pattern and a correctness need: the
+    # insert plan reads the pre-close dim snapshot.
+    to_insert = new_members.unionByName(changed)
+    w = Window.orderBy("customer_id")
+    inserts = to_insert.select(
+        (F.row_number().over(w) + F.lit(max_key)).cast("bigint").alias("customer_key"),
+        "customer_id", "customer_tier", "transaction_count",
+        "first_transaction_date", "last_transaction_date",
+        "lifetime_value", "is_active",
+        today.alias("effective_start_date"),
+        far_future.alias("effective_end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    store.overwrite("gold.dim_customer_staging", inserts)
+    staged = store.read("gold.dim_customer_staging")
+    n_inserted = staged.count()
+
+    # close old versions of changed members (MERGE-update semantics)
+    changed_ids = [
+        r.customer_id for r in staged.select("customer_id").collect()
+    ]  # dim-sized driver list — dims are small by construction
+    closing = (F.col("is_current") == True) & F.col("customer_id").isin(  # noqa: E712
+        changed_ids
+    )
+    n_closed = dim.filter(closing).count()
+    store.update_where(
+        dim_name,
+        closing,
+        {
+            "is_current": F.lit(False),
+            "effective_end_date": F.date_sub(F.current_date(), 1),
+        },
+    )
+    store.append(dim_name, staged)
+    write_job_control(
+        store, "scd2_dim_customer", "gold", batch_id, "incremental",
+        "SUCCESS", None, n_inserted,
+    )
+    return {"inserted": n_inserted, "closed": n_closed}
+
+
+# ---------------------------------------------------------------- C9/C10: static + date dims
+
+
+def build_static_dims(store: TableStore) -> None:
+    """C9 static dim enrichment (``gold_dim_payment_methods.py:37-76``,
+    ``gold_dim_status.py:37-79``): DISTINCT -> W3 keys -> CASE
+    descriptions."""
+    silver = store.read("silver.transactions")
+    w = Window.orderBy("payment_method")
+    pm = (
+        silver.select("payment_method").distinct()
+        .select(
+            F.row_number().over(w).cast("bigint").alias("payment_method_key"),
+            "payment_method",
+            F.when(F.col("payment_method") == "UPI", "Unified Payments Interface")
+            .when(F.col("payment_method").like("%Card%"), "Card payment")
+            .when(F.col("payment_method") == "Wallet Balance", "Stored wallet")
+            .otherwise("Other")
+            .alias("payment_method_desc"),
+        )
+    )
+    store.overwrite("gold.dim_payment_method", pm)
+
+    ws = Window.orderBy("transaction_status")
+    st = (
+        silver.select("transaction_status").distinct()
+        .select(
+            F.row_number().over(ws).cast("bigint").alias("status_key"),
+            "transaction_status",
+            F.when(F.col("transaction_status") == "Successful", "COMPLETED")
+            .when(F.col("transaction_status") == "Failed", "TERMINAL_FAILURE")
+            .otherwise("IN_FLIGHT")
+            .alias("status_category"),
+        )
+    )
+    store.overwrite("gold.dim_status", st)
+
+
+def build_dim_date(store: TableStore, start: str = "2023-01-01",
+                   end: str = "2028-12-31") -> None:
+    """C10 date dimension (``gold_dim_date.py:35-87``) with the Python
+    date-spine loop replaced by native ``sequence()`` — one expression,
+    no driver loop."""
+    spine = store.spark.sql(
+        f"""SELECT explode(sequence(to_date('{start}'), to_date('{end}'))) AS full_date"""
+    )
+    dim = spine.select(
+        F.date_format("full_date", "yyyyMMdd").cast("bigint").alias("date_key"),
+        "full_date",
+        F.year("full_date").alias("year"),
+        F.quarter("full_date").alias("quarter"),
+        F.month("full_date").alias("month"),
+        F.date_format("full_date", "MMMM").alias("month_name"),
+        F.dayofmonth("full_date").alias("day_of_month"),
+        F.dayofweek("full_date").alias("day_of_week"),
+        F.date_format("full_date", "EEEE").alias("day_name"),
+        F.dayofyear("full_date").alias("day_of_year"),
+        F.dayofweek("full_date").isin([1, 7]).alias("is_weekend"),
+    )
+    store.overwrite("gold.dim_date", dim)
+
+
+# ---------------------------------------------------------------- C8: fact build
+
+
+def build_fact(store: TableStore, batch_id: str) -> dict:
+    """C8 star-schema fact build (``validate_fact_transactions.py:26-333``
+    + ``load_fact_transactions.py:26-241``): watermark slice -> 4-dim
+    LEFT join (dims broadcast) -> derived measures -> null-FK audit ->
+    single-key MERGE."""
+    wm = read_watermark(store, "gold")
+    silver = store.read("silver.transactions")
+    if wm is not None:
+        silver = silver.filter(F.col("updated_at") > F.lit(wm).cast("timestamp"))
+    # P6 test-merchant exclusion (``validate_fact_transactions.py:81``)
+    silver = silver.filter(~F.col("merchant_id").like("MERCH_9%"))
+
+    dim_c = store.read("gold.dim_customer").filter(F.col("is_current") == True)  # noqa: E712
+    dim_pm = store.read("gold.dim_payment_method")
+    dim_st = store.read("gold.dim_status")
+    dim_dt = store.read("gold.dim_date")
+
+    fact = (
+        silver.join(
+            F.broadcast(dim_c.select("customer_key", "customer_id")),
+            "customer_id", "left",
+        )
+        .join(F.broadcast(dim_pm.select("payment_method_key", "payment_method")),
+              "payment_method", "left")
+        .join(F.broadcast(dim_st.select("status_key", "transaction_status")),
+              "transaction_status", "left")
+        .join(
+            F.broadcast(dim_dt.select("date_key", "full_date")),
+            F.to_date("transaction_timestamp") == F.col("full_date"),
+            "left",
+        )
+        .select(
+            "transaction_id",
+            "customer_key", "payment_method_key", "status_key", "date_key",
+            "merchant_id", "device_type", "location_type", "currency",
+            "amount", "fee_amount", "cashback_amount", "loyalty_points",
+            # derived measures (``validate_fact_transactions.py:178-180``)
+            (F.col("amount") - F.col("fee_amount") + F.col("cashback_amount"))
+            .alias("net_customer_amount"),
+            (F.col("amount") - F.col("cashback_amount")).alias("merchant_net_amount"),
+            F.col("fee_amount").alias("gateway_revenue"),
+            "transaction_timestamp", "updated_at",
+        )
+    )
+    store.overwrite("gold.fact_transactions_staging", fact)
+    staged = store.read("gold.fact_transactions_staging")
+
+    # A4 null-FK audit (``validate_fact_transactions.py:233-241``)
+    audit = staged.agg(
+        *[
+            F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"null_{k}")
+            for k in ["customer_key", "payment_method_key", "status_key", "date_key"]
+        ]
+    ).collect()[0]
+
+    n = staged.count()
+    store.upsert("gold.fact_transactions", staged, ["transaction_id"])
+    new_wm_rows = staged.agg(
+        F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm")
+    ).collect()
+    new_wm = new_wm_rows[0].wm if n > 0 else wm
+    write_job_control(
+        store, "load_fact", "gold", batch_id, "incremental", "SUCCESS",
+        new_wm, n,
+    )
+    return {"merged": n, "null_fk": {k: audit[k] for k in audit.asDict()},
+            "watermark": new_wm}
+
+
+# ---------------------------------------------------------------- runner
+
+
+def run_incremental(store: TableStore, raw: DataFrame) -> dict:
+    """In-process replacement for the Airflow DAG cascade
+    (Bronze 02:00 -> Silver 03:00 -> dims 04:00 -> fact 05:00,
+    SURVEY.md section 3): stage functions in dependency order, staging
+    tables as the IR between them."""
+    batch_id = new_batch_id()
+    wm = read_watermark(store, "bronze")
+    r: dict = {"batch_id": batch_id}
+    r["validate"] = validate_bronze(store, raw, batch_id, watermark=wm)
+    r["bronze"] = load_bronze(store, batch_id)
+    r["silver"] = run_silver(store, batch_id)
+    r["scd2"] = scd2_dim_customer(store, batch_id)
+    build_static_dims(store)
+    if not store.exists("gold.dim_date"):
+        build_dim_date(store, "2024-01-01", "2024-12-31")
+    r["fact"] = build_fact(store, batch_id)
+    return r
