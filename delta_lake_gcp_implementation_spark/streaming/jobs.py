@@ -1,0 +1,156 @@
+"""Streaming jobs over the events stream (SURVEY.md section 2.9).
+
+Batch<->stream parity: each transformation here is the streaming twin
+of a batch catalog query (``plans.relational.q_tumbling_window`` /
+``q_session_window``), so results with trigger ``availableNow`` equal
+the batch answers on the same input — the property the tests assert.
+
+Scale notes: file source discovers new files per micro-batch and
+checkpoints offsets (exactly-once source side); watermarks bound state
+so windowed aggregations stream over unbounded input with finite
+memory; ``foreachBatch`` + idempotent MERGE gives exactly-once-ish
+sinks exactly like the reference's re-runnable batch MERGE
+(``load_bronze.py:66-109``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as sqltypes
+
+EVENT_SCHEMA = sqltypes.StructType(
+    [
+        sqltypes.StructField("event_id", sqltypes.LongType()),
+        sqltypes.StructField("ts", sqltypes.TimestampType()),
+        sqltypes.StructField("user_id", sqltypes.LongType()),
+        sqltypes.StructField("event_type", sqltypes.StringType()),
+        sqltypes.StructField("value", sqltypes.DoubleType()),
+        sqltypes.StructField("props", sqltypes.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream: new parquet files under ``input_dir`` are
+    discovered per micro-batch (the streaming analog of the reference's
+    daily CSV drops, ``validate_bronze.py:20``)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``q_tumbling_window``: 1-hour tumbling
+    event-time windows with watermark-bounded state.  Late rows within
+    ``lateness`` still update their window; beyond it state is evicted
+    (the streaming contract for the reference's flag-and-process late
+    handling, SURVEY.md section 2.9)."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes",
+                   lateness: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``q_session_window``: per-user session windows
+    (30-minute inactivity gap) — native ``session_window`` state merge."""
+    return (
+        stream.withWatermark("ts", lateness)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "append") -> None:
+    """Drain all available input into an in-memory table (test sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    upsert_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once-ish sink: per micro-batch, hand the batch DataFrame
+    to an idempotent MERGE (``pipeline.storage.TableStore.upsert``).
+    Checkpointed offsets + idempotent upsert = safe re-runs, the
+    streaming form of the reference's re-runnable MERGE jobs."""
+    q = (
+        stream_df.writeStream.foreachBatch(upsert_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def running_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + running max value — state the built-in aggs
+    cannot express incrementally per update (emits one row per user per
+    micro-batch).  Arrow-batched; state is per-group, partitioned by
+    user over the cluster."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = sqltypes.StructType(
+        [
+            sqltypes.StructField("user_id", sqltypes.LongType()),
+            sqltypes.StructField("n_events", sqltypes.LongType()),
+            sqltypes.StructField("max_value", sqltypes.DoubleType()),
+        ]
+    )
+    state_schema = sqltypes.StructType(
+        [
+            sqltypes.StructField("n", sqltypes.LongType()),
+            sqltypes.StructField("mx", sqltypes.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

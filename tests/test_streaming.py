@@ -1,0 +1,108 @@
+"""Streaming tests: batch<->stream parity with availableNow, stream
+upsert idempotency, custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.streaming import jobs
+from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+from delta_lake_gcp_implementation_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """Split sf0.001 events into multiple parquet files (arrival batches)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _batch_events(spark, event_dir):
+    return spark.read.schema(jobs.EVENT_SCHEMA).parquet(event_dir)
+
+
+def test_tumbling_stream_matches_batch(spark, event_dir):
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_to_memory(jobs.tumbling_counts(stream), "tumbling_out",
+                       output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("tumbling_out").collect()
+    }
+    batch = _batch_events(spark, event_dir)
+    expect = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "sum_value")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_session_stream_matches_batch(spark, event_dir):
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_to_memory(jobs.session_counts(stream), "session_out",
+                       output_mode="complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("session_out").collect()
+    }
+    batch = _batch_events(spark, event_dir)
+    expect = {
+        (r.user_id, r.session_start): r.n_events
+        for r in (
+            batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_foreach_batch_upsert_idempotent(spark, event_dir, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def upsert(batch_df, batch_id):
+        store.upsert("stream.events", batch_df, ["event_id"])
+
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_foreach_batch_upsert(stream, upsert, ckpt)
+    n1 = store.count("stream.events")
+    assert n1 == _batch_events(spark, event_dir).count()
+    # re-run with same checkpoint: offsets committed -> no reprocessing
+    stream2 = jobs.read_event_stream(spark, event_dir)
+    jobs.run_foreach_batch_upsert(stream2, upsert, ckpt)
+    assert store.count("stream.events") == n1
+
+
+def test_running_user_counts_stateful(spark, event_dir):
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_to_memory(jobs.running_user_counts(stream), "running_out",
+                       output_mode="update")
+    out = spark.table("running_out")
+    # last emitted row per user must equal the batch totals
+    batch = (
+        _batch_events(spark, event_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+    )
+    expect = {r.user_id: (r.n_events, r.max_value) for r in batch.collect()}
+    # memory sink appends one row per user per micro-batch; the final
+    # state is the max n_events row per user
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    )
+    got = {r.user_id: (r.n_events, r.max_value) for r in final}
+    assert got == expect
