@@ -33,6 +33,15 @@ HEADLINE = [
     "session_window",
     "point_in_time",
     "summary_stats",
+    # training-data pipeline family (documents / embeddings)
+    "token_counts",
+    "doc_fingerprint",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "simhash_near_dups",
+    "cosine_topk",
+    "ann_lsh_topk",
 ]
 
 

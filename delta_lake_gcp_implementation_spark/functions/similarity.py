@@ -88,19 +88,25 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus scan, rank per query.  One shuffle (the per-query window);
     the similarity compute itself is map-side."""
+    # norms precomputed per side (not per pair): same bit-exact value —
+    # sqrt of the same dot product — at 1/|other side| of the cost
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -125,19 +131,31 @@ def lsh_topk(
     the plan scales to a billion-vector corpus; recall is tuned by
     n_planes (fewer planes = bigger buckets = higher recall/cost)."""
     planes = hyperplanes(n_planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+        .withColumn("cn", norm(F.col("cv")))
+    )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -224,7 +224,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH candidate pairs: band the signature (4 bands x 2),
     equi-join on (band_idx, band_key) — hash-partitioned, no cross
     join, scales with executors."""
-    sig = q_minhash_signatures(spark, sf)
+    # eagerly materialized: the band self-join consumes the signature
+    # subtree twice, and lazy .cache() still races when concurrent
+    # broadcast jobs all find it cold (measured recompute at sf0.1)
+    sig = q_minhash_signatures(spark, sf).localCheckpoint()
     return dedup_ops.minhash_candidate_pairs(
         sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND
     )
@@ -245,14 +248,42 @@ FROM bands a JOIN bands b
 )
 
 
+_MH_MIN_AGREE = 4  # sketch precision filter: >=4/8 signature agreement
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity over LSH candidate pairs —
-    the verify stage after MinHash recall (threshold 0.5)."""
+    """Exact n-gram Jaccard (threshold 0.5) as the three-stage scale
+    pipeline: LSH band recall -> signature-agreement precision filter
+    (>=4/8) -> exact set intersection on hashed shingles."""
     d = load_table(spark, sf, "documents")
-    cands = q_minhash_lsh_pairs(spark, sf)
-    return dedup_ops.ngram_jaccard_pairs(
-        d, "text", "doc_id", k=_MH_K, threshold=0.5, candidates=cands
+    # eagerly materialized: the doc-sized signature table feeds THREE
+    # consumers (banding, both sides of the agreement filter); Spark
+    # does not share identical subtrees across joins, and lazy .cache()
+    # races when concurrent broadcast jobs find it cold (measured 5x
+    # wall-clock at sf0.1)
+    sig = q_minhash_signatures(spark, sf).localCheckpoint()
+    cands = dedup_ops.minhash_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND
     )
+    filtered = dedup_ops.minhash_agreement_filter(
+        cands, sig, "doc_id", n_hashes=_MH_N, min_agree=_MH_MIN_AGREE
+    )
+    return dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_MH_K, threshold=0.5, candidates=filtered
+    )
+
+
+def _sql_agree() -> str:
+    terms = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
+    )
+    return f"""filtered AS (
+    SELECT c.id_a, c.id_b
+    FROM cands c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE ({terms}) >= {_MH_MIN_AGREE}
+)"""
 
 
 ORACLE_NGRAM_JACCARD = (
@@ -268,6 +299,9 @@ cands AS (
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
+"""
+    + _sql_agree()
+    + """,
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -277,7 +311,7 @@ inter AS (
 SELECT i.id_a, i.id_b,
        i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
 FROM inter i
-JOIN cands c ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN filtered c ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
@@ -338,7 +372,8 @@ def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs at scale: band-bucketed candidate join
     (pigeonhole guarantees recall for hamming < n_bands), then exact
     hamming filter."""
-    sig = q_simhash_signatures(spark, sf)
+    # eagerly materialized (see q_minhash_lsh_pairs)
+    sig = q_simhash_signatures(spark, sf).localCheckpoint()
     return dedup_ops.simhash_hamming_pairs(
         sig, "doc_id", bits=_SH_BITS, n_bands=_SH_BANDS, max_hamming=_SH_MAXHAM
     )
