@@ -113,27 +113,30 @@ def write_job_control(
 
 def typed_cast(raw: DataFrame) -> DataFrame:
     """S2 typed projection: cast the 17 raw columns; timestamps parsed
-    by SUBSTRING truncation (``validate_bronze.py:26-43``)."""
+    by SUBSTRING truncation (``validate_bronze.py:26-43``).  try_cast
+    throughout: malformed values become NULL and route through Tier-1
+    quarantine (non-ANSI Spark 3.3 semantics the reference relies on),
+    instead of failing the scan under Spark 4's ANSI default."""
     return raw.select(
-        F.col("transaction_id").cast("string"),
-        F.col("customer_id").cast("string"),
-        F.to_timestamp(F.substring("transaction_timestamp", 1, 19)).alias(
+        F.col("transaction_id").try_cast("string"),
+        F.col("customer_id").try_cast("string"),
+        F.try_to_timestamp(F.substring("transaction_timestamp", 1, 19)).alias(
             "transaction_timestamp"
         ),
-        F.col("merchant_id").cast("string"),
-        F.col("merchant_name").cast("string"),
-        F.col("product_category").cast("string"),
-        F.col("product_name").cast("string"),
-        F.col("amount").cast("double"),
-        F.col("fee_amount").cast("double"),
-        F.col("cashback_amount").cast("double"),
-        F.col("loyalty_points").cast("bigint").alias("loyalty_points"),
-        F.col("payment_method").cast("string"),
-        F.col("transaction_status").cast("string"),
-        F.col("device_type").cast("string"),
-        F.col("location_type").cast("string"),
-        F.col("currency").cast("string"),
-        F.to_timestamp(F.substring("updated_at", 1, 19)).alias("updated_at"),
+        F.col("merchant_id").try_cast("string"),
+        F.col("merchant_name").try_cast("string"),
+        F.col("product_category").try_cast("string"),
+        F.col("product_name").try_cast("string"),
+        F.col("amount").try_cast("double"),
+        F.col("fee_amount").try_cast("double"),
+        F.col("cashback_amount").try_cast("double"),
+        F.col("loyalty_points").try_cast("bigint").alias("loyalty_points"),
+        F.col("payment_method").try_cast("string"),
+        F.col("transaction_status").try_cast("string"),
+        F.col("device_type").try_cast("string"),
+        F.col("location_type").try_cast("string"),
+        F.col("currency").try_cast("string"),
+        F.try_to_timestamp(F.substring("updated_at", 1, 19)).alias("updated_at"),
     )
 
 
@@ -525,6 +528,117 @@ def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
     return {"inserted": n_inserted, "closed": n_closed}
 
 
+def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
+    """C7 SCD Type 2 on merchant name (``gold_dim_merchant_scd2.py:26-261``):
+    like the customer dim, plus two merchant-specific behaviors:
+    (a) W4 best-record pre-dedup — one aggregate row per merchant_id,
+    latest-transaction-date then highest-count wins (``:59-82``);
+    (b) the same-day churn guard — only close versions whose
+    ``effective_start_date < CURRENT_DATE`` (``:211``), which the
+    customer job deliberately lacks (SURVEY.md section 7 risk 5)."""
+    silver = store.read("silver.transactions").filter(
+        ~F.col("merchant_id").like("MERCH_9%")
+    )
+    agg = silver.groupBy("merchant_id", "merchant_name", "location_type").agg(
+        F.countDistinct("transaction_id").alias("transaction_count"),
+        F.max("transaction_timestamp").alias("last_transaction_date"),
+    )
+    # W4 best-record pick: one row per merchant
+    best = (
+        agg.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("merchant_id").orderBy(
+                    F.desc("last_transaction_date"),
+                    F.desc("transaction_count"),
+                    F.col("merchant_name"),
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    dim_name = "gold.dim_merchant"
+    today = F.current_date()
+    far_future = F.lit("9999-12-31").cast("date")
+
+    if not store.exists(dim_name):
+        w = Window.orderBy("merchant_id")
+        initial = best.select(
+            F.row_number().over(w).cast("bigint").alias("merchant_key"),
+            "merchant_id", "merchant_name", "location_type",
+            "transaction_count", "last_transaction_date",
+            today.alias("effective_start_date"),
+            far_future.alias("effective_end_date"),
+            F.lit(True).alias("is_current"),
+        )
+        store.overwrite(dim_name, initial)
+        return {"inserted": store.count(dim_name), "closed": 0}
+
+    dim = store.read(dim_name)
+    current = dim.filter(F.col("is_current") == True)  # noqa: E712
+    max_key = dim.agg(
+        F.coalesce(F.max("merchant_key"), F.lit(0)).alias("mk")
+    ).collect()[0].mk
+
+    new_members = best.join(current.select("merchant_id"), "merchant_id", "left_anti")
+    changed = (
+        best.alias("a")
+        .join(current.alias("d"), "merchant_id")
+        .filter(F.col("a.merchant_name") != F.col("d.merchant_name"))
+        .select("a.*")
+    )
+    to_insert = new_members.unionByName(changed)
+    w = Window.orderBy("merchant_id")
+    inserts = to_insert.select(
+        (F.row_number().over(w) + F.lit(max_key)).cast("bigint").alias("merchant_key"),
+        "merchant_id", "merchant_name", "location_type",
+        "transaction_count", "last_transaction_date",
+        today.alias("effective_start_date"),
+        far_future.alias("effective_end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    store.overwrite("gold.dim_merchant_staging", inserts)
+    staged = store.read("gold.dim_merchant_staging")
+    n_inserted = staged.count()
+
+    changed_ids = [r.merchant_id for r in staged.select("merchant_id").collect()]
+    # same-day guard: a version opened today is REPLACED below (closed
+    # row would have end < start); reference guard ``:211``
+    closing = (
+        (F.col("is_current") == True)  # noqa: E712
+        & F.col("merchant_id").isin(changed_ids)
+        & (F.col("effective_start_date") < F.current_date())
+    )
+    n_closed = dim.filter(closing).count()
+    store.update_where(
+        dim_name,
+        closing,
+        {
+            "is_current": F.lit(False),
+            "effective_end_date": F.date_sub(F.current_date(), 1),
+        },
+    )
+    # same-day churn: drop still-current same-day versions of changed
+    # merchants (guard above left them open) before inserting anew
+    same_day = store.read(dim_name).filter(
+        (F.col("is_current") == True)  # noqa: E712
+        & F.col("merchant_id").isin(changed_ids)
+    )
+    store.delete_matched(
+        dim_name,
+        same_day.select("merchant_key"),
+        ["merchant_key"],
+    )
+    store.append(dim_name, staged)
+    write_job_control(
+        store, "scd2_dim_merchant", "gold", batch_id, "incremental",
+        "SUCCESS", None, n_inserted,
+    )
+    return {"inserted": n_inserted, "closed": n_closed}
+
+
 # ---------------------------------------------------------------- C9/C10: static + date dims
 
 
@@ -674,6 +788,7 @@ def run_incremental(store: TableStore, raw: DataFrame) -> dict:
     r["bronze"] = load_bronze(store, batch_id)
     r["silver"] = run_silver(store, batch_id)
     r["scd2"] = scd2_dim_customer(store, batch_id)
+    r["scd2_merchant"] = scd2_dim_merchant(store, batch_id)
     build_static_dims(store)
     if not store.exists("gold.dim_date"):
         build_dim_date(store, "2024-01-01", "2024-12-31")

@@ -74,6 +74,9 @@ CATALOG: dict[str, QuerySpec] = {
     "tumbling_window": QuerySpec(R.q_tumbling_window, R.ORACLE_TUMBLING_WINDOW),
     "session_window": QuerySpec(R.q_session_window, R.ORACLE_SESSION_WINDOW),
     "json_extract": QuerySpec(R.q_json_extract, R.ORACLE_JSON_EXTRACT),
+    # pipeline-shaped (C7/C10 as queries)
+    "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
+    "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
     # text analysis (documents)
     "token_counts": QuerySpec(X.q_token_counts, X.ORACLE_TOKEN_COUNTS),
     "quality_score": QuerySpec(X.q_quality_score, X.ORACLE_QUALITY_SCORE),

@@ -769,6 +769,124 @@ SELECT o_orderkey, o_totalprice, 'LOW_VALUE' AS bucket FROM orders WHERE o_total
 """
 
 
+# ---------------------------------------------------------------- pipeline-shaped queries
+
+
+def q_dim_date(spark: SparkSession, sf: str) -> DataFrame:
+    """C10 date dimension (``gold_dim_date.py:35-87``) as a query:
+    native sequence() spine + 10 calendar attributes incl. the yyyyMMdd
+    bigint date_key.  (sf-independent; generated, not scanned.)"""
+    spine = spark.sql(
+        "SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-12-31')))"
+        " AS full_date"
+    )
+    return spine.select(
+        F.date_format("full_date", "yyyyMMdd").cast("bigint").alias("date_key"),
+        "full_date",
+        F.year("full_date").alias("year"),
+        F.quarter("full_date").alias("quarter"),
+        F.month("full_date").alias("month"),
+        F.date_format("full_date", "MMMM").alias("month_name"),
+        F.dayofmonth("full_date").alias("day_of_month"),
+        F.dayofweek("full_date").alias("day_of_week"),
+        F.date_format("full_date", "EEEE").alias("day_name"),
+        F.dayofyear("full_date").alias("day_of_year"),
+        F.dayofweek("full_date").isin([1, 7]).alias("is_weekend"),
+    )
+
+
+ORACLE_DIM_DATE = """
+WITH spine AS (
+    SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                                       INTERVAL 1 DAY)) AS DATE) AS full_date
+)
+SELECT CAST(strftime(full_date, '%Y%m%d') AS BIGINT) AS date_key,
+       full_date,
+       CAST(year(full_date) AS INTEGER) AS year,
+       CAST(quarter(full_date) AS INTEGER) AS quarter,
+       CAST(month(full_date) AS INTEGER) AS month,
+       monthname(full_date) AS month_name,
+       CAST(dayofmonth(full_date) AS INTEGER) AS day_of_month,
+       CAST(dayofweek(full_date) + 1 AS INTEGER) AS day_of_week,
+       dayname(full_date) AS day_name,
+       CAST(dayofyear(full_date) AS INTEGER) AS day_of_year,
+       dayofweek(full_date) IN (0, 6) AS is_weekend
+FROM spine
+"""
+
+_TIER = (
+    lambda cnt: F.when(cnt >= 15, "Platinum")
+    .when(cnt >= 10, "Gold")
+    .when(cnt >= 5, "Silver")
+    .otherwise("Bronze")
+)
+
+_TIER_SQL = """CASE WHEN cnt >= 15 THEN 'Platinum'
+            WHEN cnt >= 10 THEN 'Gold'
+            WHEN cnt >= 5 THEN 'Silver'
+            ELSE 'Bronze' END"""
+
+
+def q_scd2_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """C7 SCD2 delta computation as a pure query: 'current dim' = tier
+    rollup over pre-1997 orders; 'incoming aggregates' = rollup over
+    all orders; emit INSERT_NEW_MEMBER rows (J3 anti join) and
+    CLOSE_AND_INSERT rows (J2 change detection) — the exact merge-input
+    the SCD2 maintenance jobs compute
+    (``gold_dim_customer_scd2.py:76-121``)."""
+    o = load_table(spark, sf, "orders")
+    cur = (
+        o.filter(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .select("o_custkey", _TIER(F.col("cnt")).alias("old_tier"))
+    )
+    new = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .select("o_custkey", _TIER(F.col("cnt")).alias("new_tier"))
+    )
+    inserts = (
+        new.join(cur, "o_custkey", "left_anti")
+        .select(
+            "o_custkey",
+            F.lit("INSERT_NEW_MEMBER").alias("action"),
+            "new_tier",
+            F.lit(None).cast("string").alias("old_tier"),
+        )
+    )
+    changes = (
+        new.join(cur, "o_custkey")
+        .filter(F.col("new_tier") != F.col("old_tier"))
+        .select(
+            "o_custkey",
+            F.lit("CLOSE_AND_INSERT").alias("action"),
+            "new_tier",
+            "old_tier",
+        )
+    )
+    return inserts.unionByName(changes)
+
+
+ORACLE_SCD2_DELTA = f"""
+WITH cur AS (
+    SELECT o_custkey, {_TIER_SQL} AS old_tier
+    FROM (SELECT o_custkey, count(*) AS cnt FROM orders
+          WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY o_custkey)
+), new AS (
+    SELECT o_custkey, {_TIER_SQL} AS new_tier
+    FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)
+)
+SELECT n.o_custkey, 'INSERT_NEW_MEMBER' AS action, n.new_tier,
+       CAST(NULL AS VARCHAR) AS old_tier
+FROM new n WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.o_custkey = n.o_custkey)
+UNION ALL
+SELECT n.o_custkey, 'CLOSE_AND_INSERT' AS action, n.new_tier, c.old_tier
+FROM new n JOIN cur c ON n.o_custkey = c.o_custkey
+WHERE n.new_tier <> c.old_tier
+"""
+
+
 # ---------------------------------------------------------------- time windows / JSON
 
 

@@ -145,6 +145,32 @@ def test_scd2_invariants_and_tier_change(spark, store):
     assert dim3.select("customer_key").distinct().count() == dim3.count()
 
 
+def test_scd2_merchant_best_record_and_one_current(spark, store):
+    raw1, _ = _day(spark, 1)
+    medallion.run_incremental(store, raw1)
+    dim1 = store.read("gold.dim_merchant")
+    # W4 best-record pre-dedup -> exactly one current row per merchant
+    assert (
+        dim1.filter(F.col("is_current") == True)  # noqa: E712
+        .groupBy("merchant_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    for day in (2, 3):
+        raw, _ = _day(spark, day)
+        medallion.run_incremental(store, raw)
+    dim3 = store.read("gold.dim_merchant")
+    cur = dim3.filter(F.col("is_current") == True)  # noqa: E712
+    # invariant survives churn (same-day guard + replace)
+    assert cur.groupBy("merchant_id").count().filter(F.col("count") > 1).count() == 0
+    # no corrupted closed rows: end >= start always
+    assert dim3.filter(
+        F.col("effective_end_date") < F.col("effective_start_date")
+    ).count() == 0
+    assert dim3.select("merchant_key").distinct().count() == dim3.count()
+    # MERCH_9xxx never enters the dim (P6)
+    assert dim3.filter(F.col("merchant_id").like("MERCH_9%")).count() == 0
+
+
 def test_watermark_advances_and_backfill_does_not(spark, store):
     raw1, _ = _day(spark, 1)
     medallion.run_incremental(store, raw1)

@@ -1,0 +1,74 @@
+"""Source-connector tests + physical-plan quality assertions
+(pushdown, broadcast, codegen) — the 100 TB story made checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.plans import CATALOG
+from delta_lake_gcp_implementation_spark.sources import ingest
+
+
+def test_read_raw_csv_permissive(spark, tmp_path):
+    p = tmp_path / "day1.csv"
+    p.write_text("id,amount\nT1,10.5\nT2,not_a_number\n")
+    raw = ingest.read_raw_csv(spark, str(p), ["id", "amount"])
+    rows = raw.collect()
+    assert len(rows) == 2  # bad value survives the scan as data
+    typed = ingest.typed_projection(raw, {"id": "string", "amount": "double"})
+    got = {r.id: r.amount for r in typed.collect()}
+    assert got["T1"] == 10.5
+    assert got["T2"] is None  # cast failure -> NULL, for Tier-1 routing
+
+
+def test_typed_projection_ts_truncation(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05.678901",)], ["ts"]
+    )
+    out = ingest.typed_projection(df, {"ts": "timestamp"}, ts_truncate=["ts"])
+    v = out.collect()[0].ts
+    assert v.microsecond == 0 and v.second == 5
+
+
+def test_date_spine_native_sequence(spark):
+    out = ingest.date_spine(spark, "2024-01-01", "2024-01-10")
+    assert out.count() == 10
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].builder(spark, "/root/testdata/sf0.001")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_rollup_broadcasts_dims(spark):
+    plan = _plan(spark, "star_rollup")
+    assert "BroadcastHashJoin" in plan  # dims must never shuffle the fact
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "date_range_filter")
+    assert "PushedFilters: [" in plan
+    # the orderdate predicate reaches the parquet reader
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_scan(spark):
+    plan = _plan(spark, "token_counts")
+    # ReadSchema must not include unused document columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "source" not in read
+
+
+def test_no_python_udfs_in_catalog_plans(spark):
+    # every catalog operator must stay JVM-side (whole-stage codegen);
+    # BatchEvalPython/ArrowEvalPython in a plan means a Python hot path
+    for name in ("fact_build", "customer_rollup", "ngram_jaccard",
+                 "cosine_topk", "simhash_signatures", "quality_score"):
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_dedup_window_is_partitioned(spark):
+    plan = _plan(spark, "dedup_latest_version")
+    # hashpartitioning on the dedup key — never a single-partition window
+    assert "hashpartitioning(user_id" in plan
