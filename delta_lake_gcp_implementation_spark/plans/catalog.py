@@ -100,6 +100,9 @@ CATALOG: dict[str, QuerySpec] = {
     # similarity search (embeddings)
     "cosine_topk": QuerySpec(X.q_cosine_topk, X.ORACLE_COSINE_TOPK),
     "ann_lsh_topk": QuerySpec(X.q_ann_lsh_topk, X.ORACLE_ANN_LSH_TOPK),
+    "embedding_near_dups": QuerySpec(
+        X.q_embedding_near_dups, X.ORACLE_EMBEDDING_NEAR_DUPS
+    ),
     # multimodal plumbing (documents as stand-in blobs)
     "multimodal_metadata": QuerySpec(
         X.q_multimodal_metadata, X.ORACLE_MULTIMODAL_METADATA

@@ -483,6 +483,54 @@ FROM ranked WHERE rn <= 3
 """
 
 
+_NEAR_DUP_COS = 0.35  # cosine threshold (driver embeddings are near-random;
+# real semantic dedup would use ~0.9 on model embeddings)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH bucket the whole corpus
+    (8 hyperplanes), compare only within-bucket pairs, keep high-cosine pairs.  The semantic-dedup stage of a training-data pipeline: the
+    bucket equi-join replaces the quadratic all-pairs compare."""
+    e = load_table(spark, sf, "embeddings")
+    planes = sim.hyperplanes(_ANN_PLANES, _ANN_DIM)
+    c = (
+        e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+        .withColumn("bucket", sim.lsh_bucket(F.col("v"), planes))
+        .withColumn("nrm", sim.norm(F.col("v")))
+    )
+    a = c.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("bucket"), F.col("nrm").alias("na"),
+    )
+    b = c.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("bucket"), F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= _NEAR_DUP_COS)
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v, {_sql_bucket_expr("v")} AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
+"""
+
+
 # ---------------------------------------------------------------- multimodal plumbing
 
 
