@@ -69,6 +69,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # medallion pipeline end-to-end at the reference's daily batch size
+    # (90K rows: BASELINE.md Bronze-incremental scale) — validate ->
+    # bronze MERGE -> silver CDC collapse -> SCD2 dims -> star fact
+    import tempfile
+
+    from delta_lake_gcp_implementation_spark.pipeline import fixtures, medallion
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = TableStore(spark, tmp)
+        raw = fixtures.generate_day_spark(spark, 1, 90_000)
+        t0 = time.perf_counter()
+        medallion.run_incremental(store, raw)
+        timings["medallion_incremental_90k"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

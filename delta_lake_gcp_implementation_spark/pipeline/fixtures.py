@@ -50,6 +50,96 @@ def _fmt(ts: datetime) -> str:
     return ts.strftime("%Y-%m-%d %H:%M:%S")
 
 
+def generate_day_spark(
+    spark: SparkSession, day: int, n_base: int = 90_000
+) -> DataFrame:
+    """Spark-native large day batch for BENCHMARKS (distributed
+    generation via ``range()`` + column expressions — no driver-side
+    row list).  Same schema and dirty-data classes as
+    :func:`generate_day` at approximately the reference generator's
+    rates (Tier-1 0.67%, Tier-2 ~0.6%, Tier-3 1.33%, dups, CDC
+    updates); counts are rate-based, not exact — scenario tests use
+    :func:`generate_day` instead."""
+    from pyspark.sql import functions as F
+
+    d = f"2024-03-{day:02d}"
+    base = spark.range(n_base).select(
+        F.col("id"),
+        F.xxhash64(F.col("id") + F.lit(day * 1_000_003)).alias("h"),
+    ).select(
+        "id",
+        "h",
+        F.pmod(F.col("h"), 10_000).alias("r4"),  # 0..9999 rate dial
+        (F.lit(f"{d} 08:00:00").cast("timestamp")
+         + F.make_interval(secs=F.pmod(F.col("h"), 36_000))).alias("ts"),
+    )
+    status = (
+        F.when(F.pmod(F.col("h"), 100) < 95, "Successful")
+        .when(F.pmod(F.col("h"), 100) < 99, "Failed")
+        .otherwise("Pending")
+    )
+    amount = F.round(100.0 + F.pmod(F.col("h"), 49_900_00) / 100.0, 2)
+    df = base.select(
+        # Tier-1 NULL id at ~0.17%; whitespace id at ~0.05%
+        F.when(F.col("r4") < 17, F.lit(None).cast("string"))
+        .when(F.col("r4") < 22, F.concat(F.lit("TXN BAD "), F.col("id")))
+        .otherwise(F.concat(F.lit(f"TXN_202403{day:02d}_"), F.col("id")))
+        .alias("transaction_id"),
+        F.concat(F.lit("USER_"), F.lpad(F.pmod(F.col("h"), 1000) + 1, 4, "0"))
+        .alias("customer_id"),
+        # Tier-1 NULL ts ~0.17%; future ts ~0.17%
+        F.when(F.col("r4").between(22, 38), F.lit(None))
+        .when(F.col("r4").between(39, 55),
+              F.date_format(F.col("ts") + F.expr("INTERVAL 36500 DAYS"),
+                            "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("transaction_timestamp"),
+        # Tier-2 unknown merchant ~0.3%
+        F.when(F.col("r4").between(56, 85),
+               F.concat(F.lit("MERCH_9"), F.lpad(F.pmod(F.col("h"), 900) + 100, 3, "0")))
+        .otherwise(F.concat(F.lit("MERCH_"), F.lpad(F.pmod(F.col("h"), 500) + 1, 4, "0")))
+        .alias("merchant_id"),
+        F.concat(F.lit("Brand"), F.pmod(F.col("h"), 34) + 1).alias("merchant_name"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in CATEGORIES]),
+            (F.pmod(F.col("h"), len(CATEGORIES)) + 1).cast("int"),
+        ).alias("product_category"),
+        # Tier-3 NULL product ~0.44%
+        F.when(F.col("r4").between(86, 129), F.lit(None))
+        .otherwise(F.concat(F.lit("product_"), F.pmod(F.col("h"), 5)))
+        .alias("product_name"),
+        # Tier-1 NULL amount ~0.17%; Tier-2 negative ~0.3%
+        F.when(F.col("r4").between(130, 146), F.lit(None).cast("double"))
+        .when(F.col("r4").between(147, 176), -amount)
+        .otherwise(amount)
+        .alias("amount"),
+        F.round(amount * 0.02, 2).alias("fee_amount"),
+        F.when(status == "Successful", F.round(amount * 0.03, 2))
+        .otherwise(F.lit(0.0))
+        .alias("cashback_amount"),
+        F.when(status == "Successful", F.pmod(F.col("h"), 500).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("loyalty_points"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in METHODS]),
+            (F.pmod(F.col("h"), len(METHODS)) + 1).cast("int"),
+        ).alias("payment_method"),
+        status.alias("transaction_status"),
+        # Tier-3 NULL device/location ~0.9%
+        F.when(F.col("r4").between(177, 221), F.lit(None))
+        .otherwise(F.element_at(F.array(*[F.lit(x) for x in DEVICES]),
+                                (F.pmod(F.col("h"), 3) + 1).cast("int")))
+        .alias("device_type"),
+        F.when(F.col("r4").between(222, 266), F.lit(None))
+        .otherwise(F.element_at(F.array(*[F.lit(x) for x in LOCATIONS]),
+                                (F.pmod(F.col("h"), 3) + 1).cast("int")))
+        .alias("location_type"),
+        F.lit("INR").alias("currency"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+    )
+    return df
+
+
 class DayBatch:
     """One day's raw CSV-shaped batch with known injected-count bookkeeping."""
 
