@@ -1,0 +1,72 @@
+"""Table maintenance: compaction, clustered layout, partitioned writes.
+
+The reference documents these as absent/future work ("Partitioned By:
+None", ``docs/SCHEMA_REGISTRY.md:40``; Z-ordering/compaction/VACUUM
+"coming soon", ``README.md:654-659``).  At 100 TB they are mandatory:
+
+- **Partitioned writes** (date partitions) make the watermark slice a
+  partition-pruned scan instead of a full-table filter.
+- **Compaction** bounds the small-file count that incremental MERGE
+  fallbacks and streaming sinks accumulate (file-listing and task
+  overhead grow linearly with file count).
+- **Clustered (sorted) layout** is poor-man's Z-order on one key:
+  sorting within partitions gives parquet row-group min/max stats
+  real pruning power for range predicates on that key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .storage import TableStore
+
+
+def file_count(store: TableStore, name: str) -> int:
+    path = store.path(name)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def compact(store: TableStore, name: str, target_files: int = 8) -> int:
+    """Rewrite a table into ``target_files`` files (coalesce — no
+    shuffle; the files were already hash-scattered by prior writes).
+    Returns the new file count."""
+    df = store.read(name).coalesce(target_files)
+    store.overwrite(name, df)
+    return file_count(store, name)
+
+
+def cluster_by(
+    store: TableStore, name: str, sort_cols: list[str], n_files: int = 8
+) -> None:
+    """Range-partition by ``sort_cols`` then sort within partitions:
+    globally ordered layout whose parquet row-group stats prune range
+    scans on those columns (single-key Z-order equivalent)."""
+    df = (
+        store.read(name)
+        .repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+    )
+    store.overwrite(name, df)
+
+
+def write_partitioned(
+    store: TableStore, name: str, df, partition_cols: list[str]
+) -> None:
+    """Overwrite as a hive-partitioned layout (e.g. Bronze by event
+    date): the watermark/date-range scans then prune whole partitions
+    (visible as ``PartitionFilters`` in the plan)."""
+    final = store.path(name)
+    tmp = f"{final}.__stage__part"
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    import shutil
+
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    store.spark.catalog.refreshByPath(final)

@@ -1,0 +1,60 @@
+"""Maintenance tests: compaction, clustered layout pruning effect,
+partitioned writes with partition pruning in the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.pipeline import maintenance as mt
+from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+from delta_lake_gcp_implementation_spark.tables import load_table
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "wh"))
+
+
+def test_compact_reduces_file_count(spark, store, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    store.overwrite("t.events", ev.repartition(37))
+    assert mt.file_count(store, "t.events") == 37
+    n = mt.compact(store, "t.events", target_files=4)
+    assert n <= 4
+    assert store.count("t.events") == ev.count()
+
+
+def test_cluster_by_sorts_layout(spark, store, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    store.overwrite("t.events", ev.repartition(8))
+    mt.cluster_by(store, "t.events", ["ts"], n_files=4)
+    # data intact and globally range-partitioned: per-file min/max
+    # ranges must not overlap (check via per-partition bounds)
+    df = store.read("t.events")
+    assert df.count() == ev.count()
+    bounds = (
+        df.select(F.spark_partition_id().alias("p"), "ts")
+        .groupBy("p")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev.hi <= cur.lo
+
+
+def test_partitioned_write_prunes(spark, store, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    mt.write_partitioned(store, "t.events_part", ev, ["event_date"])
+    df = store.read("t.events_part")
+    assert df.count() == ev.count()
+    q = df.filter(F.col("event_date") == "2024-01-03")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # pruned scan reads only matching rows
+    expect = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert q.count() == expect

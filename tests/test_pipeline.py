@@ -52,6 +52,12 @@ def test_idempotent_rerun(spark, store):
     medallion.run_incremental(store, raw)
     assert store.count("bronze.transactions") == n_bronze
     assert store.count("silver.transactions") == n_silver
+    # S11 empty-staging write: the no-new-data run overwrites staging
+    # with a 0-row frame that KEEPS the exact 21-column schema, so a
+    # downstream reader never sees the previous batch
+    staging = store.read("silver.transactions_staging")
+    assert staging.count() == 0
+    assert staging.columns == medallion.SILVER_COLS
 
 
 def test_cdc_collapse_and_composite_key(spark, store):
