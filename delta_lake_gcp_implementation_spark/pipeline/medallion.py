@@ -159,14 +159,21 @@ def validate_bronze(
     raw: DataFrame,
     batch_id: str,
     watermark: str | None = None,
+    filter_slice: bool = True,
 ) -> dict[str, int]:
     """C1 three-tier validation split (``validate_bronze.py:65-181``):
     Tier-1 -> quarantine with CASE error_reason; survivors get Tier-2
     quality flags + Tier-3 COALESCE fixes + late-arrival flag + W1
-    dedup, landing in bronze staging."""
+    dedup, landing in bronze staging.
+
+    ``filter_slice=False`` keeps the watermark for late-arrival
+    FLAGGING only: the reference's P1 filter exists because its batch
+    source re-reads every file, but an offset-tracked stream source
+    already delivers each file exactly once — re-filtering there would
+    wrongly drop rows of a day split across micro-batches."""
     typed = typed_cast(raw)
 
-    if watermark is not None:
+    if watermark is not None and filter_slice:
         w = F.lit(watermark).cast("timestamp")
         # P1: new events OR late-arriving updates (``validate_bronze.py:44``)
         typed = typed.filter(

@@ -100,6 +100,7 @@ CATALOG: dict[str, QuerySpec] = {
     # similarity search (embeddings)
     "cosine_topk": QuerySpec(X.q_cosine_topk, X.ORACLE_COSINE_TOPK),
     "ann_lsh_topk": QuerySpec(X.q_ann_lsh_topk, X.ORACLE_ANN_LSH_TOPK),
+    "ann_ivf_topk": QuerySpec(X.q_ann_ivf_topk, X.ORACLE_ANN_IVF_TOPK),
     "embedding_near_dups": QuerySpec(
         X.q_embedding_near_dups, X.ORACLE_EMBEDDING_NEAR_DUPS
     ),

@@ -483,6 +483,94 @@ FROM ranked WHERE rn <= 3
 """
 
 
+_IVF_K = 16  # coarse-quantizer cells (centroids = first K corpus vectors)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat approximate nearest neighbors: a coarse quantizer
+    assigns every vector to its best cell (argmax inner product against
+    K centroid vectors — deterministic: centroids are the first K
+    corpus vectors, ties break on centroid id), then top-3 cosine is
+    searched within the query's cell only (nprobe=1).
+
+    Scale shape: assignment is a broadcast join (K centroids) + per-row
+    argmax — embarrassingly parallel; the search is an equi-join on
+    cell id that hash-partitions over the cluster.  A learned k-means
+    codebook drops in without changing the plan; seeded centroids keep
+    the oracle exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "embeddings")
+    v = e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    cents = v.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", sim.dot(F.col("v"), F.col("cv")).alias("ip")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ip"), F.col("cent_id")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+        .withColumn("nrm", sim.norm(F.col("v")))
+    )
+    q = assigned.filter(F.col("vec_id") < _Q_CUT).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("cell"), F.col("nrm").alias("qn"),
+    )
+    pairs = assigned.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored2 = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (sim.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored2.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_IVF_K}),
+scored AS (
+    SELECT e.vec_id, e.v, c.cent_id, list_dot_product(e.v, c.cv) AS ip
+    FROM e, cents c
+),
+assigned AS (
+    SELECT vec_id, v, cent_id AS cell,
+           sqrt(list_dot_product(v, v)) AS nrm
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ip DESC, cent_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, cell, nrm AS qn
+      FROM assigned WHERE vec_id < {_Q_CUT}),
+pairs AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+           list_dot_product(q.qv, a.v) / (q.qn * a.nrm) AS cosine
+    FROM assigned a JOIN q ON a.cell = q.cell
+    WHERE q.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 3
+"""
+
+
 _NEAR_DUP_COS = 0.35  # cosine threshold (driver embeddings are near-random;
 # real semantic dedup would use ~0.9 on model embeddings)
 
