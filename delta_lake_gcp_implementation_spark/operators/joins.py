@@ -46,6 +46,61 @@ def semi_join(df: DataFrame, other: DataFrame, on: list[str] | Column) -> DataFr
     return df.join(other, on, "left_semi")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe inner equi-join: when a few hot keys on the big side
+    would overload single reducers, salt the big side into ``n_salts``
+    sub-keys (deterministic: hash of the row's key + a monotonic id)
+    and replicate the small side once per salt.  The join then spreads
+    each hot key over ``n_salts`` reducers.
+
+    AQE's skew-join split (enabled in session.py) handles most cases at
+    runtime; explicit salting remains the tool when AQE cannot help —
+    e.g. skewed aggregation feeding a join, or a non-splittable single
+    partition.  Result equals the plain inner join (salt columns are
+    internal and dropped).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)
+    ).cast("int")
+    big_s = big.withColumn("__salt", salt)
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("__salt")
+    )
+    small_s = small.crossJoin(salts)
+    return big_s.join(small_s, [key, "__salt"]).drop("__salt")
+
+
+def two_phase_aggregate(
+    df: DataFrame,
+    key: str,
+    amount_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe SUM/COUNT aggregation: partial-aggregate on
+    (key, salt) first — hot keys spread over ``n_salts`` reducers —
+    then final-aggregate on key.  Equivalent to the plain groupBy (sums
+    re-associate; counts add); use for skewed keys where map-side
+    combine alone leaves one reducer with the hot key's whole stream.
+    """
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count("*").alias("__cnt"),
+        F.sum(F.col(amount_col).cast("decimal(30,2)")).alias("__sum"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__cnt").alias("cnt"),
+        F.sum("__sum").cast("decimal(30,2)").alias("total"),
+    )
+
+
 def point_in_time_join(
     df: DataFrame,
     dim: DataFrame,
