@@ -84,6 +84,23 @@ def main() -> None:
         medallion.run_incremental(store, raw)
         timings["medallion_incremental_90k"] = round(time.perf_counter() - t0, 3)
 
+        # GDPR dual delete (BASELINE.md: 35 s on the reference)
+        victim = (
+            store.read("silver.transactions")
+            .select("customer_id").first().customer_id
+        )
+        t0 = time.perf_counter()
+        medallion.gdpr_delete(store, victim, "BATCH_BENCH_GDPR")
+        timings["gdpr_dual_delete"] = round(time.perf_counter() - t0, 3)
+
+        # full refresh silver + fact (BASELINE.md: 69 s / 126 s)
+        t0 = time.perf_counter()
+        medallion.full_refresh_silver(store, "BATCH_BENCH_FRS")
+        timings["silver_full_refresh"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        medallion.full_refresh_fact(store, "BATCH_BENCH_FRF")
+        timings["fact_full_refresh"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -349,6 +349,81 @@ def full_refresh_bronze(store: TableStore, raw: DataFrame, batch_id: str) -> dic
     return {"written": counts["staged"], "watermark": wm}
 
 
+def full_refresh_silver(store: TableStore, batch_id: str) -> dict:
+    """C4 Silver full refresh (``silver_full_refresh.py:29-136``): no
+    watermark — collapse ALL of Bronze to current state, INSERT
+    OVERWRITE, watermark reset to data max."""
+    bronze = store.read("bronze.transactions")
+    live = bronze.filter(
+        (F.col("is_deleted") == False) | F.col("is_deleted").isNull()  # noqa: E712
+    )
+    latest = dedup_ops.keep_latest(
+        live, ["transaction_id"], "updated_at", [F.col("transaction_id")]
+    ).select(*SILVER_COLS)
+    store.overwrite("silver.transactions", latest)
+    n = store.count("silver.transactions")
+    wm = (
+        store.read("silver.transactions")
+        .agg(F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm"))
+        .collect()[0]
+        .wm
+    )
+    write_job_control(
+        store, "full_refresh_silver", "silver", batch_id, "full_refresh",
+        "SUCCESS", wm, n,
+    )
+    return {"written": n, "watermark": wm}
+
+
+def full_refresh_fact(store: TableStore, batch_id: str) -> dict:
+    """C4 fact full refresh (``fact_full_refresh.py:26-262``): rebuild
+    the whole star from Silver (no watermark slice), INSERT OVERWRITE,
+    watermark reset."""
+    # reuse the C8 join/measure logic by clearing the gold watermark
+    # path: read everything, then overwrite instead of MERGE
+    silver = store.read("silver.transactions").filter(
+        ~F.col("merchant_id").like("MERCH_9%")
+    )
+    dim_c = store.read("gold.dim_customer").filter(F.col("is_current") == True)  # noqa: E712
+    dim_pm = store.read("gold.dim_payment_method")
+    dim_st = store.read("gold.dim_status")
+    dim_dt = store.read("gold.dim_date")
+    fact = (
+        silver.join(F.broadcast(dim_c.select("customer_key", "customer_id")),
+                    "customer_id", "left")
+        .join(F.broadcast(dim_pm.select("payment_method_key", "payment_method")),
+              "payment_method", "left")
+        .join(F.broadcast(dim_st.select("status_key", "transaction_status")),
+              "transaction_status", "left")
+        .join(F.broadcast(dim_dt.select("date_key", "full_date")),
+              F.to_date("transaction_timestamp") == F.col("full_date"), "left")
+        .select(
+            "transaction_id",
+            "customer_key", "payment_method_key", "status_key", "date_key",
+            "merchant_id", "device_type", "location_type", "currency",
+            "amount", "fee_amount", "cashback_amount", "loyalty_points",
+            (F.col("amount") - F.col("fee_amount") + F.col("cashback_amount"))
+            .alias("net_customer_amount"),
+            (F.col("amount") - F.col("cashback_amount")).alias("merchant_net_amount"),
+            F.col("fee_amount").alias("gateway_revenue"),
+            "transaction_timestamp", "updated_at",
+        )
+    )
+    store.overwrite("gold.fact_transactions", fact)
+    n = store.count("gold.fact_transactions")
+    wm = (
+        store.read("gold.fact_transactions")
+        .agg(F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm"))
+        .collect()[0]
+        .wm
+    )
+    write_job_control(
+        store, "full_refresh_fact", "gold", batch_id, "full_refresh",
+        "SUCCESS", wm, n,
+    )
+    return {"written": n, "watermark": wm}
+
+
 # ---------------------------------------------------------------- C5: silver CDC collapse
 
 

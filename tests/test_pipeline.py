@@ -203,6 +203,24 @@ def test_full_refresh_resets_state(spark, store):
     assert r["watermark"] is not None
 
 
+def test_full_refresh_silver_and_fact_match_incremental(spark, store):
+    for day in (1, 2):
+        raw, _ = _day(spark, day)
+        medallion.run_incremental(store, raw)
+    n_silver_inc = store.count("silver.transactions")
+    n_fact_inc = store.count("gold.fact_transactions")
+    rs = medallion.full_refresh_silver(store, "BATCH_FRS")
+    rf = medallion.full_refresh_fact(store, "BATCH_FRF")
+    # rebuild-from-scratch converges to the incrementally-built state
+    assert rs["written"] == n_silver_inc
+    assert rf["written"] == n_fact_inc
+    assert (
+        store.read("silver.transactions")
+        .groupBy("transaction_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
 def test_fact_star_and_null_fk_audit(spark, store):
     raw1, _ = _day(spark, 1)
     r = medallion.run_incremental(store, raw1)
