@@ -149,6 +149,40 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = False) -> Da
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """Image resize as partition-preserving ``mapInPandas``: content in,
+    resized content + updated metadata out.  FAKE mode deterministically
+    truncates/pads the byte stream to the target pixel budget (w*h
+    bytes) — stands in for a real decode-resize-encode round trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs not available; pass fake=True"
+                )
+            out = []
+            for c in pdf["content"]:
+                blob = bytes(c)
+                resized = blob[:budget].ljust(budget, b"\x00")
+                out.append(resized)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "meta": [
+                        {"format": m["format"], "n_bytes": len(r), "source": m["source"]}
+                        for m, r in zip(pdf["meta"], out)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def content_digest(media: DataFrame) -> DataFrame:
     """Exact-dup digest over blobs — built-in ``sha2`` on the binary
     column (JVM-side; no Python).  The multimodal analog of

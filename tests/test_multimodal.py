@@ -59,6 +59,16 @@ def test_decode_preserves_partitioning(spark, media):
     assert out.rdd.getNumPartitions() == 5
 
 
+def test_resize_normalizes_byte_budget(media):
+    out = mm.resize_media(media, width=8, height=8, fake=True)
+    assert _same_types(out.schema, mm.MEDIA_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.content) == 64
+        assert r.meta.n_bytes == 64
+
+
 def test_content_digest_matches_python(media):
     out = mm.content_digest(media).collect()
     raw = {r.media_id: bytes(r.content) for r in media.collect()}
