@@ -2,13 +2,17 @@
 
 Each module maps to a SURVEY.md section-2 family:
 
-- ``dedup``      : W1/W2 window dedup + exact/fuzzy document dedup
+- ``dedup``      : W1/W2 window dedup + exact/MinHash-LSH/Jaccard/
+                   SimHash document dedup
 - ``windows``    : W3 surrogate keys, W4 best-record, W5 LAG audit
-- ``joins``      : J1-J5 star/semi/anti join helpers
+- ``joins``      : J1-J5 star/semi/anti/point-in-time joins + skew
+                   tools (salted join, two-phase aggregate)
 - ``aggregates`` : A2-A10 rollups, conditional aggs, pct-of-total
-- ``validate``   : C1 three-tier validation split
-- ``upsert``     : S7-S10 MERGE/UPDATE/DELETE (Delta or join-rewrite)
-- ``watermark``  : job_control high-watermark bookkeeping
-- ``scd2``       : C7 SCD Type 2 dimension maintenance
-- ``similarity`` : embedding cosine top-k / LSH bucketed ANN
+- ``multimodal`` : binary media columns, mapInPandas decode/resize/
+                   frame stages, content digests
+
+The mutation sinks (S5-S12: MERGE/UPDATE/DELETE, watermark
+bookkeeping) live in ``pipeline.storage`` / ``pipeline.medallion``;
+vector/text column functions in ``functions.similarity`` /
+``functions.text``.
 """
