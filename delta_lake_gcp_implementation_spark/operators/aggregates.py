@@ -16,7 +16,7 @@ def customer_rollup(
     df: DataFrame,
     key: str,
     ts_col: str,
-    amount_col: str,
+    amount_col: str | Column,
     active_pred: Column,
     tier_bounds: tuple[int, int, int] = (100, 50, 20),
 ) -> DataFrame:
@@ -24,13 +24,19 @@ def customer_rollup(
     (``gold_dim_customer_scd2.py:32-54``): COUNT/MIN/MAX/SUM plus
     ``MAX(CASE WHEN ...)`` activity flag and a CASE ladder over the
     aggregated count.
+
+    ``amount_col`` accepts a Column so money inputs can be summed
+    through an exact DECIMAL cast (a raw double SUM is
+    partition-order-dependent in the last ULPs — callers pass e.g.
+    ``F.col("amount").cast("decimal(12,2)")``).
     """
     p, g, s = tier_bounds
+    amount = F.col(amount_col) if isinstance(amount_col, str) else amount_col
     agg = df.groupBy(key).agg(
         F.count("*").alias("transaction_count"),
         F.min(ts_col).alias("first_transaction_date"),
         F.max(ts_col).alias("last_transaction_date"),
-        F.sum(amount_col).alias("lifetime_value"),
+        F.sum(amount).alias("lifetime_value"),
         F.max(F.when(active_pred, True).otherwise(False)).alias("is_active"),
     )
     tier = (

@@ -16,7 +16,16 @@ Cross-engine determinism rules (applied throughout):
   bit-deterministic -> never round it;
   (3) a single division of identical operands is bit-deterministic ->
   AVG = exact-decimal-sum cast to double / count, unrounded;
-  (4) round(x, d) only when x is decimal-exact at exactly d digits.
+  (4) round(x, d) only when x is decimal-exact at exactly d digits;
+  (5) DECIMAL never crosses the output boundary.  Spark.toPandas()
+  renders DecimalType as scale-preserving ``Decimal('123.4500')``
+  objects while DuckDB's pandas fetch renders DECIMAL as float64
+  ``123.45`` — any repr-level value hash diverges on trailing zeros
+  (round-1 CORRECTNESS fails: star_rollup / topn_revenue /
+  customer_rollup).  Aggregate exactly THROUGH decimal, then cast the
+  final column to DOUBLE in both the Spark plan and the oracle SQL:
+  the exact decimal -> nearest-double conversion is correctly rounded
+  in both engines while the unscaled value fits in 2^53.
 - ``row_number()`` is INT in Spark, BIGINT in DuckDB -> cast to bigint.
 - ``year()`` etc. are INT in Spark, BIGINT in DuckDB -> oracle casts.
 - events.ts is TIMESTAMP(NANOS): Spark truncates to micros at load
@@ -246,6 +255,7 @@ def q_star_rollup(spark: SparkSession, sf: str) -> DataFrame:
                 * (1 - F.col("l_discount")).cast("decimal(8,2)")
             )
             .cast("decimal(30,4)")
+            .cast("double")
             .alias("revenue"),
             (
                 F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double")
@@ -259,8 +269,8 @@ ORACLE_STAR_ROLLUP = """
 SELECT r_name, n_name,
        count(DISTINCT o_orderkey) AS order_count,
        count(*) AS lineitem_count,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
-            AS DECIMAL(30,4)) AS revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
        CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_discount
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -411,7 +421,7 @@ def q_customer_rollup(spark: SparkSession, sf: str) -> DataFrame:
         o,
         key="o_custkey",
         ts_col="o_orderdate",
-        amount_col="o_totalprice",
+        amount_col=F.col("o_totalprice").cast("decimal(12,2)"),
         active_pred=F.col("o_orderstatus") == "O",
         tier_bounds=(15, 10, 5),
     )
@@ -420,7 +430,10 @@ def q_customer_rollup(spark: SparkSession, sf: str) -> DataFrame:
         "transaction_count",
         "first_transaction_date",
         "last_transaction_date",
-        F.col("lifetime_value").cast("decimal(30,2)").alias("lifetime_value"),
+        F.col("lifetime_value")
+        .cast("decimal(30,2)")
+        .cast("double")
+        .alias("lifetime_value"),
         "is_active",
         "customer_tier",
     )
@@ -431,7 +444,8 @@ SELECT o_custkey,
        count(*) AS transaction_count,
        min(o_orderdate) AS first_transaction_date,
        max(o_orderdate) AS last_transaction_date,
-       CAST(sum(o_totalprice) AS DECIMAL(30,2)) AS lifetime_value,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE)
+           AS lifetime_value,
        max(CASE WHEN o_orderstatus = 'O' THEN true ELSE false END) AS is_active,
        CASE WHEN count(*) >= 15 THEN 'Platinum'
             WHEN count(*) >= 10 THEN 'Gold'
@@ -497,12 +511,14 @@ def q_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("distinct_suppliers"),
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
         .cast("decimal(30,2)")
+        .cast("double")
         .alias("gross_total"),
         F.sum(
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_discount").cast("decimal(8,2)")
         )
         .cast("decimal(30,4)")
+        .cast("double")
         .alias("discount_total"),
     )
 
@@ -512,9 +528,10 @@ SELECT count(*) AS row_count,
        count(DISTINCT l_orderkey) AS distinct_orders,
        count(DISTINCT l_partkey) AS distinct_parts,
        count(DISTINCT l_suppkey) AS distinct_suppliers,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS gross_total,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,2)))
-            AS DECIMAL(30,4)) AS discount_total
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE)
+           AS gross_total,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS DOUBLE) AS discount_total
 FROM lineitem
 """
 
@@ -733,6 +750,7 @@ def q_topn_revenue(spark: SparkSession, sf: str) -> DataFrame:
                 * (1 - F.col("l_discount")).cast("decimal(8,2)")
             )
             .cast("decimal(30,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -741,8 +759,8 @@ def q_topn_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_TOPN_REVENUE = """
 SELECT o_custkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
-            AS DECIMAL(30,4)) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_custkey
 ORDER BY revenue DESC, o_custkey

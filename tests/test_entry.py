@@ -33,6 +33,21 @@ def test_every_query_runs_at_smoke_sf(spark, sf_dir):
         assert df.columns, name
 
 
+def test_no_decimal_at_query_output_boundary(spark, sf_dir):
+    """DECIMAL must not cross the driver boundary: Spark.toPandas()
+    renders it as scale-preserving Decimal objects while DuckDB's
+    pandas fetch renders DECIMAL as float64, so any repr-level value
+    hash diverges on trailing zeros (round-1 star_rollup /
+    topn_revenue / customer_rollup fails).  Aggregate THROUGH decimal,
+    cast the final column to double."""
+    from pyspark.sql.types import DecimalType
+
+    for name, builder in entrymod.queries().items():
+        df = builder(spark, sf_dir)
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        assert not bad, f"{name}: decimal-typed output columns {bad}"
+
+
 def test_oracle_sql_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)

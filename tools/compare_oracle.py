@@ -49,8 +49,53 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def repr_hash(df: pd.DataFrame) -> str:
+    """Repr-level row hash simulating a driver that stringifies cells.
+
+    Floats are repr'd (shortest round-trip), everything else str'd.
+    A Decimal('123.4500') from Spark vs float 123.45 from DuckDB
+    hash DIFFERENTLY here even though the values are equal — which is
+    exactly the class of divergence the driver's gate catches and the
+    float-aware compare() below forgives.
+    """
+    import datetime
+    import hashlib
+
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or v is pd.NaT:
+            return "NULL"
+        if isinstance(v, float):  # incl. np.float64
+            return "NULL" if np.isnan(v) else repr(float(v))
+        if isinstance(v, (bool, np.bool_)):
+            return "1" if v else "0"
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+            return pd.Timestamp(v).isoformat()
+        return str(v)
+
+    rows = sorted(tuple(cell(v) for v in row) for row in df.itertuples(index=False))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
+    from decimal import Decimal
+
+    for c in sdf.columns:
+        if sdf[c].dtype == object and any(
+            isinstance(v, Decimal) for v in sdf[c].head(50)
+        ):
+            problems.append(
+                f"spark col {c} is DECIMAL-typed at the output boundary — "
+                "driver hash risk (trailing-zero repr mismatch); cast to DOUBLE"
+            )
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
@@ -74,6 +119,11 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 problems.append(
                     f"col {c}: {n} diffs, first spark={sv[idx]!r} oracle={ov[idx]!r}"
                 )
+    if not problems and repr_hash(sdf) != repr_hash(odf):
+        problems.append(
+            "repr-hash mismatch: values equal numerically but stringify "
+            "differently across engines (driver hash would fail)"
+        )
     return problems
 
 
