@@ -79,6 +79,7 @@ def main() -> None:
 
     # best-of-2 with fresh stores: single-shot pipeline timings showed
     # large JIT/GC variance (15-98 s for the same work)
+    medallion.RESULT_JSON_ENABLED = False  # stdout is the bench contract
     pipe: dict[str, float] = {}
     for _ in range(2):
         with tempfile.TemporaryDirectory() as tmp:
@@ -87,6 +88,29 @@ def main() -> None:
             t0 = time.perf_counter()
             medallion.run_incremental(store, raw)
             t_run = time.perf_counter() - t0
+
+            # day-2 batch through bronze+silver (untimed prep), then the
+            # SCD2 dims individually (BASELINE.md: 115 s / 100 s per dim)
+            raw2 = fixtures.generate_day_spark(spark, 2, 90_000)
+            b2 = medallion.new_batch_id()
+            wm = medallion.read_watermark(store, "bronze")
+            medallion.validate_bronze(store, raw2, b2, watermark=wm)
+            medallion.load_bronze(store, b2)
+            medallion.run_silver(store, b2)
+            t0 = time.perf_counter()
+            medallion.scd2_dim_customer(store, b2)
+            t_scd_c = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            medallion.scd2_dim_merchant(store, b2)
+            t_scd_m = time.perf_counter() - t0
+
+            # date-range backfill (watermark untouched)
+            raw_bf = fixtures.generate_day_spark(spark, 3, 90_000)
+            t0 = time.perf_counter()
+            medallion.backfill_bronze(
+                store, raw_bf, "2024-03-03", "2024-03-03", "BATCH_BENCH_BF"
+            )
+            t_bf = time.perf_counter() - t0
 
             # GDPR dual delete (BASELINE.md: 35 s on the reference)
             victim = (
@@ -99,13 +123,16 @@ def main() -> None:
 
             # full refresh silver + fact (BASELINE.md: 69 s / 126 s)
             t0 = time.perf_counter()
-            medallion.full_refresh_silver(store, "BATCH_BENCH_FRS")
+            medallion.full_refresh_silver(store, "BATCH_BENCH_FRS", confirm="YES")
             t_frs = time.perf_counter() - t0
             t0 = time.perf_counter()
-            medallion.full_refresh_fact(store, "BATCH_BENCH_FRF")
+            medallion.full_refresh_fact(store, "BATCH_BENCH_FRF", confirm="YES")
             t_frf = time.perf_counter() - t0
         for k, v in [
             ("medallion_incremental_90k", t_run),
+            ("scd2_dim_customer", t_scd_c),
+            ("scd2_dim_merchant", t_scd_m),
+            ("bronze_backfill", t_bf),
             ("gdpr_dual_delete", t_gdpr),
             ("silver_full_refresh", t_frs),
             ("fact_full_refresh", t_frf),

@@ -24,10 +24,13 @@ from .storage import TableStore
 
 
 def file_count(store: TableStore, name: str) -> int:
-    path = store.path(name)
+    """Count parquet part files, walking hive-partitioned subdirs too
+    (a top-level-only listing reports 0 for write_partitioned
+    layouts)."""
     return sum(
         1
-        for f in os.listdir(path)
+        for _dir, _subdirs, files in os.walk(store.path(name))
+        for f in files
         if f.endswith(".parquet") and not f.startswith(".")
     )
 

@@ -30,8 +30,9 @@ only* (dims are small by construction; see
 
 from __future__ import annotations
 
+import json
 import uuid
-from datetime import datetime
+from datetime import date, datetime
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -80,7 +81,39 @@ def read_watermark(store: TableStore, layer: str) -> str | None:
         .limit(1)
         .collect()
     )
-    return row[0].last_processed_timestamp if row else None
+    if not row:
+        return None
+    return row[0].last_processed_timestamp.strftime("%Y-%m-%d %H:%M:%S")
+
+
+# 23-column job_control contract (``docs/SCHEMA_REGISTRY.md:53-81``) —
+# the observability half (records_* split, timings, retries, error
+# capture, provenance) powers the RUNBOOK monitoring queries
+# (``bronze/README.md:365-405``).
+JOB_CONTROL_SCHEMA = (
+    "job_name string, layer string, batch_id string, run_mode string, "
+    "status string, processing_date date, start_date date, end_date date, "
+    "last_processed_timestamp timestamp, last_processed_batch_id string, "
+    "records_read long, records_written long, records_failed long, "
+    "records_quarantined long, started_at timestamp, completed_at timestamp, "
+    "duration_seconds long, retry_count long, max_retries long, "
+    "error_message string, triggered_by string, dataproc_cluster string, "
+    "spark_app_id string"
+)
+
+
+# Toggle for embedders whose stdout is itself a machine contract
+# (bench.py must print exactly one JSON line).
+RESULT_JSON_ENABLED = True
+
+
+def emit_result(job_name: str, payload: dict) -> None:
+    """Machine-scrapable job contract line for external orchestrators
+    (every reference job prints one, ``validate_bronze.py:192-199``)."""
+    if RESULT_JSON_ENABLED:
+        print(
+            f"RESULT_JSON:{json.dumps({'job_name': job_name, **payload}, default=str)}"
+        )
 
 
 def write_job_control(
@@ -91,23 +124,51 @@ def write_job_control(
     run_mode: str,
     status: str,
     watermark: str | None,
-    records_processed: int,
-    completed_at: str | None = None,
+    records_written: int,
+    *,
+    records_read: int | None = None,
+    records_failed: int = 0,
+    records_quarantined: int = 0,
+    started_at: datetime | None = None,
+    start_date: str | None = None,
+    end_date: str | None = None,
+    error_message: str | None = None,
+    retry_count: int = 0,
+    max_retries: int = 3,
+    triggered_by: str = "pipeline",
 ) -> None:
-    """S12 metadata append (``shared/write_watermark.py:39-65``)."""
+    """S12 metadata append (``shared/write_watermark.py:39-65``) —
+    full 23-column contract (``docs/SCHEMA_REGISTRY.md:53-81``)."""
+    now = datetime.utcnow()
+    wm_ts = (
+        datetime.strptime(watermark, "%Y-%m-%d %H:%M:%S")
+        if watermark is not None
+        else None
+    )
     row = [
         (
-            job_name, layer, batch_id, run_mode, status, watermark,
-            records_processed,
-            completed_at or datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S.%f"),
+            job_name, layer, batch_id, run_mode, status,
+            now.date(),
+            date.fromisoformat(start_date) if start_date else None,
+            date.fromisoformat(end_date) if end_date else None,
+            wm_ts,
+            None,  # last_processed_batch_id: previous batch, filled by orchestrator
+            records_read if records_read is not None else records_written,
+            records_written,
+            records_failed,
+            records_quarantined,
+            started_at or now,
+            now,
+            int((now - started_at).total_seconds()) if started_at else 0,
+            retry_count,
+            max_retries,
+            error_message,
+            triggered_by,
+            "local",  # dataproc_cluster analog: execution environment name
+            store.spark.sparkContext.applicationId,
         )
     ]
-    df = store.spark.createDataFrame(
-        row,
-        "job_name string, layer string, batch_id string, run_mode string, "
-        "status string, last_processed_timestamp string, "
-        "records_processed long, completed_at string",
-    )
+    df = store.spark.createDataFrame(row, JOB_CONTROL_SCHEMA)
     store.append("job_control", df)
 
 
@@ -143,15 +204,26 @@ def typed_cast(raw: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- C1: validation split
 
 
-def _tier1_pred():
-    """P4 quarantine predicate (``validate_bronze.py:100-104``)."""
+def _tier1_pred(cutoff):
+    """P4 quarantine predicate (``validate_bronze.py:100-104``).
+
+    ``cutoff`` is ONE fixed literal timestamp captured per batch — a
+    live ``current_timestamp()`` would be re-evaluated in each of the
+    three actions validate_bronze runs (quarantine append, quarantine
+    count, staging write), letting a row timestamped between
+    evaluation instants land in BOTH quarantine and staging."""
     return (
         F.col("transaction_id").isNull()
         | F.col("transaction_id").like("% %")
         | F.col("amount").isNull()
         | F.col("transaction_timestamp").isNull()
-        | (F.col("transaction_timestamp") > F.current_timestamp())
+        | (F.col("transaction_timestamp") > cutoff)
     )
+
+
+def _batch_cutoff():
+    """Fixed now() literal for one batch's validation boundary."""
+    return F.lit(datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
 
 
 def validate_bronze(
@@ -180,21 +252,34 @@ def validate_bronze(
             (F.col("transaction_timestamp") > w) | (F.col("updated_at") > w)
         )
 
-    t1 = _tier1_pred()
+    cutoff = _batch_cutoff()
+    t1 = _tier1_pred(cutoff)
+    # 24-column quarantine contract (``docs/SCHEMA_REGISTRY.md:85-114``):
+    # raw columns + CDC markers + error triage + provenance incl.
+    # source_file attribution (empty for non-file sources).
     quarantine = typed.filter(t1).select(
         *RAW_COLS,
+        F.lit("QUARANTINE").alias("delta_change_type"),
+        F.lit(1).cast("bigint").alias("delta_version"),
         F.when(F.col("transaction_id").isNull(), "NULL_TRANSACTION_ID")
         .when(F.col("transaction_id").like("% %"), "INVALID_TRANSACTION_ID_FORMAT")
         .when(F.col("amount").isNull(), "NULL_AMOUNT")
         .when(F.col("transaction_timestamp").isNull(), "NULL_TIMESTAMP")
         .otherwise("FUTURE_TIMESTAMP")
         .alias("error_reason"),
-        F.lit("TIER1").alias("error_tier"),
+        F.lit("TIER_1").alias("error_tier"),
         F.current_timestamp().alias("quarantined_at"),
+        F.nullif(F.input_file_name(), F.lit("")).alias("source_file"),
         F.lit(batch_id).alias("processing_batch_id"),
     )
     store.append("bronze.quarantine", quarantine)
-    n_quarantined = quarantine.count()
+    # count what was WRITTEN (cheap parquet re-scan of this batch's
+    # slice) instead of re-running the validation plan a second time
+    n_quarantined = (
+        store.read("bronze.quarantine")
+        .filter(F.col("processing_batch_id") == batch_id)
+        .count()
+    )
 
     kept = typed.filter(~t1).select(
         "transaction_id",
@@ -276,9 +361,14 @@ def validate_bronze(
 
 def load_bronze(store: TableStore, batch_id: str, run_mode: str = "incremental") -> dict:
     """C2 load step: composite-key MERGE (S7, ``load_bronze.py:66-109``)
-    + GREATEST watermark (A7, ``:113-116``) + job_control append."""
+    + GREATEST watermark (A7, ``:113-116``) + job_control append with
+    the inserted/updated split derived from before/after counts
+    (``load_silver.py:75-151``)."""
+    started = datetime.utcnow()
     staged = store.read("bronze.transactions_staging")
+    n_before = store.count("bronze.transactions")
     store.upsert("bronze.transactions", staged, ["transaction_id", "updated_at"])
+    n_after = store.count("bronze.transactions")
     wm_row = staged.agg(
         F.date_format(
             F.greatest(F.max("transaction_timestamp"), F.max("updated_at")),
@@ -286,11 +376,19 @@ def load_bronze(store: TableStore, batch_id: str, run_mode: str = "incremental")
         ).alias("wm")
     ).collect()[0]
     n = staged.count()
+    inserted = n_after - n_before
     write_job_control(
         store, "load_bronze", "bronze", batch_id, run_mode, "SUCCESS",
-        wm_row.wm, n,
+        wm_row.wm, n, records_read=n, started_at=started,
     )
-    return {"merged": n, "watermark": wm_row.wm}
+    result = {
+        "merged": n,
+        "records_inserted": inserted,
+        "records_updated": n - inserted,
+        "watermark": wm_row.wm,
+    }
+    emit_result("load_bronze", result)
+    return result
 
 
 # ---------------------------------------------------------------- C3 / C4
@@ -303,10 +401,11 @@ def backfill_bronze(
     """C3 backfill (``bronze_backfill.py:26-236``): date-range filter
     replaces the watermark; MERGE tagged BACKFILL; watermark NOT
     advanced (job_control row carries NULL bookmark)."""
+    started = datetime.utcnow()
     typed = typed_cast(raw).filter(
         F.to_date("transaction_timestamp").between(start_date, end_date)
     )
-    t1 = _tier1_pred()
+    t1 = _tier1_pred(_batch_cutoff())
     kept = typed.filter(~t1)
     kept = (
         kept.withColumn("data_quality_flag", F.lit("PASSED"))
@@ -326,13 +425,30 @@ def backfill_bronze(
     write_job_control(
         store, "backfill_bronze", "bronze", batch_id, "backfill", "SUCCESS",
         None, n,  # watermark intentionally NULL (``bronze_backfill.py:210-236``)
+        started_at=started, start_date=start_date, end_date=end_date,
     )
-    return {"merged": n}
+    result = {"merged": n, "start_date": start_date, "end_date": end_date}
+    emit_result("backfill_bronze", result)
+    return result
 
 
-def full_refresh_bronze(store: TableStore, raw: DataFrame, batch_id: str) -> dict:
+def _require_confirmation(job: str, confirm: str) -> None:
+    """Destructive-op gate: the reference parks full refreshes behind a
+    typed ``{"confirm_full_refresh": "YES"}`` DAG param
+    (``silver/dags/silver_full_refresh_dag.py:27-58``)."""
+    if confirm != "YES":
+        raise ValueError(
+            f"{job} overwrites the whole table; pass confirm='YES' to proceed"
+        )
+
+
+def full_refresh_bronze(
+    store: TableStore, raw: DataFrame, batch_id: str, confirm: str = ""
+) -> dict:
     """C4 full refresh (``bronze_full_refresh.py:24-244``): no filter,
     INSERT OVERWRITE, watermark reset to data max."""
+    _require_confirmation("full_refresh_bronze", confirm)
+    started = datetime.utcnow()
     counts = validate_bronze(store, raw, batch_id, watermark=None)
     staged = store.read("bronze.transactions_staging")
     store.overwrite("bronze.transactions", staged)
@@ -345,14 +461,21 @@ def full_refresh_bronze(store: TableStore, raw: DataFrame, batch_id: str) -> dic
     write_job_control(
         store, "full_refresh_bronze", "bronze", batch_id, "full_refresh",
         "SUCCESS", wm, counts["staged"],
+        records_quarantined=counts["quarantined"], started_at=started,
     )
-    return {"written": counts["staged"], "watermark": wm}
+    result = {"written": counts["staged"], "watermark": wm}
+    emit_result("full_refresh_bronze", result)
+    return result
 
 
-def full_refresh_silver(store: TableStore, batch_id: str) -> dict:
+def full_refresh_silver(
+    store: TableStore, batch_id: str, confirm: str = ""
+) -> dict:
     """C4 Silver full refresh (``silver_full_refresh.py:29-136``): no
     watermark — collapse ALL of Bronze to current state, INSERT
     OVERWRITE, watermark reset to data max."""
+    _require_confirmation("full_refresh_silver", confirm)
+    started = datetime.utcnow()
     bronze = store.read("bronze.transactions")
     live = bronze.filter(
         (F.col("is_deleted") == False) | F.col("is_deleted").isNull()  # noqa: E712
@@ -370,45 +493,112 @@ def full_refresh_silver(store: TableStore, batch_id: str) -> dict:
     )
     write_job_control(
         store, "full_refresh_silver", "silver", batch_id, "full_refresh",
-        "SUCCESS", wm, n,
+        "SUCCESS", wm, n, started_at=started,
     )
-    return {"written": n, "watermark": wm}
+    result = {"written": n, "watermark": wm}
+    emit_result("full_refresh_silver", result)
+    return result
 
 
-def full_refresh_fact(store: TableStore, batch_id: str) -> dict:
-    """C4 fact full refresh (``fact_full_refresh.py:26-262``): rebuild
-    the whole star from Silver (no watermark slice), INSERT OVERWRITE,
-    watermark reset."""
-    # reuse the C8 join/measure logic by clearing the gold watermark
-    # path: read everything, then overwrite instead of MERGE
-    silver = store.read("silver.transactions").filter(
-        ~F.col("merchant_id").like("MERCH_9%")
-    )
+# 30-column fact contract (``docs/SCHEMA_REGISTRY.md:155-189``).
+FACT_COLS = [
+    "customer_key", "merchant_key", "payment_method_key", "status_key",
+    "date_key", "transaction_id", "product_category", "product_name",
+    "device_type", "amount", "fee_amount", "cashback_amount",
+    "loyalty_points", "net_customer_amount", "merchant_net_amount",
+    "gateway_revenue", "transaction_timestamp", "currency", "is_refunded",
+    "refund_amount", "refund_date", "attempt_number", "loaded_at",
+    "source_system", "created_at", "updated_at", "delta_change_type",
+    "delta_version", "is_deleted", "deleted_at",
+]
+
+FACT_FK_COLS = [
+    "customer_key", "merchant_key", "payment_method_key", "status_key",
+    "date_key",
+]
+
+
+def _fact_frame(
+    store: TableStore, silver: DataFrame, unknown_member: bool = False
+) -> DataFrame:
+    """J1 five-way star join + derived measures + refund placeholders
+    (``validate_fact_transactions.py:152-224``): every dim broadcast,
+    SCD2 dims joined on their current version only.
+
+    ``unknown_member=True`` applies the documented -1 fallback for
+    unresolvable FKs (``docs/VALIDATION_RULES.md:167-182``) instead of
+    leaving NULL."""
     dim_c = store.read("gold.dim_customer").filter(F.col("is_current") == True)  # noqa: E712
+    dim_m = store.read("gold.dim_merchant").filter(F.col("is_current") == True)  # noqa: E712
     dim_pm = store.read("gold.dim_payment_method")
     dim_st = store.read("gold.dim_status")
     dim_dt = store.read("gold.dim_date")
-    fact = (
-        silver.join(F.broadcast(dim_c.select("customer_key", "customer_id")),
-                    "customer_id", "left")
+
+    key = (
+        (lambda c: F.coalesce(F.col(c), F.lit(-1).cast("bigint")).alias(c))
+        if unknown_member
+        else (lambda c: F.col(c))
+    )
+    return (
+        silver.join(
+            F.broadcast(dim_c.select("customer_key", "customer_id")),
+            "customer_id", "left",
+        )
+        .join(
+            F.broadcast(dim_m.select("merchant_key", "merchant_id")),
+            "merchant_id", "left",
+        )
         .join(F.broadcast(dim_pm.select("payment_method_key", "payment_method")),
               "payment_method", "left")
         .join(F.broadcast(dim_st.select("status_key", "transaction_status")),
               "transaction_status", "left")
-        .join(F.broadcast(dim_dt.select("date_key", "full_date")),
-              F.to_date("transaction_timestamp") == F.col("full_date"), "left")
+        .join(
+            F.broadcast(dim_dt.select("date_key", "full_date")),
+            F.to_date("transaction_timestamp") == F.col("full_date"),
+            "left",
+        )
         .select(
+            *[key(c) for c in FACT_FK_COLS],
             "transaction_id",
-            "customer_key", "payment_method_key", "status_key", "date_key",
-            "merchant_id", "device_type", "location_type", "currency",
+            # degenerate dimensions stay in the fact
+            "product_category", "product_name", "device_type",
+            # measures
             "amount", "fee_amount", "cashback_amount", "loyalty_points",
+            # derived measures (``validate_fact_transactions.py:178-180``)
             (F.col("amount") - F.col("fee_amount") + F.col("cashback_amount"))
             .alias("net_customer_amount"),
             (F.col("amount") - F.col("cashback_amount")).alias("merchant_net_amount"),
             F.col("fee_amount").alias("gateway_revenue"),
-            "transaction_timestamp", "updated_at",
+            "transaction_timestamp", "currency",
+            # refund placeholders — no refund data in source
+            # (``validate_fact_transactions.py:195-199``)
+            F.lit(False).alias("is_refunded"),
+            F.lit(None).cast("double").alias("refund_amount"),
+            F.lit(None).cast("date").alias("refund_date"),
+            F.lit(1).cast("bigint").alias("attempt_number"),
+            # audit columns
+            F.current_timestamp().alias("loaded_at"),
+            F.lit("payment_gateway").alias("source_system"),
+            F.col("transaction_timestamp").alias("created_at"),
+            "updated_at", "delta_change_type", "delta_version",
+            "is_deleted", "deleted_at",
         )
     )
+
+
+def full_refresh_fact(
+    store: TableStore, batch_id: str, confirm: str = "",
+    unknown_member: bool = False,
+) -> dict:
+    """C4 fact full refresh (``fact_full_refresh.py:26-262``): rebuild
+    the whole star from Silver (no watermark slice), INSERT OVERWRITE,
+    watermark reset."""
+    _require_confirmation("full_refresh_fact", confirm)
+    started = datetime.utcnow()
+    silver = store.read("silver.transactions").filter(
+        ~F.col("merchant_id").like("MERCH_9%")
+    )
+    fact = _fact_frame(store, silver, unknown_member)
     store.overwrite("gold.fact_transactions", fact)
     n = store.count("gold.fact_transactions")
     wm = (
@@ -419,9 +609,11 @@ def full_refresh_fact(store: TableStore, batch_id: str) -> dict:
     )
     write_job_control(
         store, "full_refresh_fact", "gold", batch_id, "full_refresh",
-        "SUCCESS", wm, n,
+        "SUCCESS", wm, n, started_at=started,
     )
-    return {"written": n, "watermark": wm}
+    result = {"written": n, "watermark": wm}
+    emit_result("full_refresh_fact", result)
+    return result
 
 
 # ---------------------------------------------------------------- C5: silver CDC collapse
@@ -433,6 +625,7 @@ def run_silver(store: TableStore, batch_id: str) -> dict:
     slice Bronze past the Silver watermark, W2 keep-latest per
     transaction_id, drop quality-tracking columns, soft-delete filter,
     single-key MERGE."""
+    started = datetime.utcnow()
     wm = read_watermark(store, "silver")
     bronze = store.read("bronze.transactions")
     if wm is not None:
@@ -449,16 +642,25 @@ def run_silver(store: TableStore, batch_id: str) -> dict:
     store.overwrite("silver.transactions_staging", latest)
     staged = store.read("silver.transactions_staging")
     n = staged.count()
+    n_before = store.count("silver.transactions")
     store.upsert("silver.transactions", staged, ["transaction_id"])
+    inserted = store.count("silver.transactions") - n_before
     new_wm_rows = staged.agg(
         F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm")
     ).collect()
     new_wm = new_wm_rows[0].wm if n > 0 else wm
     write_job_control(
         store, "load_silver", "silver", batch_id, "incremental", "SUCCESS",
-        new_wm, n,
+        new_wm, n, records_read=n, started_at=started,
     )
-    return {"merged": n, "watermark": new_wm}
+    result = {
+        "merged": n,
+        "records_inserted": inserted,
+        "records_updated": n - inserted,
+        "watermark": new_wm,
+    }
+    emit_result("load_silver", result)
+    return result
 
 
 # ---------------------------------------------------------------- C6: GDPR dual delete
@@ -499,7 +701,9 @@ def gdpr_delete(store: TableStore, customer_id: str, batch_id: str) -> dict:
         store, "gdpr_delete", "silver", batch_id, "gdpr", "SUCCESS", None,
         n_bronze + n_silver,
     )
-    return {"bronze_soft_deleted": n_bronze, "silver_hard_deleted": n_silver}
+    result = {"bronze_soft_deleted": n_bronze, "silver_hard_deleted": n_silver}
+    emit_result("gdpr_delete", result)
+    return result
 
 
 # ---------------------------------------------------------------- C7: SCD2 dim maintenance
@@ -533,19 +737,36 @@ def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
     today = F.current_date()
     far_future = F.lit("9999-12-31").cast("date")
 
-    if not store.exists(dim_name):
-        w = Window.orderBy("customer_id")
-        initial = agg.select(
-            F.row_number().over(w).cast("bigint").alias("customer_key"),
-            "customer_id", "customer_tier", "transaction_count",
-            "first_transaction_date", "last_transaction_date",
-            "lifetime_value", "is_active",
+    def dim_cols(df, key_col):
+        """12-column dim_customer contract
+        (``docs/SCHEMA_REGISTRY.md:197-214``)."""
+        return df.select(
+            key_col,
+            "customer_id", "customer_tier",
+            "is_active",
+            F.col("first_transaction_date").cast("date").alias(
+                "first_transaction_date"
+            ),
+            F.col("last_transaction_date").cast("date").alias(
+                "last_transaction_date"
+            ),
+            F.col("lifetime_value").cast("double").alias("lifetime_value"),
+            F.current_timestamp().alias("loaded_at"),
+            F.lit("payment_gateway").alias("source_system"),
             today.alias("effective_start_date"),
             far_future.alias("effective_end_date"),
             F.lit(True).alias("is_current"),
         )
+
+    if not store.exists(dim_name):
+        w = Window.orderBy("customer_id")
+        initial = dim_cols(
+            agg, F.row_number().over(w).cast("bigint").alias("customer_key")
+        )
         store.overwrite(dim_name, initial)
-        return {"inserted": store.count(dim_name), "closed": 0}
+        n0 = store.count(dim_name)
+        emit_result("scd2_dim_customer", {"inserted": n0, "closed": 0})
+        return {"inserted": n0, "closed": 0}
 
     dim = store.read(dim_name)
     current = dim.filter(F.col("is_current") == True)  # noqa: E712
@@ -573,39 +794,41 @@ def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
     # insert plan reads the pre-close dim snapshot.
     to_insert = new_members.unionByName(changed)
     w = Window.orderBy("customer_id")
-    inserts = to_insert.select(
+    inserts = dim_cols(
+        to_insert,
         (F.row_number().over(w) + F.lit(max_key)).cast("bigint").alias("customer_key"),
-        "customer_id", "customer_tier", "transaction_count",
-        "first_transaction_date", "last_transaction_date",
-        "lifetime_value", "is_active",
-        today.alias("effective_start_date"),
-        far_future.alias("effective_end_date"),
-        F.lit(True).alias("is_current"),
     )
     store.overwrite("gold.dim_customer_staging", inserts)
     staged = store.read("gold.dim_customer_staging")
     n_inserted = staged.count()
 
-    # close old versions of changed members (MERGE-update semantics)
-    changed_ids = [
-        r.customer_id for r in staged.select("customer_id").collect()
-    ]  # dim-sized driver list — dims are small by construction
-    closing = (F.col("is_current") == True) & F.col("customer_id").isin(  # noqa: E712
-        changed_ids
+    # close old versions of changed members (MERGE-update semantics).
+    # Semi-join against the staged keys — the ids are already a table;
+    # collecting them into an `isin` literal list would bloat the plan
+    # linearly with changed-member count.
+    is_cur = F.col("is_current") == True  # noqa: E712
+    n_closed = (
+        dim.filter(is_cur)
+        .join(staged.select("customer_id"), "customer_id", "left_semi")
+        .count()
     )
-    n_closed = dim.filter(closing).count()
-    store.update_where(
+    store.update_matched(
         dim_name,
-        closing,
+        staged.select("customer_id"),
+        ["customer_id"],
         {
             "is_current": F.lit(False),
             "effective_end_date": F.date_sub(F.current_date(), 1),
         },
+        extra_cond=is_cur,
     )
     store.append(dim_name, staged)
     write_job_control(
         store, "scd2_dim_customer", "gold", batch_id, "incremental",
         "SUCCESS", None, n_inserted,
+    )
+    emit_result(
+        "scd2_dim_customer", {"inserted": n_inserted, "closed": n_closed}
     )
     return {"inserted": n_inserted, "closed": n_closed}
 
@@ -621,7 +844,12 @@ def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
     silver = store.read("silver.transactions").filter(
         ~F.col("merchant_id").like("MERCH_9%")
     )
-    agg = silver.groupBy("merchant_id", "merchant_name", "location_type").agg(
+    # category = most common product_category, name = latest, per the
+    # reference's aggregate + best-record pick (``:55-82``)
+    agg = silver.groupBy(
+        "merchant_id", "merchant_name",
+        F.col("product_category").alias("category"), "location_type",
+    ).agg(
         F.countDistinct("transaction_id").alias("transaction_count"),
         F.max("transaction_timestamp").alias("last_transaction_date"),
     )
@@ -634,6 +862,7 @@ def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
                     F.desc("last_transaction_date"),
                     F.desc("transaction_count"),
                     F.col("merchant_name"),
+                    F.col("category"),
                 )
             ),
         )
@@ -645,18 +874,28 @@ def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
     today = F.current_date()
     far_future = F.lit("9999-12-31").cast("date")
 
-    if not store.exists(dim_name):
-        w = Window.orderBy("merchant_id")
-        initial = best.select(
-            F.row_number().over(w).cast("bigint").alias("merchant_key"),
-            "merchant_id", "merchant_name", "location_type",
-            "transaction_count", "last_transaction_date",
+    def dim_cols(df, key_col):
+        """10-column dim_merchant contract
+        (``docs/SCHEMA_REGISTRY.md:224-239``)."""
+        return df.select(
+            key_col,
+            "merchant_id", "merchant_name", "category", "location_type",
+            F.current_timestamp().alias("loaded_at"),
+            F.lit("payment_gateway").alias("source_system"),
             today.alias("effective_start_date"),
             far_future.alias("effective_end_date"),
             F.lit(True).alias("is_current"),
         )
+
+    if not store.exists(dim_name):
+        w = Window.orderBy("merchant_id")
+        initial = dim_cols(
+            best, F.row_number().over(w).cast("bigint").alias("merchant_key")
+        )
         store.overwrite(dim_name, initial)
-        return {"inserted": store.count(dim_name), "closed": 0}
+        n0 = store.count(dim_name)
+        emit_result("scd2_dim_merchant", {"inserted": n0, "closed": 0})
+        return {"inserted": n0, "closed": 0}
 
     dim = store.read(dim_name)
     current = dim.filter(F.col("is_current") == True)  # noqa: E712
@@ -673,50 +912,57 @@ def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
     )
     to_insert = new_members.unionByName(changed)
     w = Window.orderBy("merchant_id")
-    inserts = to_insert.select(
+    inserts = dim_cols(
+        to_insert,
         (F.row_number().over(w) + F.lit(max_key)).cast("bigint").alias("merchant_key"),
-        "merchant_id", "merchant_name", "location_type",
-        "transaction_count", "last_transaction_date",
-        today.alias("effective_start_date"),
-        far_future.alias("effective_end_date"),
-        F.lit(True).alias("is_current"),
     )
     store.overwrite("gold.dim_merchant_staging", inserts)
     staged = store.read("gold.dim_merchant_staging")
     n_inserted = staged.count()
 
-    changed_ids = [r.merchant_id for r in staged.select("merchant_id").collect()]
-    # same-day guard: a version opened today is REPLACED below (closed
-    # row would have end < start); reference guard ``:211``
-    closing = (
-        (F.col("is_current") == True)  # noqa: E712
-        & F.col("merchant_id").isin(changed_ids)
-        & (F.col("effective_start_date") < F.current_date())
+    # close changed members via semi-join against the staged key table
+    # (no driver-side id collection), with the same-day guard: a
+    # version opened today is REPLACED below, not closed (a closed row
+    # would have end < start); reference guard ``:211``
+    is_cur = F.col("is_current") == True  # noqa: E712
+    not_today = F.col("effective_start_date") < F.current_date()
+    n_closed = (
+        dim.filter(is_cur & not_today)
+        .join(staged.select("merchant_id"), "merchant_id", "left_semi")
+        .count()
     )
-    n_closed = dim.filter(closing).count()
-    store.update_where(
+    store.update_matched(
         dim_name,
-        closing,
+        staged.select("merchant_id"),
+        ["merchant_id"],
         {
             "is_current": F.lit(False),
             "effective_end_date": F.date_sub(F.current_date(), 1),
         },
+        extra_cond=is_cur & not_today,
     )
     # same-day churn: drop still-current same-day versions of changed
-    # merchants (guard above left them open) before inserting anew
-    same_day = store.read(dim_name).filter(
-        (F.col("is_current") == True)  # noqa: E712
-        & F.col("merchant_id").isin(changed_ids)
+    # merchants (guard above left them open) before inserting anew.
+    # Materialize the key set BEFORE delete_matched mutates the dim.
+    same_day = (
+        store.read(dim_name)
+        .filter(F.col("is_current") == True)  # noqa: E712
+        .join(staged.select("merchant_id"), "merchant_id", "left_semi")
+        .select("merchant_key")
     )
+    store.overwrite("gold.dim_merchant_sameday_keys", same_day)
     store.delete_matched(
         dim_name,
-        same_day.select("merchant_key"),
+        store.read("gold.dim_merchant_sameday_keys"),
         ["merchant_key"],
     )
     store.append(dim_name, staged)
     write_job_control(
         store, "scd2_dim_merchant", "gold", batch_id, "incremental",
         "SUCCESS", None, n_inserted,
+    )
+    emit_result(
+        "scd2_dim_merchant", {"inserted": n_inserted, "closed": n_closed}
     )
     return {"inserted": n_inserted, "closed": n_closed}
 
@@ -730,30 +976,46 @@ def build_static_dims(store: TableStore) -> None:
     descriptions."""
     silver = store.read("silver.transactions")
     w = Window.orderBy("payment_method")
+    # 5-column contract: key, method, description, loaded_at,
+    # source_system (``gold_dim_payment_methods.py:38-75``)
     pm = (
-        silver.select("payment_method").distinct()
+        silver.select("payment_method")
+        .filter(F.col("payment_method").isNotNull())
+        .distinct()
         .select(
             F.row_number().over(w).cast("bigint").alias("payment_method_key"),
             "payment_method",
             F.when(F.col("payment_method") == "UPI", "Unified Payments Interface")
-            .when(F.col("payment_method").like("%Card%"), "Card payment")
-            .when(F.col("payment_method") == "Wallet Balance", "Stored wallet")
-            .otherwise("Other")
-            .alias("payment_method_desc"),
+            .when(F.col("payment_method") == "Credit Card", "Credit Card Payment")
+            .when(F.col("payment_method") == "Debit Card", "Debit Card Payment")
+            .when(F.col("payment_method") == "Wallet Balance", "Digital Wallet Payment")
+            .when(F.col("payment_method") == "Bank Transfer", "Direct Bank Transfer")
+            .otherwise("Other Payment Method")
+            .alias("description"),
+            F.current_timestamp().alias("loaded_at"),
+            F.lit("payment_gateway").alias("source_system"),
         )
     )
     store.overwrite("gold.dim_payment_method", pm)
 
     ws = Window.orderBy("transaction_status")
+    # 6-column contract: key, status, category, is_successful,
+    # loaded_at, source_system (``gold_dim_status.py:38-78``)
     st = (
-        silver.select("transaction_status").distinct()
+        silver.select("transaction_status")
+        .filter(F.col("transaction_status").isNotNull())
+        .distinct()
         .select(
             F.row_number().over(ws).cast("bigint").alias("status_key"),
             "transaction_status",
             F.when(F.col("transaction_status") == "Successful", "COMPLETED")
-            .when(F.col("transaction_status") == "Failed", "TERMINAL_FAILURE")
-            .otherwise("IN_FLIGHT")
+            .when(F.col("transaction_status") == "Pending", "IN_PROGRESS")
+            .when(F.col("transaction_status") == "Failed", "FAILED")
+            .otherwise("UNKNOWN")
             .alias("status_category"),
+            (F.col("transaction_status") == "Successful").alias("is_successful"),
+            F.current_timestamp().alias("loaded_at"),
+            F.lit("payment_gateway").alias("source_system"),
         )
     )
     store.overwrite("gold.dim_status", st)
@@ -786,11 +1048,15 @@ def build_dim_date(store: TableStore, start: str = "2023-01-01",
 # ---------------------------------------------------------------- C8: fact build
 
 
-def build_fact(store: TableStore, batch_id: str) -> dict:
+def build_fact(
+    store: TableStore, batch_id: str, unknown_member: bool = False
+) -> dict:
     """C8 star-schema fact build (``validate_fact_transactions.py:26-333``
-    + ``load_fact_transactions.py:26-241``): watermark slice -> 4-dim
-    LEFT join (dims broadcast) -> derived measures -> null-FK audit ->
+    + ``load_fact_transactions.py:26-241``): watermark slice -> 5-dim
+    LEFT join (customer/merchant/payment/status/date, all broadcast) ->
+    derived measures + refund placeholders -> 5-key null-FK audit ->
     single-key MERGE."""
+    started = datetime.utcnow()
     wm = read_watermark(store, "gold")
     silver = store.read("silver.transactions")
     if wm is not None:
@@ -798,61 +1064,40 @@ def build_fact(store: TableStore, batch_id: str) -> dict:
     # P6 test-merchant exclusion (``validate_fact_transactions.py:81``)
     silver = silver.filter(~F.col("merchant_id").like("MERCH_9%"))
 
-    dim_c = store.read("gold.dim_customer").filter(F.col("is_current") == True)  # noqa: E712
-    dim_pm = store.read("gold.dim_payment_method")
-    dim_st = store.read("gold.dim_status")
-    dim_dt = store.read("gold.dim_date")
-
-    fact = (
-        silver.join(
-            F.broadcast(dim_c.select("customer_key", "customer_id")),
-            "customer_id", "left",
-        )
-        .join(F.broadcast(dim_pm.select("payment_method_key", "payment_method")),
-              "payment_method", "left")
-        .join(F.broadcast(dim_st.select("status_key", "transaction_status")),
-              "transaction_status", "left")
-        .join(
-            F.broadcast(dim_dt.select("date_key", "full_date")),
-            F.to_date("transaction_timestamp") == F.col("full_date"),
-            "left",
-        )
-        .select(
-            "transaction_id",
-            "customer_key", "payment_method_key", "status_key", "date_key",
-            "merchant_id", "device_type", "location_type", "currency",
-            "amount", "fee_amount", "cashback_amount", "loyalty_points",
-            # derived measures (``validate_fact_transactions.py:178-180``)
-            (F.col("amount") - F.col("fee_amount") + F.col("cashback_amount"))
-            .alias("net_customer_amount"),
-            (F.col("amount") - F.col("cashback_amount")).alias("merchant_net_amount"),
-            F.col("fee_amount").alias("gateway_revenue"),
-            "transaction_timestamp", "updated_at",
-        )
-    )
+    fact = _fact_frame(store, silver, unknown_member)
     store.overwrite("gold.fact_transactions_staging", fact)
     staged = store.read("gold.fact_transactions_staging")
 
-    # A4 null-FK audit (``validate_fact_transactions.py:233-241``)
+    # A4 null-FK audit over all 5 keys
+    # (``validate_fact_transactions.py:233-241``)
     audit = staged.agg(
         *[
             F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"null_{k}")
-            for k in ["customer_key", "payment_method_key", "status_key", "date_key"]
+            for k in FACT_FK_COLS
         ]
     ).collect()[0]
 
     n = staged.count()
+    n_before = store.count("gold.fact_transactions")
     store.upsert("gold.fact_transactions", staged, ["transaction_id"])
+    inserted = store.count("gold.fact_transactions") - n_before
     new_wm_rows = staged.agg(
         F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm")
     ).collect()
     new_wm = new_wm_rows[0].wm if n > 0 else wm
     write_job_control(
         store, "load_fact", "gold", batch_id, "incremental", "SUCCESS",
-        new_wm, n,
+        new_wm, n, records_read=n, started_at=started,
     )
-    return {"merged": n, "null_fk": {k: audit[k] for k in audit.asDict()},
-            "watermark": new_wm}
+    result = {
+        "merged": n,
+        "records_inserted": inserted,
+        "records_updated": n - inserted,
+        "null_fk": {k: audit[k] for k in audit.asDict()},
+        "watermark": new_wm,
+    }
+    emit_result("load_fact", result)
+    return result
 
 
 # ---------------------------------------------------------------- runner

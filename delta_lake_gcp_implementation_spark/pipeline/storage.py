@@ -12,13 +12,17 @@ provide the same four mutation primitives:
 - delete_matched    (S9  — ``MERGE ... WHEN MATCHED THEN DELETE``)
 - update_where      (S10 — in-place ``UPDATE ... SET ... WHERE``)
 
-When ``delta-spark`` is importable the upsert/delete/update go through
-Delta's transactional MERGE/UPDATE; otherwise a join-rewrite fallback
-produces the identical end state: target ⟕ source anti-join (rows the
-merge would keep unchanged) unioned with the source (rows
-inserted/updated).  The fallback matches MERGE's multi-match error
-semantics only if source keys are unique — which the pipeline
-guarantees by W1/W2 dedup upstream, exactly like the reference
+All mutations use a join-rewrite over parquet: target ⟕ source
+anti-join (rows the merge would keep unchanged) unioned with the
+source (rows inserted/updated).  This sandbox has no ``delta-spark``
+package, so the Delta MERGE/UPDATE branch is intentionally NOT
+implemented — the parquet fallback is the only path, and the pipeline
+stays storage-agnostic through this module's five primitives (swap in
+Delta/Iceberg implementations at deployment).  Delta's multi-match
+MERGE error semantics are available via ``upsert(...,
+require_unique_source=True)``, which raises like Delta does when two
+source rows hit one target key; the pipeline itself guarantees unique
+source keys by W1/W2 dedup upstream, exactly like the reference
 (``docs/KNOWN_ISSUES.md:355-364``).
 
 Scale notes: the fallback rewrites the whole table (Delta rewrites only
@@ -36,15 +40,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-
-def _delta_available() -> bool:
-    try:
-        import delta  # noqa: F401
-
-        return True
-    except Exception:
-        return False
 
 
 class TableStore:
@@ -77,9 +72,30 @@ class TableStore:
         caller passing an explicitly-projected frame."""
         self._replace(name, df)
 
-    def upsert(self, name: str, source: DataFrame, keys: list[str]) -> None:
+    def upsert(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str],
+        require_unique_source: bool = False,
+    ) -> None:
         """S7/S8 MERGE upsert on ``keys``.  Source keys MUST be unique
-        (guaranteed by W1/W2 dedup upstream, as in the reference)."""
+        (guaranteed by W1/W2 dedup upstream, as in the reference).
+
+        ``require_unique_source=True`` reproduces Delta MERGE's
+        multi-match error: if two source rows share a key, raise
+        instead of silently writing both (costs one extra aggregation
+        over the source — off in the hot path, where dedup is already
+        proven upstream)."""
+        if require_unique_source:
+            dup = (
+                source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"MERGE into {name}: multiple source rows match key "
+                    f"{[dup[0][k] for k in keys]} (Delta multi-match semantics)"
+                )
         if not self.exists(name):
             source.write.mode("overwrite").parquet(self.path(name))
             return
@@ -112,6 +128,35 @@ class TableStore:
                 col, F.when(F.col("__upd__"), value).otherwise(F.col(col))
             )
         self._replace(name, updated.drop("__upd__"))
+
+    def update_matched(
+        self,
+        name: str,
+        ids: DataFrame,
+        keys: list[str],
+        assignments: dict,
+        extra_cond=None,
+    ) -> None:
+        """S10 UPDATE where the row's key appears in ``ids`` (and
+        ``extra_cond`` holds, pre-update semantics).
+
+        The distributed twin of ``update_where(key.isin([...]))``:
+        the key set stays a broadcast DataFrame instead of a
+        driver-collected literal list, so plan size is O(1) no matter
+        how many keys match (a 10^6-element ``isin`` blows up the plan
+        long before 100x scale)."""
+        target = self.read(name)
+        flags = ids.select(*keys).distinct().withColumn("__match__", F.lit(True))
+        updated = target.join(F.broadcast(flags), keys, "left")
+        cond = F.col("__match__").isNotNull()
+        if extra_cond is not None:
+            cond = cond & extra_cond
+        updated = updated.withColumn("__upd__", cond)
+        for col, value in assignments.items():
+            updated = updated.withColumn(
+                col, F.when(F.col("__upd__"), value).otherwise(F.col(col))
+            )
+        self._replace(name, updated.drop("__upd__", "__match__").select(*target.columns))
 
     # ---------------------------------------------------------------- internals
 

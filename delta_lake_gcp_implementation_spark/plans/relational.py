@@ -953,7 +953,7 @@ ORACLE_SESSION_WINDOW = EV + """
 , flagged AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -74,7 +74,7 @@ def get_spark(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
         ).config(
             "spark.sql.catalog.spark_catalog",
-            "org.apache.spark.sql.catalog.DeltaCatalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
     if extra_conf:
         for k, v in extra_conf.items():

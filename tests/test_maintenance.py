@@ -44,6 +44,48 @@ def test_cluster_by_sorts_layout(spark, store, sf_dir):
         assert prev.hi <= cur.lo
 
 
+def test_file_count_walks_partitioned_layout(spark, store, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    mt.write_partitioned(store, "t.ev_fc", ev, ["event_date"])
+    assert mt.file_count(store, "t.ev_fc") > 0
+
+
+def test_update_matched_equals_isin_update(spark, store, sf_dir):
+    """update_matched (broadcast key-table semi-join) must produce the
+    same end state as update_where with a literal isin list."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    store.overwrite("t.a", ev)
+    store.overwrite("t.b", ev)
+    ids = [r.event_id for r in ev.limit(50).collect()]
+    store.update_where(
+        "t.a", F.col("event_id").isin(ids) & (F.col("value") > 100),
+        {"value": F.lit(-1.0)},
+    )
+    key_df = spark.createDataFrame([(i,) for i in ids], "event_id string")
+    store.update_matched(
+        "t.b", key_df, ["event_id"], {"value": F.lit(-1.0)},
+        extra_cond=F.col("value") > 100,
+    )
+    a = {(r.event_id, r.value) for r in store.read("t.a").collect()}
+    b = {(r.event_id, r.value) for r in store.read("t.b").collect()}
+    assert a == b
+    assert store.read("t.b").columns == ["event_id", "user_id", "value"]
+
+
+def test_upsert_multimatch_raises_like_delta(spark, store, sf_dir):
+    """Delta MERGE errors when two source rows hit one target key;
+    require_unique_source=True reproduces that contract."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value").limit(100)
+    store.overwrite("t.tgt", ev)
+    dup_source = ev.limit(10).union(ev.limit(10))
+    with pytest.raises(ValueError, match="multiple source rows"):
+        store.upsert("t.tgt", dup_source, ["event_id"], require_unique_source=True)
+    # unique source passes through the same gate
+    store.upsert("t.tgt", ev.limit(10), ["event_id"], require_unique_source=True)
+
+
 def test_partitioned_write_prunes(spark, store, sf_dir):
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")

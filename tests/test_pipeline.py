@@ -198,7 +198,10 @@ def test_full_refresh_resets_state(spark, store):
     raw1, _ = _day(spark, 1)
     medallion.run_incremental(store, raw1)
     raw_all = raw1
-    r = medallion.full_refresh_bronze(store, raw_all, "BATCH_FR")
+    # destructive-op gate (silver_full_refresh_dag.py:27-58 analog)
+    with pytest.raises(ValueError, match="confirm"):
+        medallion.full_refresh_bronze(store, raw_all, "BATCH_FR")
+    r = medallion.full_refresh_bronze(store, raw_all, "BATCH_FR", confirm="YES")
     assert r["written"] == store.count("bronze.transactions")
     assert r["watermark"] is not None
 
@@ -209,8 +212,8 @@ def test_full_refresh_silver_and_fact_match_incremental(spark, store):
         medallion.run_incremental(store, raw)
     n_silver_inc = store.count("silver.transactions")
     n_fact_inc = store.count("gold.fact_transactions")
-    rs = medallion.full_refresh_silver(store, "BATCH_FRS")
-    rf = medallion.full_refresh_fact(store, "BATCH_FRF")
+    rs = medallion.full_refresh_silver(store, "BATCH_FRS", confirm="YES")
+    rf = medallion.full_refresh_fact(store, "BATCH_FRF", confirm="YES")
     # rebuild-from-scratch converges to the incrementally-built state
     assert rs["written"] == n_silver_inc
     assert rf["written"] == n_fact_inc
@@ -225,18 +228,172 @@ def test_fact_star_and_null_fk_audit(spark, store):
     raw1, _ = _day(spark, 1)
     r = medallion.run_incremental(store, raw1)
     audit = r["fact"]["null_fk"]
-    # every FK resolves except for rows we know lack dims
+    # all FIVE FKs resolve (validate_fact_transactions.py:233-241)
     assert audit["null_customer_key"] == 0
+    assert audit["null_merchant_key"] == 0
     assert audit["null_payment_method_key"] == 0
     assert audit["null_status_key"] == 0
     assert audit["null_date_key"] == 0
     fact = store.read("gold.fact_transactions")
+    # 30-column contract (docs/SCHEMA_REGISTRY.md:155-189)
+    assert fact.columns == medallion.FACT_COLS
     # measures derived correctly on a sample row
     row = fact.first()
     assert abs(row.net_customer_amount - (row.amount - row.fee_amount + row.cashback_amount)) < 1e-9
     assert abs(row.merchant_net_amount - (row.amount - row.cashback_amount)) < 1e-9
-    # MERCH_9xxx excluded from gold (P6)
-    assert fact.filter(F.col("merchant_id").like("MERCH_9%")).count() == 0
+    # refund placeholders
+    assert row.is_refunded is False and row.refund_amount is None
+    assert row.attempt_number == 1
+    # MERCH_9xxx never enters dim_merchant (P6), and null_merchant_key
+    # == 0 above proves no fact row references an excluded merchant
+    dim_m = store.read("gold.dim_merchant")
+    assert dim_m.filter(F.col("merchant_id").like("MERCH_9%")).count() == 0
+    # every fact merchant_key resolves to a current dim row
+    unresolved = fact.join(
+        dim_m.filter(F.col("is_current") == True).select("merchant_key"),  # noqa: E712
+        "merchant_key", "left_anti",
+    ).count()
+    assert unresolved == 0
+
+
+def test_fact_merchant_rollup_through_key(spark, store):
+    """Merchant-sliced revenue through merchant_key (the reference's
+    top-10 revenue demo, Gold Layer README.md:417-431)."""
+    raw1, _ = _day(spark, 1)
+    medallion.run_incremental(store, raw1)
+    fact = store.read("gold.fact_transactions")
+    dim_m = store.read("gold.dim_merchant").filter(F.col("is_current") == True)  # noqa: E712
+    top = (
+        fact.join(F.broadcast(dim_m.select("merchant_key", "merchant_name")),
+                  "merchant_key")
+        .groupBy("merchant_name")
+        .agg(F.sum("merchant_net_amount").alias("revenue"),
+             F.count("*").alias("txns"))
+        .orderBy(F.desc("revenue"))
+        .limit(10)
+        .collect()
+    )
+    assert len(top) == 10
+    assert all(t.revenue is not None and t.txns > 0 for t in top)
+    # descending order
+    revs = [t.revenue for t in top]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_unknown_member_resolves_to_minus_one(spark, store):
+    """docs/VALIDATION_RULES.md:167-182: unresolvable FKs become -1,
+    not NULL, when unknown_member=True."""
+    raw1, _ = _day(spark, 1)
+    medallion.run_incremental(store, raw1)
+    # orphan one customer: remove it from the dim, then rebuild
+    victim = store.read("gold.dim_customer").first().customer_id
+    victim_keys = (
+        store.read("gold.dim_customer")
+        .filter(F.col("customer_id") == victim)
+        .select("customer_key")
+    )
+    store.overwrite("tmp.victim_keys", victim_keys)
+    store.delete_matched(
+        "gold.dim_customer", store.read("tmp.victim_keys"), ["customer_key"]
+    )
+    medallion.full_refresh_fact(
+        store, "BATCH_UNK", confirm="YES", unknown_member=True
+    )
+    fact = store.read("gold.fact_transactions")
+    orphaned = fact.filter(F.col("customer_key") == -1).count()
+    assert orphaned > 0
+    assert fact.filter(F.col("customer_key").isNull()).count() == 0
+
+
+def test_job_control_contract_and_runbook_queries(spark, store):
+    """23-column job_control contract (docs/SCHEMA_REGISTRY.md:53-81)
+    expressed by replaying the RUNBOOK monitoring queries
+    (bronze/README.md:365-405)."""
+    raw1, _ = _day(spark, 1)
+    medallion.run_incremental(store, raw1)
+    jc = store.read("job_control")
+    assert jc.columns == [
+        "job_name", "layer", "batch_id", "run_mode", "status",
+        "processing_date", "start_date", "end_date",
+        "last_processed_timestamp", "last_processed_batch_id",
+        "records_read", "records_written", "records_failed",
+        "records_quarantined", "started_at", "completed_at",
+        "duration_seconds", "retry_count", "max_retries", "error_message",
+        "triggered_by", "dataproc_cluster", "spark_app_id",
+    ]
+    jc.createOrReplaceTempView("job_control")
+    # success rate (RUNBOOK)
+    rates = spark.sql("""
+        SELECT job_name, COUNT(*) AS total_runs,
+               SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END) AS ok,
+               ROUND(100.0 * SUM(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END)
+                     / COUNT(*), 2) AS success_rate_pct
+        FROM job_control
+        WHERE started_at >= CURRENT_DATE - INTERVAL 7 DAY
+        GROUP BY job_name
+    """).collect()
+    assert rates and all(r.success_rate_pct == 100.0 for r in rates)
+    # quarantine rate (RUNBOOK)
+    qrate = spark.sql("""
+        SELECT DATE(started_at) AS date,
+               SUM(records_quarantined) AS quarantined,
+               SUM(records_written) AS loaded
+        FROM job_control GROUP BY DATE(started_at)
+    """).collect()
+    assert qrate and qrate[0].loaded > 0
+    # duration by mode (RUNBOOK)
+    durs = spark.sql("""
+        SELECT run_mode, AVG(duration_seconds) AS avg_s,
+               MAX(duration_seconds) AS max_s
+        FROM job_control WHERE status = 'SUCCESS' GROUP BY run_mode
+    """).collect()
+    assert durs and all(d.avg_s is not None for d in durs)
+
+
+def test_result_json_contract(spark, store, capsys):
+    raw1, _ = _day(spark, 1)
+    import json as _json
+
+    medallion.run_incremental(store, raw1)
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("RESULT_JSON:")
+    ]
+    assert len(lines) >= 5  # bronze, silver, 2x scd2, fact
+    for ln in lines:
+        payload = _json.loads(ln[len("RESULT_JSON:"):])
+        assert "job_name" in payload
+
+
+def test_schema_contracts(spark, store):
+    """Column-list parity with docs/SCHEMA_REGISTRY.md for quarantine
+    (24), dim_customer (12), dim_merchant (10), dim_payment_method (5),
+    dim_status (6)."""
+    raw1, _ = _day(spark, 1)
+    medallion.run_incremental(store, raw1)
+    assert store.read("bronze.quarantine").columns == medallion.RAW_COLS + [
+        "delta_change_type", "delta_version", "error_reason", "error_tier",
+        "quarantined_at", "source_file", "processing_batch_id",
+    ]
+    assert store.read("gold.dim_customer").columns == [
+        "customer_key", "customer_id", "customer_tier", "is_active",
+        "first_transaction_date", "last_transaction_date", "lifetime_value",
+        "loaded_at", "source_system", "effective_start_date",
+        "effective_end_date", "is_current",
+    ]
+    assert store.read("gold.dim_merchant").columns == [
+        "merchant_key", "merchant_id", "merchant_name", "category",
+        "location_type", "loaded_at", "source_system",
+        "effective_start_date", "effective_end_date", "is_current",
+    ]
+    assert store.read("gold.dim_payment_method").columns == [
+        "payment_method_key", "payment_method", "description", "loaded_at",
+        "source_system",
+    ]
+    assert store.read("gold.dim_status").columns == [
+        "status_key", "transaction_status", "status_category",
+        "is_successful", "loaded_at", "source_system",
+    ]
 
 
 def test_dim_date_attributes(spark, store):
