@@ -160,19 +160,60 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def _fits_broadcast(df: DataFrame, budget_bytes: int = 256 << 20) -> bool:
+    """Catalyst size estimate for the broadcast-vs-partition decision.
+
+    ``localCheckpoint``-ed frames report their true materialized size;
+    un-materialized plans report Catalyst's estimate — both err on the
+    large side for array columns, which is the safe direction here
+    (falling back to the partitioned join costs a shuffle, never an
+    executor OOM)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return False
+    return 0 <= size <= budget_bytes
+
+
+def _pair_lookup_join(
+    candidates: DataFrame, a: DataFrame, b: DataFrame, broadcast_sides: bool
+) -> DataFrame:
+    """Join per-doc payload tables onto (id_a, id_b) candidate pairs.
+
+    ``broadcast_sides=True``: two broadcast hash joins — zero shuffle,
+    correct while the payload table fits in executor memory.
+    ``False``: the corpus-scale path — shuffle-hash equi-joins that
+    hash-partition candidates and payloads on the id.  SHUFFLE_HASH is
+    hinted explicitly: a sort-merge join would sort rows carrying
+    multi-KB array payloads, paying the payload cost log n times."""
+    if broadcast_sides:
+        return candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    return (
+        candidates.join(a.hint("shuffle_hash"), "id_a")
+        .join(b.hint("shuffle_hash"), "id_b")
+    )
+
+
 def minhash_agreement_filter(
     candidates: DataFrame,
     signatures: DataFrame,
     id_col: str,
     n_hashes: int,
     min_agree: int,
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """Sketch precision filter between LSH recall and exact verify:
     keep candidate pairs whose signatures agree on >= ``min_agree`` of
     ``n_hashes`` positions (agreement/n is an unbiased Jaccard
-    estimate).  Costs two broadcast joins over signature tables —
-    measured ~10x candidate reduction on the self-similar sf0.1
-    documents corpus before the expensive exact intersection."""
+    estimate) — measured ~10x candidate reduction on the self-similar
+    sf0.1 documents corpus before the expensive exact intersection.
+
+    ``broadcast_sets``: True = broadcast the signature tables (right
+    while docs ≪ executor memory), False = hash-partitioned
+    shuffle join (the 100 TB path), None = decide by Catalyst size
+    estimate."""
     sa = signatures.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
@@ -188,9 +229,10 @@ def minhash_agreement_filter(
         ],
         F.lit(0),
     )
+    if broadcast_sets is None:
+        broadcast_sets = _fits_broadcast(sa)
     return (
-        candidates.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        _pair_lookup_join(candidates, sa, sb, broadcast_sets)
         .withColumn("__agree", agree)
         .filter(F.col("__agree") >= min_agree)
         .select("id_a", "id_b")
@@ -204,6 +246,7 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for (candidate) pairs.
 
@@ -241,14 +284,20 @@ def ngram_jaccard_pairs(
         )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"))
-    # broadcast the per-doc set tables: they are |docs|-sized but their
-    # array payloads push the size ESTIMATE past the auto-broadcast
-    # threshold, and a sort-merge join would sort candidate rows
-    # carrying multi-KB arrays.  At corpus scale (sets no longer
-    # broadcastable) pre-partition candidates and sets on the id.
+    # Two execution strategies for attaching the per-doc set tables
+    # (``broadcast_sets``: None = pick by Catalyst size estimate):
+    # - broadcast: zero-shuffle, right while the set table fits in
+    #   executor memory (the sf0.1 case — the array payloads push the
+    #   size ESTIMATE past Spark's auto-broadcast threshold, so the
+    #   hint is explicit);
+    # - partitioned: candidates and sets hash-partitioned on the id
+    #   via SHUFFLE_HASH joins (never sort-merge: SMJ would sort rows
+    #   carrying multi-KB arrays) — the corpus-scale path where a
+    #   broadcast would OOM the executors.
+    if broadcast_sets is None:
+        broadcast_sets = _fits_broadcast(a)
     return (
-        candidates.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        _pair_lookup_join(candidates, a, b, broadcast_sets)
         .select(
             "id_a",
             "id_b",

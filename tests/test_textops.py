@@ -177,6 +177,48 @@ def test_exact_dedup_on_documents(spark, sf_dir):
     assert out.count() == d.count()
 
 
+def test_ngram_jaccard_partitioned_path_identical(spark, sf_dir):
+    """The broadcast and hash-partitioned (100 TB) join strategies must
+    return the same pairs — same LSH candidates in, same exact
+    intersections out."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup_ops.char_shingles(d, "text", "doc_id", k=5)
+    sig = dedup_ops.minhash_signatures(sh, "doc_id", n_hashes=8).localCheckpoint()
+    cands = dedup_ops.minhash_candidate_pairs(sig, "doc_id", n_hashes=8, band_size=2)
+
+    def rows(broadcast_sets):
+        filtered = dedup_ops.minhash_agreement_filter(
+            cands, sig, "doc_id", n_hashes=8, min_agree=4,
+            broadcast_sets=broadcast_sets,
+        )
+        out = dedup_ops.ngram_jaccard_pairs(
+            d, "text", "doc_id", k=5, threshold=0.5, candidates=filtered,
+            broadcast_sets=broadcast_sets,
+        )
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 12)) for r in out.collect()
+        }
+
+    assert rows(True) == rows(False)
+
+
+def test_pair_lookup_partitioned_plan_has_no_broadcast(spark, sf_dir):
+    """The partitioned path must not smuggle a broadcast back in via
+    AQE/auto-broadcast: its physical plan should contain shuffle-hash
+    joins over the payload tables, no BroadcastExchange."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup_ops.char_shingles(d, "text", "doc_id", k=5)
+    sig = dedup_ops.minhash_signatures(sh, "doc_id", n_hashes=8).localCheckpoint()
+    cands = dedup_ops.minhash_candidate_pairs(sig, "doc_id", n_hashes=8, band_size=2)
+    out = dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=5, threshold=0.5, candidates=cands,
+        broadcast_sets=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both payload-attachment joins honor the SHUFFLE_HASH hint
+    assert plan.count("ShuffledHashJoin") >= 2
+
+
 def test_multimodal_metadata_bytes(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "zz")], ["doc_id", "text"])
     out = {
