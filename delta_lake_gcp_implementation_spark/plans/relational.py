@@ -281,6 +281,47 @@ GROUP BY r_name, n_name
 """
 
 
+def q_supplier_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 star rollup through the SUPPLIER dim chain — the TPC-H analog
+    of the reference's merchant-sliced revenue report through
+    ``merchant_key`` (``Gold Layer README.md:417-431``,
+    ``validate_fact_transactions.py:208-211``): the fact joined to a
+    second independent dim hierarchy, top suppliers by revenue."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    rolled = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.count("*").alias("lineitem_count"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount")).cast("decimal(8,2)")
+            )
+            .cast("decimal(30,4)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return win_ops.top_k(rolled, [F.col("revenue").desc(), F.col("s_suppkey")], 25)
+
+
+ORACLE_SUPPLIER_ROLLUP = """
+SELECT s_suppkey, s_name, n_name,
+       count(*) AS lineitem_count,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_suppkey, s_name, n_name
+ORDER BY revenue DESC, s_suppkey
+LIMIT 25
+"""
+
+
 def q_fact_build(spark: SparkSession, sf: str) -> DataFrame:
     """C8 row-level fact build: J1 five-way star join + derived measures
     (net amount shape of ``validate_fact_transactions.py:178-180``) +

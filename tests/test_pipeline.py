@@ -396,6 +396,20 @@ def test_schema_contracts(spark, store):
     ]
 
 
+def test_fact_plan_broadcasts_all_five_dims(spark, store):
+    """The 100 TB-correct star plan: every dim side is a broadcast hash
+    join — the silver fact stream must never shuffle for a dim."""
+    raw1, _ = _day(spark, 1)
+    medallion.run_incremental(store, raw1)
+    silver = store.read("silver.transactions").filter(
+        ~F.col("merchant_id").like("MERCH_9%")
+    )
+    fact = medallion._fact_frame(store, silver)
+    plan = fact._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
 def test_dim_date_attributes(spark, store):
     medallion.build_dim_date(store, "2024-01-01", "2024-01-31")
     dd = store.read("gold.dim_date")
