@@ -43,6 +43,7 @@ CATALOG: dict[str, QuerySpec] = {
     "point_in_time": QuerySpec(R.q_point_in_time, R.ORACLE_POINT_IN_TIME),
     # aggregations
     "customer_rollup": QuerySpec(R.q_customer_rollup, R.ORACLE_CUSTOMER_ROLLUP),
+    "tier_analysis": QuerySpec(R.q_tier_analysis, R.ORACLE_TIER_ANALYSIS),
     "multikey_distinct_agg": QuerySpec(
         R.q_multikey_distinct_agg, R.ORACLE_MULTIKEY_DISTINCT_AGG
     ),

@@ -497,6 +497,60 @@ GROUP BY o_custkey
 """
 
 
+def q_tier_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """BI tier analysis (``Gold Layer README.md:433-447``): derive the
+    customer tier ladder, then roll revenue up BY tier — the two-stage
+    agg every tier dashboard runs.  Tier table is customer-grained and
+    broadcast back onto orders."""
+    o = load_table(spark, sf, "orders")
+    tiers = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders")
+    ).select(
+        "o_custkey",
+        F.when(F.col("n_orders") >= 15, "Platinum")
+        .when(F.col("n_orders") >= 10, "Gold")
+        .when(F.col("n_orders") >= 5, "Silver")
+        .otherwise("Bronze")
+        .alias("customer_tier"),
+    )
+    return (
+        o.join(F.broadcast(tiers), "o_custkey")
+        .groupBy("customer_tier")
+        .agg(
+            F.countDistinct("o_custkey").alias("customers"),
+            F.count("*").alias("transactions"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(30,2)")
+            .cast("double")
+            .alias("total_amount"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_amount"),
+        )
+    )
+
+
+ORACLE_TIER_ANALYSIS = """
+WITH tiers AS (
+    SELECT o_custkey,
+           CASE WHEN count(*) >= 15 THEN 'Platinum'
+                WHEN count(*) >= 10 THEN 'Gold'
+                WHEN count(*) >= 5 THEN 'Silver'
+                ELSE 'Bronze' END AS customer_tier
+    FROM orders GROUP BY o_custkey
+)
+SELECT customer_tier,
+       count(DISTINCT o.o_custkey) AS customers,
+       count(*) AS transactions,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE)
+           AS total_amount,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_amount
+FROM orders o JOIN tiers t ON o.o_custkey = t.o_custkey
+GROUP BY customer_tier
+"""
+
+
 def q_multikey_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
     """A3 multi-key group with COUNT(DISTINCT)
     (``gold_dim_merchant_scd2.py:33-47``)."""

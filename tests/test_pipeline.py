@@ -396,6 +396,46 @@ def test_schema_contracts(spark, store):
     ]
 
 
+def test_bi_star_join_smoke_and_tier_analysis(spark, store):
+    """Replay the reference's documented BI queries over our Gold star
+    (Gold Layer README.md:390-447): the 6-table star join resolves for
+    every fact row, and tier analysis aggregates through dim_customer."""
+    raw1, _ = _day(spark, 1)
+    medallion.run_incremental(store, raw1)
+    for t in ["fact_transactions", "dim_customer", "dim_merchant",
+              "dim_payment_method", "dim_status", "dim_date"]:
+        store.read(f"gold.{t}").createOrReplaceTempView(t)
+    joined = spark.sql("""
+        SELECT f.transaction_id, dc.customer_tier, dm.merchant_name,
+               dpm.payment_method, ds.transaction_status, dd.full_date,
+               f.amount, f.gateway_revenue
+        FROM fact_transactions f
+        JOIN dim_customer dc
+          ON f.customer_key = dc.customer_key AND dc.is_current = true
+        JOIN dim_merchant dm
+          ON f.merchant_key = dm.merchant_key AND dm.is_current = true
+        JOIN dim_payment_method dpm
+          ON f.payment_method_key = dpm.payment_method_key
+        JOIN dim_status ds ON f.status_key = ds.status_key
+        JOIN dim_date dd ON f.date_key = dd.date_key
+    """)
+    # inner joins lose no rows: every FK resolves
+    assert joined.count() == store.count("gold.fact_transactions")
+    tiers = spark.sql("""
+        SELECT dc.customer_tier,
+               COUNT(DISTINCT f.customer_key) AS customers,
+               COUNT(*) AS transactions,
+               SUM(f.amount) AS total_amount,
+               AVG(f.amount) AS avg_amount
+        FROM fact_transactions f
+        JOIN dim_customer dc
+          ON f.customer_key = dc.customer_key AND dc.is_current = true
+        GROUP BY dc.customer_tier
+        ORDER BY total_amount DESC
+    """).collect()
+    assert tiers and sum(t.transactions for t in tiers) == joined.count()
+
+
 def test_fact_plan_broadcasts_all_five_dims(spark, store):
     """The 100 TB-correct star plan: every dim side is a broadcast hash
     join — the silver fact stream must never shuffle for a dim."""
