@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard",
+    "dup_clusters",
     "simhash_near_dups",
     "cosine_topk",
     "ann_lsh_topk",

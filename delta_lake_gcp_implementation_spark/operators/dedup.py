@@ -317,6 +317,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over near-dup
+    ``(id_a, id_b)`` pairs by iterative min-label propagation.  Returns
+    ``(id, component)`` where component = the smallest id reachable
+    through the pair graph (singletons map to themselves), i.e. the
+    canonical representative every corpus-dedup pipeline keeps.
+
+    Plan shape per iteration: one equi-join of the symmetric edge list
+    against current labels + a min-aggregation — all hash-partitioned
+    on id, no driver-side graph state, so it scales like any shuffle
+    join (this is the standard label-propagation CC used at corpus
+    scale; GraphFrames' algorithm is the same idea plus star
+    contractions).  Each iteration is ``localCheckpoint``-ed: iterative
+    lineage otherwise grows the plan exponentially.  Convergence in
+    O(cluster diameter) iterations — near-dup clusters from LSH are
+    dense, so typically 2-4."""
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_comp"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
 def simhash_bits(
     df: DataFrame, text_col: str, id_col: str, bits: int = 32
 ) -> DataFrame:

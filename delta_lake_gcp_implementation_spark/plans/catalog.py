@@ -79,6 +79,9 @@ CATALOG: dict[str, QuerySpec] = {
     # pipeline-shaped (C7/C10 as queries)
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
+    # corpus dedup-cluster resolution + curation composite
+    "dup_clusters": QuerySpec(X.q_dup_clusters, X.ORACLE_DUP_CLUSTERS),
+    "corpus_curation": QuerySpec(X.q_corpus_curation, X.ORACLE_CORPUS_CURATION),
     # text analysis (documents)
     "token_counts": QuerySpec(X.q_token_counts, X.ORACLE_TOKEN_COUNTS),
     "quality_score": QuerySpec(X.q_quality_score, X.ORACLE_QUALITY_SCORE),

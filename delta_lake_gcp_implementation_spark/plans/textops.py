@@ -66,6 +66,16 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", *T.quality_metrics(F.col("text")))
 
 
+_SQL_BUCKET = f"""CASE WHEN ({_SQL_NTOK}) < 5
+                 OR (CASE WHEN {_SQL_NTOK} = 0 THEN 0.0
+                          ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                               / ({_SQL_NTOK}) END) < 2.0 THEN 'LOW'
+            WHEN ({_SQL_SW_RATIO}) >= 0.05
+                 AND (CASE WHEN len(text) = 0 THEN 0.0
+                           ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS DOUBLE)
+                                / len(text) END) < 0.2 THEN 'HIGH'
+            ELSE 'MEDIUM' END"""
+
 ORACLE_QUALITY_SCORE = f"""
 SELECT doc_id,
        CAST(len(text) AS BIGINT) AS n_chars_measured,
@@ -77,15 +87,7 @@ SELECT doc_id,
             ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS DOUBLE)
                  / len(text) END AS punct_ratio,
        {_SQL_SW_RATIO} AS stopword_ratio,
-       CASE WHEN ({_SQL_NTOK}) < 5
-                 OR (CASE WHEN {_SQL_NTOK} = 0 THEN 0.0
-                          ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                               / ({_SQL_NTOK}) END) < 2.0 THEN 'LOW'
-            WHEN ({_SQL_SW_RATIO}) >= 0.05
-                 AND (CASE WHEN len(text) = 0 THEN 0.0
-                           ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS DOUBLE)
-                                / len(text) END) < 0.2 THEN 'HIGH'
-            ELSE 'MEDIUM' END AS quality_bucket
+       {_SQL_BUCKET} AS quality_bucket
 FROM documents
 """
 
@@ -244,6 +246,123 @@ ORACLE_MINHASH_LSH_PAIRS = (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash+LSH candidate pairs ->
+    connected components -> (doc_id, cluster_id, is_canonical), the
+    keep/drop verdict of a corpus dedup pass (cluster_id = smallest
+    reachable doc_id; the canonical doc is the one kept)."""
+    d = load_table(spark, sf, "documents")
+    sig = q_minhash_signatures(spark, sf).localCheckpoint()
+    pairs = dedup_ops.minhash_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND
+    )
+    cc = dedup_ops.connected_components(pairs, d.select("doc_id"), "doc_id")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# Oracle: transitive closure via recursive CTE — exact same component
+# definition (min reachable id) as the Spark label propagation.
+ORACLE_DUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES.lstrip()
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       min(dst) AS cluster_id,
+       (min(dst) = src) AS is_canonical
+FROM reach GROUP BY src
+"""
+)
+
+
+def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation verdict — the composite every
+    training-data pipeline runs per document: language filter (en) +
+    quality filter (bucket != LOW) + near-dup resolution (keep only
+    cluster canonicals).  Returns the KEPT set with the evidence
+    columns.  One pass over documents for the scalar filters plus the
+    CC label join — no extra shuffles beyond the dedup stage itself."""
+    d = load_table(spark, sf, "documents")
+    scalars = d.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        *T.quality_metrics(F.col("text")),
+    ).select("doc_id", "lang_pred", "quality_bucket")
+    clusters = q_dup_clusters(spark, sf)
+    return (
+        scalars.join(clusters, "doc_id")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality_bucket") != "LOW")
+            & F.col("is_canonical")
+        )
+        .select("doc_id", "lang_pred", "quality_bucket", "cluster_id")
+    )
+
+
+ORACLE_CORPUS_CURATION = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES.lstrip()
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + f""",
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           (min(dst) = src) AS is_canonical
+    FROM reach GROUP BY src
+),
+scalars AS (
+    SELECT doc_id,
+           {_lang_ladder_sql()} AS lang_pred,
+           {_SQL_BUCKET} AS quality_bucket
+    FROM documents
+)
+SELECT s.doc_id, s.lang_pred, s.quality_bucket, c.cluster_id
+FROM scalars s JOIN clusters c ON s.doc_id = c.doc_id
+WHERE s.lang_pred = 'en' AND s.quality_bucket <> 'LOW' AND c.is_canonical
 """
 )
 

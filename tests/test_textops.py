@@ -177,6 +177,19 @@ def test_exact_dedup_on_documents(spark, sf_dir):
     assert out.count() == d.count()
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation must traverse a worst-case chain (labels
+    move one hop per iteration) and leave singletons self-labeled."""
+    ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    # chain 0-1-2-3-4, pair 5-6, singleton 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+    )
+    cc = dedup_ops.connected_components(pairs, ids, "doc_id")
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+
+
 def test_ngram_jaccard_partitioned_path_identical(spark, sf_dir):
     """The broadcast and hash-partitioned (100 TB) join strategies must
     return the same pairs — same LSH candidates in, same exact
