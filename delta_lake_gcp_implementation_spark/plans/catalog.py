@@ -37,6 +37,7 @@ CATALOG: dict[str, QuerySpec] = {
     # joins
     "star_rollup": QuerySpec(R.q_star_rollup, R.ORACLE_STAR_ROLLUP),
     "supplier_rollup": QuerySpec(R.q_supplier_rollup, R.ORACLE_SUPPLIER_ROLLUP),
+    "promo_revenue": QuerySpec(R.q_promo_revenue, R.ORACLE_PROMO_REVENUE),
     "fact_build": QuerySpec(R.q_fact_build, R.ORACLE_FACT_BUILD),
     "anti_join": QuerySpec(R.q_anti_join, R.ORACLE_ANTI_JOIN),
     "semi_join": QuerySpec(R.q_semi_join, R.ORACLE_SEMI_JOIN),

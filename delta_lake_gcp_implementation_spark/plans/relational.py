@@ -370,6 +370,49 @@ LEFT JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/A4 product-dimension slice (TPC-H Q14 shape): monthly share
+    of revenue from PROMO-type parts — equi-join lineitem to part,
+    conditional decimal-exact sums, one final double division.
+    ``part`` is broadcast here (small at test SF); at 100 TB the part
+    dim exceeds broadcast size and this becomes a plain shuffled
+    equi-join on l_partkey — same plan text minus the hint."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(8,2)")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(21,4)")
+                )).cast("double")
+                * 100.0
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.sum(rev).cast("decimal(30,4)").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE) * 100.0
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+                  AS DOUBLE) AS promo_pct,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2)))
+            AS DECIMAL(30,4)) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
 def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     """J3 anti join: customers with no orders (NOT EXISTS new-member
     shape, ``gold_dim_customer_scd2.py:76-96``)."""
