@@ -347,14 +347,16 @@ def connected_components(
     labels = ids.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
+    # labels are one row per doc — usually broadcastable, which keeps
+    # the (much larger) edge table in place with zero shuffle on the
+    # join side; fall back to a shuffled join at corpus scale
+    bcast_labels = _fits_broadcast(labels)
     for _ in range(max_iterations):
+        lab_dst = labels.select(
+            F.col("id").alias("dst"), F.col("component").alias("dst_comp")
+        )
         nbr_min = (
-            sym.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("component").alias("dst_comp")
-                ),
-                "dst",
-            )
+            sym.join(F.broadcast(lab_dst) if bcast_labels else lab_dst, "dst")
             .groupBy("src")
             .agg(F.min("dst_comp").alias("nbr_comp"))
             .withColumnRenamed("src", "id")
