@@ -43,6 +43,10 @@ HEADLINE = [
     "simhash_near_dups",
     "cosine_topk",
     "ann_lsh_topk",
+    # corpus curation family
+    "contamination_check",
+    "token_packing",
+    "stratified_sample",
 ]
 
 

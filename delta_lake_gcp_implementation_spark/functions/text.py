@@ -146,6 +146,51 @@ def fingerprint_int60(text_col: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------- normalization / PII
+#
+# Patterns are ASCII-only and avoid lookaround/backrefs so Java regex
+# (Spark) and RE2 (DuckDB) parse them identically; the oracle mirrors
+# each replacement with DuckDB's 'g'-flag regexp_replace (Spark's
+# regexp_replace is global by default).
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def normalize_text(text_col: Column) -> Column:
+    """Training-corpus text normalization: lowercase, strip
+    non-alphanumeric to spaces, collapse whitespace runs, trim.  Pure
+    per-row expressions — whole-stage codegen, no shuffle, scales with
+    the scan."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9\\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def scrub_pii(text_col: Column) -> Column:
+    """Redact email / phone / IPv4 literals with typed placeholder
+    tokens (email first: its local part may contain digits that the
+    other patterns would otherwise partially consume)."""
+    scrubbed = F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(scrubbed, PII_IPV4, "<IP>")
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-row redaction counts (match counts of each PII pattern) —
+    the audit side of :func:`scrub_pii`."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text_col, F.lit(PII_PHONE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text_col, F.lit(PII_IPV4), 0)),
+    }
+
+
 def rolling_min_fingerprint(text_col: Column, k: int = 8) -> Column:
     """Winnowing-style content fingerprint: minimum 60-bit hash over all
     character k-grams.  Robust to local edits (an edit changes only the

@@ -12,6 +12,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import curation as C
 from . import relational as R
 from . import textops as X
 
@@ -114,4 +115,16 @@ CATALOG: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(
         X.q_multimodal_metadata, X.ORACLE_MULTIMODAL_METADATA
     ),
+    # corpus curation: normalization / PII / sampling / packing /
+    # contamination / domain mixing
+    "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
+    "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
+    "stratified_sample": QuerySpec(
+        C.q_stratified_sample, C.ORACLE_STRATIFIED_SAMPLE
+    ),
+    "token_packing": QuerySpec(C.q_token_packing, C.ORACLE_TOKEN_PACKING),
+    "contamination_check": QuerySpec(
+        C.q_contamination_check, C.ORACLE_CONTAMINATION_CHECK
+    ),
+    "domain_mix": QuerySpec(C.q_domain_mix, C.ORACLE_DOMAIN_MIX),
 }

@@ -1,0 +1,278 @@
+"""Corpus-curation query catalog: normalization, PII scrubbing,
+stratified sampling, sequence packing, contamination detection,
+domain mixing (the selection/packing half of a training-data pipeline;
+dedup/quality/similarity live in ``plans.textops``).
+
+Beyond-the-reference family.  Every query pairs a Spark builder with
+DuckDB oracle SQL; sampling thresholds / shingle widths / budgets are
+shared Python constants so both engines evaluate literally the same
+algorithm.  Cross-engine rules follow ``plans.relational``: md5 hash
+basis, <=15 hex chars into BIGINT, single divisions of exact integer
+operands, no DECIMAL/float reductions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import curation as cur_ops
+from ..tables import load_table
+
+# DuckDB mirror of functions.text.token_count (whitespace tokens).
+_SQL_NTOK = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+# ---------------------------------------------------------------- normalization / PII
+
+
+def _contact_card() -> F.Column:
+    """Deterministic PII-bearing text derived from customer columns
+    (the trimmed testdata tables carry no free text, so the demo input
+    is constructed identically in both engines): name, an email, a
+    phone, an IPv4, the market segment."""
+    key = F.col("c_custkey")
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com"),
+    )
+    phone = F.concat_ws(
+        "-",
+        F.lit("25"),
+        F.lpad((key % 997).cast("string"), 3, "0"),
+        F.lpad((key % 883).cast("string"), 3, "0"),
+        F.lpad((key % 9973).cast("string"), 4, "0"),
+    )
+    ip = F.concat_ws(
+        ".", F.lit("10"), F.lit("0"), (key % 256).cast("string"),
+        (key % 250).cast("string"),
+    )
+    return F.concat_ws(
+        " ", F.col("c_name"), email, F.lit("tel"), phone, F.lit("ip"), ip,
+        F.col("c_mktsegment"),
+    )
+
+
+_SQL_CONTACT = (
+    "concat_ws(' ', c_name, "
+    "lower(regexp_replace(c_name, '#', '.', 'g')) || '@example.com', "
+    "'tel', concat_ws('-', '25', "
+    "lpad(CAST(c_custkey % 997 AS VARCHAR), 3, '0'), "
+    "lpad(CAST(c_custkey % 883 AS VARCHAR), 3, '0'), "
+    "lpad(CAST(c_custkey % 9973 AS VARCHAR), 4, '0')), "
+    "'ip', concat_ws('.', '10', '0', CAST(c_custkey % 256 AS VARCHAR), "
+    "CAST(c_custkey % 250 AS VARCHAR)), c_mktsegment)"
+)
+
+
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Text normalization over punctuated mixed-case text: lowercase,
+    strip non-alphanumerics, collapse whitespace; raw-vs-normalized
+    length audit.  Pure per-row expressions — whole-stage codegen."""
+    c = load_table(spark, sf, "customer")
+    raw = _contact_card()
+    norm = T.normalize_text(raw)
+    return c.select(
+        "c_custkey",
+        norm.alias("contact_norm"),
+        F.length(raw).cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+_SQL_NORM = (
+    f"trim(regexp_replace(regexp_replace(lower({_SQL_CONTACT}), "
+    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+ORACLE_TEXT_NORMALIZE = f"""
+SELECT c_custkey,
+       {_SQL_NORM} AS contact_norm,
+       CAST(len({_SQL_CONTACT}) AS BIGINT) AS n_chars_raw,
+       CAST(len({_SQL_NORM}) AS BIGINT) AS n_chars_norm
+FROM customer
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: email/phone/IPv4 redaction with typed
+    placeholders and per-row match-count audit over the contact-card
+    text (every row carries one of each pattern, so the redactions and
+    counts are non-trivially verified cross-engine)."""
+    c = load_table(spark, sf, "customer")
+    contact = _contact_card()
+    counts = T.pii_counts(contact)
+    return c.select(
+        "c_custkey",
+        T.scrub_pii(contact).alias("contact_scrubbed"),
+        counts["n_emails"].cast("bigint").alias("n_emails"),
+        counts["n_phones"].cast("bigint").alias("n_phones"),
+        counts["n_ips"].cast("bigint").alias("n_ips"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace({_SQL_CONTACT},
+           '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{T.PII_PHONE}', '<PHONE>', 'g'),
+           '{T.PII_IPV4}', '<IP>', 'g') AS contact_scrubbed,
+       CAST(len(regexp_extract_all({_SQL_CONTACT}, '{T.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({_SQL_CONTACT}, '{T.PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all({_SQL_CONTACT}, '{T.PII_IPV4}')) AS BIGINT) AS n_ips
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------- sampling / packing / mixing
+
+#: per-language keep rates for the stratified-sampling demo (shared
+#: between the Spark plan and the oracle SQL).
+SAMPLE_RATES: dict[str, float] = {"en": 0.5, "de": 0.25, "zh": 0.1}
+SAMPLE_DEFAULT_RATE = 0.75
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified downsampling of the corpus by language:
+    md5-bucket filter with per-stratum keep rates — reproducible
+    domain reweighting with no RNG state and no shuffle."""
+    d = load_table(spark, sf, "documents")
+    return cur_ops.stratified_sample(
+        d, "doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    ).select("doc_id", "lang", "source")
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * cur_ops.SAMPLE_BUCKETS)}"
+        for s, r in SAMPLE_RATES.items()
+    )
+    return (
+        f"CASE lang {whens} "
+        f"ELSE {int(SAMPLE_DEFAULT_RATE * cur_ops.SAMPLE_BUCKETS)} END"
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < {_sql_rate_case()}
+"""
+
+#: tokens per packed training sequence (shared Spark/oracle constant).
+PACK_BUDGET = 512
+
+
+def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per language, lay documents
+    end-to-end by doc_id and cut 512-token training sequences; emits
+    each document's stream offset, sequence index, and whether it
+    straddles a cut boundary."""
+    d = load_table(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+    )
+    return cur_ops.pack_sequences(
+        d, "lang", "doc_id", "ws_tokens", PACK_BUDGET
+    )
+
+
+ORACLE_TOKEN_PACKING = f"""
+WITH t AS (
+    SELECT lang, doc_id, CAST({_SQL_NTOK} AS BIGINT) AS ws_tokens
+    FROM documents
+), c AS (
+    SELECT lang, doc_id, ws_tokens,
+           sum(ws_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT lang, doc_id, ws_tokens,
+       CAST(cum - ws_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cum - ws_tokens) / {PACK_BUDGET}) AS BIGINT) AS seq_index,
+       CASE WHEN ws_tokens > 0
+            THEN floor((cum - 1) / {PACK_BUDGET})
+                 > floor((cum - ws_tokens) / {PACK_BUDGET})
+            ELSE FALSE END AS spans_boundary
+FROM c
+"""
+
+#: contamination-check constants (shared Spark/oracle).  The synthetic
+#: corpus plants no verbatim eval copies (max observed containment
+#: ~0.32), so the demo threshold sits at the tail of the chance-overlap
+#: distribution to yield a non-trivial flagged set; a real decon run
+#: passes 0.5-0.8 to the same operator.
+CONTAM_K = 8
+CONTAM_THRESHOLD = 0.25
+CONTAM_EVAL_MOD = 23
+
+
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval contamination detection: flag corpus documents whose
+    char-8-gram containment of any eval-set document (every 23rd
+    doc_id stands in as the benchmark set) crosses the threshold — the
+    decon pass run before pretraining.  Eval shingles broadcast;
+    corpus side stays partitioned."""
+    d = load_table(spark, sf, "documents")
+    eval_set = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+    return cur_ops.contamination_pairs(
+        corpus, eval_set, "text", "doc_id", CONTAM_K, CONTAM_THRESHOLD
+    )
+
+
+ORACLE_CONTAMINATION_CHECK = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(substr(text, CAST(i AS INT), {CONTAM_K})), 1, 15))::BIGINT AS sh
+    FROM documents,
+         unnest(range(1, greatest(len(text) - {CONTAM_K - 1}, 1) + 1)) AS t(i)
+),
+ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+co AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} <> 0),
+sz AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY eval_id),
+m AS (
+    SELECT corpus_id, eval_id, count(*) AS n_inter
+    FROM co JOIN ev USING (sh)
+    GROUP BY corpus_id, eval_id
+)
+SELECT corpus_id, eval_id, n_inter / n_eval AS containment
+FROM m JOIN sz USING (eval_id)
+WHERE n_inter / n_eval >= {CONTAM_THRESHOLD}
+"""
+
+
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mix report: per (language, source) token share and the
+    uniform-target sampling weight used to rebalance the mixture —
+    two-level aggregation + broadcast of the tiny per-language
+    totals (no OVER () single-partition window)."""
+    d = load_table(spark, sf, "documents").withColumn(
+        "ws_tokens", T.token_count(F.col("text")).cast("bigint")
+    )
+    return cur_ops.domain_mix(d, "lang", "source", F.col("ws_tokens"))
+
+
+ORACLE_DOMAIN_MIX = f"""
+WITH d AS (
+    SELECT lang, source, CAST({_SQL_NTOK} AS BIGINT) AS ws_tokens
+    FROM documents
+), pd AS (
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS n_tokens
+    FROM d GROUP BY lang, source
+), ps AS (
+    SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS stratum_tokens,
+           count(*) AS n_domains
+    FROM pd GROUP BY lang
+)
+SELECT lang, source, n_docs, n_tokens,
+       n_tokens / stratum_tokens AS token_share,
+       stratum_tokens / CAST(n_domains * n_tokens AS BIGINT) AS sampling_weight
+FROM pd JOIN ps USING (lang)
+"""

@@ -1,0 +1,138 @@
+"""Corpus-curation operator tests: PII scrub, normalization,
+stratified sampling, sequence packing, contamination, domain mix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.functions import text as T
+from delta_lake_gcp_implementation_spark.operators import curation as cur
+from delta_lake_gcp_implementation_spark.plans import curation as plans_cur
+
+
+def test_scrub_pii_redacts_all_three_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@sub.example.org end", "<EMAIL>"),
+            ("call 25-989-741-2988 now", "<PHONE>"),
+            ("host 192.168.001.1 up", "<IP>"),
+            ("clean text stays", None),
+        ],
+        ["text", "want"],
+    )
+    out = df.select("text", "want", T.scrub_pii(F.col("text")).alias("got")).collect()
+    for r in out:
+        if r.want is None:
+            assert r.got == r.text
+        else:
+            assert r.want in r.got and r.got != r.text
+
+
+def test_pii_counts_and_no_cross_consumption(spark):
+    # one of each on a row; email local part digits must not be
+    # double-counted by the phone/ip patterns
+    s = "a@b.co and 25-123-456-7890 at 10.0.3.4"
+    df = spark.createDataFrame([(s,)], ["text"])
+    c = T.pii_counts(F.col("text"))
+    row = df.select(
+        c["n_emails"].alias("e"), c["n_phones"].alias("p"), c["n_ips"].alias("i")
+    ).first()
+    assert (row.e, row.p, row.i) == (1, 1, 1)
+    scrubbed = df.select(T.scrub_pii(F.col("text")).alias("s")).first().s
+    assert scrubbed == "<EMAIL> and <PHONE> at <IP>"
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Hello,   World!! 42\tok  ",)], ["text"])
+    got = df.select(T.normalize_text(F.col("text")).alias("n")).first().n
+    assert got == "hello world 42 ok"
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("stratum"),
+    )
+    out = cur.stratified_sample(df, "doc_id", "stratum", {"a": 0.5, "b": 0.1})
+    counts = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform: observed rate within ~3 sigma of target
+    assert abs(counts["a"] / 10000 - 0.5) < 0.02
+    assert abs(counts["b"] / 10000 - 0.1) < 0.02
+    # deterministic: same rows on re-run
+    again = cur.stratified_sample(df, "doc_id", "stratum", {"a": 0.5, "b": 0.1})
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(
+        [("x", i, 100 + (i * 37) % 200) for i in range(50)],
+        ["lang", "doc_id", "ws_tokens"],
+    )
+    out = cur.pack_sequences(df, "lang", "doc_id", "ws_tokens", 512).orderBy(
+        "doc_id"
+    )
+    rows = out.collect()
+    # offsets are the running total in doc_id order
+    run = 0
+    for r in rows:
+        assert r.start_offset == run
+        assert r.seq_index == run // 512
+        end = run + r.ws_tokens - 1
+        assert r.spans_boundary == (end // 512 > run // 512)
+        run += r.ws_tokens
+    # every 512-token cut is covered by exactly the docs that overlap it
+    total = sum(r.ws_tokens for r in rows)
+    assert {r.seq_index for r in rows} <= set(range(total // 512 + 1))
+
+
+def test_contamination_flags_planted_copy(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(0, base), (1, base), (2, "completely different words here live")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    ev = df.filter(F.col("doc_id") == 0)
+    co = df.filter(F.col("doc_id") != 0)
+    out = cur.contamination_pairs(co, ev, "text", "doc_id", k=8, threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].corpus_id == 1 and rows[0].eval_id == 0
+    assert rows[0].containment == 1.0
+
+
+def test_domain_mix_shares_and_weights(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "ws_tokens", T.token_count(F.col("text")).cast("bigint")
+    )
+    out = cur.domain_mix(d, "lang", "source", F.col("ws_tokens"))
+    agg = out.groupBy("lang").agg(
+        F.sum("token_share").alias("share_sum"),
+        F.sum(F.col("sampling_weight") * F.col("n_tokens")).alias("wtok"),
+        F.sum("n_tokens").alias("tok"),
+        F.count("*").alias("n_domains"),
+    )
+    for r in agg.collect():
+        assert abs(r.share_sum - 1.0) < 1e-9
+        # weight rebalances every domain to the uniform token share
+        assert abs(r.wtok - r.tok) / r.tok < 1e-9
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = cur.stratified_sample(d, "doc_id", "lang", {"en": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curation_catalog_queries_run(spark, sf_dir):
+    for q in (
+        plans_cur.q_text_normalize,
+        plans_cur.q_pii_scrub,
+        plans_cur.q_stratified_sample,
+        plans_cur.q_token_packing,
+        plans_cur.q_contamination_check,
+        plans_cur.q_domain_mix,
+    ):
+        assert q(spark, sf_dir).count() >= 0
