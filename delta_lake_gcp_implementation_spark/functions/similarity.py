@@ -78,6 +78,162 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance with double accumulator."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd's k-means: the trained coarse quantizer for
+    IVF search.  Returns ``(cent_id, cv)`` with ``cent_id`` in
+    ``[0, k)``.
+
+    Plan shape per iteration (the canonical Spark k-means loop, same
+    structure as MLlib's):
+
+    - **assign**: broadcast the k centroids, per-row argmin of squared
+      L2 — embarrassingly parallel, no shuffle of the vector table;
+    - **update**: ``posexplode`` to (cell, dim, value), one hash
+      aggregation to per-(cell, dim) means, one to re-assembled
+      centroid arrays — shuffles only k*dim mean cells, never vectors.
+
+    Each iteration is ``localCheckpoint``-ed (iterative lineage
+    otherwise grows the plan exponentially).  Initialization is the
+    first k vectors by id and iteration count is fixed, so the fit is
+    deterministic for a given input (empty cells keep their previous
+    centroid).  Float means are partition-order dependent in the last
+    ULPs, hence no SQL oracle — correctness is proven by numpy-parity
+    and monotone-WCSS tests instead.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    w_init = Window.orderBy("_id")  # k rows only — single partition is fine
+    cents = (
+        v.orderBy("_id")
+        .limit(k)
+        .withColumn("cent_id", F.row_number().over(w_init) - 1)
+        .select("cent_id", F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(v, cents)
+        pe = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "val")
+        )
+        means = pe.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        new_cents = (
+            means.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform("pm", lambda s: s["m"]).alias("cv"),
+            )
+        )
+        cents = (
+            cents.alias("o")
+            .join(new_cents.alias("n"), "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, ties to
+    the lower cent_id): broadcast join + per-row argmin window."""
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "_id", "v", "cent_id", l2sq(F.col("v"), F.col("cv")).alias("d2")
+    )
+    w = Window.partitionBy("_id").orderBy("d2", "cent_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("_id", "v", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF search against a (trained or seeded) codebook: corpus
+    vectors live in their nearest cell; each query probes its
+    ``nprobe`` closest cells and ranks cosine inside them only.
+
+    Scale shape: cell assignment is a broadcast of the codebook (k
+    centroid rows) + per-row argmin; the probe is an equi-join on cell
+    id that hash-partitions over the cluster — no cross join at any
+    size.  Recall is tuned by nprobe; cost scales ~ nprobe/k of
+    brute force."""
+    c = (
+        corpus.select(
+            F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
+        )
+        .transform(lambda d: _assign_cells(d, centroids))
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("v").alias("cv_vec"),
+            "cell",
+        )
+        .withColumn("cn", norm(F.col("cv_vec")))
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q_scored = qv.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "cent_id",
+        l2sq(F.col("qv"), F.col("cv")).alias("d2"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "cent_id")
+    q_cells = (
+        q_scored.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell"))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    pairs = c.join(F.broadcast(q_cells), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv_vec")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        # a query probing multiple cells can meet a neighbor once per
+        # cell only if assignments overlapped — they don't (each corpus
+        # vector lives in exactly one cell), so no dedup needed
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

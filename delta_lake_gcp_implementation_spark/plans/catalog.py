@@ -108,6 +108,9 @@ CATALOG: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(X.q_cosine_topk, X.ORACLE_COSINE_TOPK),
     "ann_lsh_topk": QuerySpec(X.q_ann_lsh_topk, X.ORACLE_ANN_LSH_TOPK),
     "ann_ivf_topk": QuerySpec(X.q_ann_ivf_topk, X.ORACLE_ANN_IVF_TOPK),
+    # trained-codebook IVF: iterative float k-means -> no SQL oracle
+    # (numpy-parity tested; driver records rows-only)
+    "ann_ivf_trained": QuerySpec(X.q_ann_ivf_trained, None),
     "embedding_near_dups": QuerySpec(
         X.q_embedding_near_dups, X.ORACLE_EMBEDDING_NEAR_DUPS
     ),

@@ -690,6 +690,26 @@ QUALIFY rank <= 3
 """
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN with a *trained* k-means codebook (3 Lloyd's
+    iterations, nprobe=2): the production shape of the IVF index —
+    :func:`q_ann_ivf_topk` keeps the seeded-codebook variant for the
+    exact SQL oracle.  No oracle here: float means are
+    partition-order-dependent in the last ULPs, so the fit is
+    numpy-parity-tested instead (rows-only driver check)."""
+    e = load_table(spark, sf, "embeddings")
+    cents = sim.kmeans_fit(e, "vec_id", "embedding", k=_IVF_K, iters=3)
+    return sim.ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < _Q_CUT),
+        cents,
+        "vec_id",
+        "embedding",
+        k=3,
+        nprobe=2,
+    )
+
+
 _NEAR_DUP_COS = 0.35  # cosine threshold (driver embeddings are near-random;
 # real semantic dedup would use ~0.9 on model embeddings)
 

@@ -246,3 +246,61 @@ def test_multimodal_metadata_bytes(spark):
     }
     assert out[1] == (3, "formatA")
     assert out[2] == (2, "formatB")
+
+
+def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
+    """Spark kmeans_fit must reproduce a reference numpy Lloyd's run:
+    same init (first k by id), same iteration count, same tie-breaks."""
+    import numpy as np
+
+    from delta_lake_gcp_implementation_spark.functions import similarity as sim
+    from delta_lake_gcp_implementation_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    k, iters = 4, 3
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin ties -> lowest index, same as Spark
+        for j in range(k):
+            if (assign == j).any():
+                C[j] = X[assign == j].mean(axis=0)
+    cents = sim.kmeans_fit(e, "vec_id", "embedding", k=k, iters=iters)
+    got = {r.cent_id: np.array(r.cv) for r in cents.collect()}
+    assert set(got) == set(range(k))
+    for j in range(k):
+        np.testing.assert_allclose(got[j], C[j], rtol=1e-9, atol=1e-12)
+
+
+def test_kmeans_reduces_wcss_and_trained_ivf_runs(spark, sf_dir):
+    import numpy as np
+
+    from delta_lake_gcp_implementation_spark.functions import similarity as sim
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+    from delta_lake_gcp_implementation_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    Xm = np.array([[float(x) for x in r.embedding] for r in rows])
+
+    def wcss(cents_df):
+        C = np.array([r.cv for r in sorted(cents_df.collect(), key=lambda r: r.cent_id)])
+        d2 = ((Xm[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    w0 = wcss(sim.kmeans_fit(e, "vec_id", "embedding", k=4, iters=0))
+    w2 = wcss(sim.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2))
+    w4 = wcss(sim.kmeans_fit(e, "vec_id", "embedding", k=4, iters=4))
+    assert w2 < w0 and w4 <= w2
+
+    out = X.q_ann_ivf_trained(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= 3
+        assert all(r.neighbor_id != q for r in rs)
