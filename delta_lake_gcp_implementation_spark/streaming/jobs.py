@@ -82,6 +82,18 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_events(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Streaming intra-batch dedup (the W1 operator as a stream):
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    event_id and evicts dedup state once the watermark passes — bounded
+    memory over an unbounded stream, unlike plain ``dropDuplicates``
+    whose state grows forever.  The streaming twin of
+    ``dedup.keep_first_version`` (batch parity asserted in tests)."""
+    return stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> None:
     """Drain all available input into an in-memory table (test sink)."""

@@ -150,3 +150,28 @@ def test_running_user_counts_stateful(spark, event_dir):
     )
     got = {r.user_id: (r.n_events, r.max_value) for r in final}
     assert got == expect
+
+
+def test_stream_dedup_matches_batch(spark, event_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over duplicated input equals the
+    batch W1 dedup (same distinct id set, one row per id)."""
+    from delta_lake_gcp_implementation_spark.operators import dedup
+
+    # duplicate every event across two files to force cross-batch dups
+    dup_dir = str(tmp_path / "dups")
+    ev = _batch_events(spark, event_dir)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)
+
+    stream = jobs.read_event_stream(spark, dup_dir)
+    jobs.run_to_memory(jobs.dedup_events(stream), "dedup_out")
+    got = spark.table("dedup_out")
+    assert got.count() == got.select("event_id").distinct().count()
+
+    batch = dedup.keep_first_version(
+        spark.read.schema(jobs.EVENT_SCHEMA).parquet(dup_dir), ["event_id"]
+    )
+    assert got.count() == batch.count()
+    assert (
+        got.select("event_id").exceptAll(batch.select("event_id")).count() == 0
+    )
