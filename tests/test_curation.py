@@ -136,3 +136,18 @@ def test_curation_catalog_queries_run(spark, sf_dir):
         plans_cur.q_domain_mix,
     ):
         assert q(spark, sf_dir).count() >= 0
+
+
+def test_curation_plan_shapes(spark, sf_dir):
+    """Scale-critical plan assertions: packing is a single partitioned
+    window shuffle; contamination broadcasts the eval side and never
+    falls back to a cartesian product."""
+    from delta_lake_gcp_implementation_spark.plans import curation as plans
+
+    pack = plans.q_token_packing(spark, sf_dir)
+    p = pack._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1 and "CartesianProduct" not in p
+
+    cont = plans.q_contamination_check(spark, sf_dir)
+    p = cont._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in p and "CartesianProduct" not in p
