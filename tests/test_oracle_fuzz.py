@@ -102,3 +102,68 @@ def test_random_query_shapes_match_duckdb(orders, ddb, flt, grp, aggs):
     ddb_rows = {tuple(str(v) for v in row) for row in ddb.execute(q).fetchall()}
 
     assert spark_rows == ddb_rows, f"shape filter={flt} group={grp} aggs={aggs}"
+
+
+# ---------------------------------------------------------------- curation text fuzz
+
+_PII_SNIPPETS = [
+    "bob.smith+x@sub.example.org",
+    "a@b.co",
+    "25-989-741-2988",
+    "00-000-000-0000",
+    "10.0.3.4",
+    "192.168.001.1",
+    "not-a-phone 25-98-741-2988",
+    "almost@an@email",
+    "1.2.3",
+]
+
+# printable ASCII without \x0b/\x0c: Java's \s includes vertical tab,
+# RE2's does not — the functions are documented ASCII-text ops, so the
+# fuzz stays inside the common dialect.
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n.-@%_+<>!,:/#()"
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.text(alphabet=_ALPHABET, min_size=0, max_size=30),
+            st.sampled_from(_PII_SNIPPETS),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_scrub_and_normalize_match_duckdb(spark, parts):
+    """Java-regex vs RE2 parity on adversarial inputs: scrub_pii and
+    normalize_text must produce byte-identical output in both engines."""
+    from delta_lake_gcp_implementation_spark.functions import text as T
+
+    s = " ".join(parts)
+    df = spark.createDataFrame([(s,)], ["t"])
+    row = df.select(
+        T.scrub_pii(F.col("t")).alias("scrubbed"),
+        T.normalize_text(F.col("t")).alias("norm"),
+    ).first()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT regexp_replace(regexp_replace(regexp_replace(?,
+                   '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{T.PII_PHONE}', '<PHONE>', 'g'),
+                   '{T.PII_IPV4}', '<IP>', 'g') AS scrubbed,
+               trim(regexp_replace(regexp_replace(lower(?),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+        """,
+        [s, s],
+    ).fetchone()
+    assert row.scrubbed == want[0], f"scrub diverged on {s!r}"
+    assert row.norm == want[1], f"normalize diverged on {s!r}"
