@@ -96,28 +96,52 @@ def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> Data
     return shingled
 
 
+#: modulus of the affine min-hash family (2^31 - 1, prime).
+MH_PRIME = 2147483647
+
+
+def minhash_seeds(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the affine family
+    h_i(x) = (a_i * x + b_i) mod MH_PRIME — fixed integer recurrence,
+    no RNG, identical literals embedded in the Spark plan and the
+    oracle SQL."""
+    return [
+        (
+            ((2 * i + 1) * 2654435761) % MH_PRIME,
+            (i * 40503 + 7) % MH_PRIME,
+        )
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, n_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: for hash function i, min over
-    shingles of md5(i || shingle) (hex-string ordering — a valid
-    min-hash family, chosen because it is reproducible in ANSI SQL for
-    the oracle).
+    """MinHash signature per document: ONE md5 per shingle provides a
+    28-bit base value x (7 hex chars -> BIGINT); each hash function is
+    the affine map h_i(x) = (a_i*x + b_i) mod (2^31-1), so the family
+    costs one cryptographic hash + n cheap integer ops per shingle
+    instead of n md5 calls (measured ~2x on the signature stage), and
+    signatures shuffle as BIGINTs (4x smaller than md5 hex strings).
+    a_i*x < 2^59 — no 64-bit overflow; arithmetic is exactly
+    reproducible in ANSI SQL for the oracle.
 
     Plan shape: hashes computed inline under the groupBy — map-side
     partial MIN aggregation collapses each partition to one row per
     (doc, hash_fn) BEFORE the shuffle, so the exchange carries only
     signatures, never shingles.  (A hash-distinct-vocab-then-join
-    variant was measured 2-10x slower here: JVM md5 is cheap; the extra
-    join + wide shuffle is not.)
+    variant was measured 2-10x slower here: the extra join + wide
+    shuffle dwarfs the hash cost.)
     """
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+    hashed = shingles.select(F.col(id_col), base.alias("hx"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(
-            f"mh_{i}"
-        )
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("hx") + F.lit(b)) % MH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_seeds(n_hashes))
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_candidate_pairs(
@@ -134,7 +158,11 @@ def minhash_candidate_pairs(
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.concat_ws(
-                    "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                    "|",
+                    *[
+                        F.col(f"mh_{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
                 ).alias("band_key"),
             )
             for b in range(n_bands)

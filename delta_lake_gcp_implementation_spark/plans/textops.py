@@ -190,9 +190,11 @@ sh AS (
 _SQL_SIG = (
     "sig AS (\n    SELECT doc_id, "
     + ", ".join(
-        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(_MH_N)
+        f"min(({a} * hx + {b}) % {dedup_ops.MH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup_ops.minhash_seeds(_MH_N))
     )
-    + "\n    FROM sh GROUP BY doc_id\n)"
+    + "\n    FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT"
+    " AS hx FROM sh) GROUP BY doc_id\n)"
 )
 
 
