@@ -130,4 +130,7 @@ CATALOG: dict[str, QuerySpec] = {
         C.q_contamination_check, C.ORACLE_CONTAMINATION_CHECK
     ),
     "domain_mix": QuerySpec(C.q_domain_mix, C.ORACLE_DOMAIN_MIX),
+    "repetition_metrics": QuerySpec(
+        C.q_repetition_metrics, C.ORACLE_REPETITION_METRICS
+    ),
 }

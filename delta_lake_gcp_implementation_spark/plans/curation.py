@@ -13,7 +13,7 @@ operands, no DECIMAL/float reductions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -244,6 +244,89 @@ m AS (
 SELECT corpus_id, eval_id, n_inter / n_eval AS containment
 FROM m JOIN sz USING (eval_id)
 WHERE n_inter / n_eval >= {CONTAM_THRESHOLD}
+"""
+
+
+def q_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-rule quality
+    signals): fraction of word-bigram occurrences that are duplicates
+    and the share of the most frequent unigram.  High values mark
+    boilerplate/spam for removal before pretraining.
+
+    Plan shape: explode tokens/bigrams, two hash aggregations keyed on
+    (doc, gram) then doc — shuffles carry (doc_id, gram, count)
+    triples, never documents; ratios are single divisions of exact
+    BIGINTs."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_n"),
+            F.sum("n").alias("n_toks"),
+        )
+        .select(
+            "doc_id",
+            (F.col("top_n") / F.col("n_toks")).alias("top_unigram_frac"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram")
+        )
+    )
+    bi = (
+        big.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") - 1).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            (F.col("n_dup") / F.col("n_bigrams")).alias("dup_bigram_frac"),
+        )
+    )
+    return uni.join(bi, "doc_id")
+
+
+ORACLE_REPETITION_METRICS = """
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+), uni AS (
+    SELECT doc_id, max(n) / CAST(sum(n) AS BIGINT) AS top_unigram_frac
+    FROM (SELECT doc_id, tok, count(*) AS n
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM tl)
+          GROUP BY doc_id, tok)
+    GROUP BY doc_id
+), big AS (
+    SELECT doc_id,
+           toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bigram
+    FROM tl, unnest(range(1, len(toks))) AS t(i)
+), bi AS (
+    SELECT doc_id, CAST(sum(n - 1) AS BIGINT) / CAST(sum(n) AS BIGINT) AS dup_bigram_frac
+    FROM (SELECT doc_id, bigram, count(*) AS n FROM big
+          GROUP BY doc_id, bigram)
+    GROUP BY doc_id
+)
+SELECT uni.doc_id, top_unigram_frac, dup_bigram_frac
+FROM uni JOIN bi USING (doc_id)
 """
 
 

@@ -151,3 +151,25 @@ def test_curation_plan_shapes(spark, sf_dir):
     cont = plans.q_contamination_check(spark, sf_dir)
     p = cont._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in p and "CartesianProduct" not in p
+
+
+def test_repetition_metrics_flag_repeated_text(spark, sf_dir, tmp_path):
+    """A doc that is one phrase repeated has dup_bigram_frac near 1 and
+    high top_unigram_frac; diverse text scores near 0."""
+    docs = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "every word here is completely different today"),
+        (3, "ab cd " * 10),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in plans_cur.q_repetition_metrics(spark, str(tmp_path)).collect()
+    }
+    assert out[1].top_unigram_frac == 1.0
+    assert out[1].dup_bigram_frac == 1.0 - 1.0 / 5.0  # 5 bigrams, 1 distinct
+    assert out[2].dup_bigram_frac == 0.0
+    assert out[2].top_unigram_frac < 0.2
+    assert out[3].dup_bigram_frac > 0.8
