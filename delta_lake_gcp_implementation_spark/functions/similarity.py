@@ -154,17 +154,61 @@ def kmeans_fit(
     return cents
 
 
+#: above this many codebook floats (k * dim) the literal-array argmin
+#: would bloat the plan; fall back to the join-based assignment.
+_CODEBOOK_LITERAL_BUDGET = 131072
+
+
 def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, ties to
-    the lower cent_id): broadcast join + per-row argmin window."""
+    the lower cent_id).
+
+    Default path: read the k centroid rows (tiny — scalar control flow,
+    like the pipeline's watermark reads) and embed them as a literal
+    array; the argmin is a per-row ``array_min`` over (d2, cent_id)
+    structs — map-only, zero shuffle, no n*k row blowup.  A
+    broadcast-join + window argmin would push n*k scored rows through
+    an exchange: a k-fold data explosion at corpus scale.
+
+    Fallback for very large codebooks (k*dim beyond the literal
+    budget): broadcast join + per-key ``min_by`` aggregation — still
+    no window sort, but shuffles one row per (vector, centroid)."""
+    rows = sorted(cents.collect(), key=lambda r: r.cent_id)
+    n_floats = sum(len(r.cv) for r in rows)
+    if n_floats <= _CODEBOOK_LITERAL_BUDGET:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r.cent_id)).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r.cv]).alias("cv"),
+                )
+                for r in rows
+            ]
+        )
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                l2sq(F.col("v"), c["cv"]).alias("d2"), c["cid"].alias("cid")
+            ),
+        )
+        # struct ordering is field-wise: min d2, ties to lower cent_id
+        best = F.array_min(scored)
+        return v.select("_id", "v", best["cid"].alias("cell"))
     scored = v.crossJoin(F.broadcast(cents)).select(
         "_id", "v", "cent_id", l2sq(F.col("v"), F.col("cv")).alias("d2")
     )
-    w = Window.partitionBy("_id").orderBy("d2", "cent_id")
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("_id", "v", F.col("cent_id").alias("cell"))
+        scored.groupBy("_id")
+        .agg(
+            F.min_by(
+                F.struct("v", "cent_id"), F.struct("d2", "cent_id")
+            ).alias("best")
+        )
+        .select(
+            "_id",
+            F.col("best.v").alias("v"),
+            F.col("best.cent_id").alias("cell"),
+        )
     )
 
 

@@ -304,3 +304,25 @@ def test_kmeans_reduces_wcss_and_trained_ivf_runs(spark, sf_dir):
     for q, rs in by_q.items():
         assert len(rs) <= 3
         assert all(r.neighbor_id != q for r in rs)
+
+
+def test_kmeans_assign_literal_and_join_paths_agree(spark, sf_dir, monkeypatch):
+    """The zero-shuffle literal-codebook argmin and the large-codebook
+    broadcast-join fallback must assign identical cells."""
+    import pyspark.sql.functions as F
+
+    from delta_lake_gcp_implementation_spark.functions import similarity as sim
+    from delta_lake_gcp_implementation_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_fit(e, "vec_id", "embedding", k=4, iters=1)
+    v = e.select(
+        F.col("vec_id").alias("_id"), sim.as_double(F.col("embedding")).alias("v")
+    )
+    lit_path = sim._assign_cells(v, cents)
+    assert "Exchange" not in lit_path._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(sim, "_CODEBOOK_LITERAL_BUDGET", 0)
+    join_path = sim._assign_cells(v, cents)
+    a = {(r._id, r.cell) for r in lit_path.collect()}
+    b = {(r._id, r.cell) for r in join_path.collect()}
+    assert a == b
