@@ -614,30 +614,45 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     corpus vectors, ties break on centroid id), then top-3 cosine is
     searched within the query's cell only (nprobe=1).
 
-    Scale shape: assignment is a broadcast join (K centroids) + per-row
-    argmax — embarrassingly parallel; the search is an equi-join on
-    cell id that hash-partitions over the cluster.  A learned k-means
-    codebook drops in without changing the plan; seeded centroids keep
-    the oracle exact."""
+    Scale shape: the K centroid rows are read driver-side (scalar
+    control flow, like watermark reads) and embedded as a literal
+    array; assignment is a per-row argmax over it — map-only, zero
+    shuffle, no n*K row blowup (the earlier broadcast-join + window
+    argmin pushed n*K scored rows through an exchange).  The search is
+    an equi-join on cell id that hash-partitions over the cluster.  A
+    learned k-means codebook drops in without changing the plan
+    (:func:`q_ann_ivf_trained`); seeded centroids keep the oracle
+    exact — centroid doubles re-embedded as literals are bit-identical
+    to the oracle's join, so the IP values match exactly."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf, "embeddings")
     v = e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
-    cents = v.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    cent_rows = sorted(
+        v.filter(F.col("vec_id") < _IVF_K).collect(), key=lambda r: r.vec_id
     )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", sim.dot(F.col("v"), F.col("cv")).alias("ip")
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+            )
+            for r in cent_rows
+        ]
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ip"), F.col("cent_id")
+    scored_arr = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (-sim.dot(F.col("v"), c["cv"])).alias("neg_ip"),
+            c["cid"].alias("cid"),
+        ),
     )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "v", F.col("cent_id").alias("cell"))
-        .withColumn("nrm", sim.norm(F.col("v")))
-    )
+    # array_min over (neg_ip, cid) = max inner product, ties to the
+    # lower cent_id — the exact ordering of the oracle's window
+    best = F.array_min(scored_arr)
+    assigned = v.select(
+        "vec_id", "v", best["cid"].alias("cell")
+    ).withColumn("nrm", sim.norm(F.col("v")))
     q = assigned.filter(F.col("vec_id") < _Q_CUT).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("cell"), F.col("nrm").alias("qn"),
