@@ -33,6 +33,10 @@ HEADLINE = [
     "session_window",
     "point_in_time",
     "summary_stats",
+    "rollup_hierarchy",
+    "group_topk",
+    "percentile_stats",
+    "asof_join",
     # training-data pipeline family (documents / embeddings)
     "token_counts",
     "doc_fingerprint",

@@ -8,7 +8,7 @@ scalar control-flow reads, mirroring the reference's
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,67 @@ def greatest_watermark(df: DataFrame, cols: list[str]) -> DataFrame:
     (``load_bronze.py:113-116``)."""
     return df.agg(
         F.greatest(*[F.max(c) for c in cols]).alias("next_watermark")
+    )
+
+
+def percentile_cont_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    ps: dict[str, float],
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Exact grouped PERCENTILE_CONT via rank-and-two-point-pick.
+
+    ``percentile_cont(p)`` needs only the two order statistics
+    bracketing rank ``h = (n-1)·p``, so instead of collecting or fully
+    sorting each group we (1) rank rows in one per-group window shuffle,
+    (2) conditionally keep just the bracketing values in a hash
+    aggregation, and (3) interpolate ``v_lo + (v_hi - v_lo)·frac``.
+    Linear work, one shuffle, nothing driver-side — unlike a naive
+    sort-and-index this survives groups of any size.
+
+    The interpolation is written with the SAME expression tree the
+    DuckDB oracle uses: per cross-engine determinism rule (2)
+    (plans/relational.py header), identical IEEE operand sequences are
+    bit-deterministic, so the result hash-matches without rounding.
+    ``F.percentile`` exists but interpolates with an engine-specific
+    tree — fine for users, unprovable at the oracle boundary.
+    """
+    wr = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, value_col, tiebreak_col)
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count("*").over(wn))
+    )
+    picks = []
+    for name, p in ps.items():
+        h = (F.col("__n") - 1) * F.lit(p)
+        picks.append(
+            F.max(
+                F.when(F.col("__rn") == F.floor(h) + 1, F.col(value_col))
+            ).alias(f"__lo_{name}")
+        )
+        picks.append(
+            F.max(
+                F.when(F.col("__rn") == F.ceil(h) + 1, F.col(value_col))
+            ).alias(f"__hi_{name}")
+        )
+    out = ranked.groupBy(group_col).agg(
+        F.max("__n").cast("bigint").alias(count_alias), *picks
+    )
+    for name, p in ps.items():
+        h = (F.col(count_alias) - 1) * F.lit(p)
+        frac = h - F.floor(h)
+        out = out.withColumn(
+            name,
+            F.col(f"__lo_{name}")
+            + (F.col(f"__hi_{name}") - F.col(f"__lo_{name}")) * frac,
+        )
+    return out.drop(
+        *[c for name in ps for c in (f"__lo_{name}", f"__hi_{name}")]
     )
 
 

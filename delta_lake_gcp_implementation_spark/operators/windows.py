@@ -78,3 +78,42 @@ def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     (per-partition heap + driver merge), no global sort.
     """
     return df.orderBy(*order_by).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rn",
+    n_salts: int = 0,
+) -> DataFrame:
+    """Per-group top-k: rank within each group under ``order_by`` (must
+    include a unique tie-break) and keep ranks 1..k.
+
+    The plain path is one window shuffle hash-partitioned on the group
+    key.  When the group count is small relative to the cluster (e.g. 3
+    order statuses on 1000 executors) that window funnels ALL rows of a
+    group through one reducer; ``n_salts > 0`` enables the two-phase
+    plan: pre-rank within (group, salt) and keep k per salt — the salt
+    spreads each group over ``n_salts`` reducers and the survivor set
+    (≤ k·n_salts rows per group) provably contains the global top-k —
+    then final-rank the survivors.  Same result, bounded reducer input.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    src = df
+    if n_salts > 0:
+        salt = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+        ).cast("int")
+        pre = Window.partitionBy(*partition_by, "__salt").orderBy(*order_by)
+        src = (
+            df.withColumn("__salt", salt)
+            .withColumn("__pre_rn", F.row_number().over(pre))
+            .filter(F.col("__pre_rn") <= k)
+            .drop("__salt", "__pre_rn")
+        )
+    return (
+        src.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .filter(F.col(rank_col) <= k)
+    )

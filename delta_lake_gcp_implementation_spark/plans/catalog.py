@@ -78,6 +78,11 @@ CATALOG: dict[str, QuerySpec] = {
     "tumbling_window": QuerySpec(R.q_tumbling_window, R.ORACLE_TUMBLING_WINDOW),
     "session_window": QuerySpec(R.q_session_window, R.ORACLE_SESSION_WINDOW),
     "json_extract": QuerySpec(R.q_json_extract, R.ORACLE_JSON_EXTRACT),
+    # hierarchy / top-k / percentile / as-of extensions
+    "rollup_hierarchy": QuerySpec(R.q_rollup_hierarchy, R.ORACLE_ROLLUP_HIERARCHY),
+    "group_topk": QuerySpec(R.q_group_topk, R.ORACLE_GROUP_TOPK),
+    "percentile_stats": QuerySpec(R.q_percentile_stats, R.ORACLE_PERCENTILE_STATS),
+    "asof_join": QuerySpec(R.q_asof_join, R.ORACLE_ASOF_JOIN),
     # pipeline-shaped (C7/C10 as queries)
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),

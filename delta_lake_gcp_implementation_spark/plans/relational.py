@@ -1120,3 +1120,169 @@ ORACLE_JSON_EXTRACT = EV + """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
 FROM ev
 """
+
+
+# ---------------------------------------------------------------- hierarchy / top-k / percentile / as-of extensions
+
+
+def q_rollup_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (extension of the A-family:
+    the reference computes year and grand totals as separate queries,
+    e.g. the revenue report in ``Gold Layer README.md:417-431``; ROLLUP
+    emits detail + per-year + grand-total rows in ONE pass).  Catalyst
+    plans rollup as a single Expand + hash aggregate — each input row
+    is replicated once per grouping set BEFORE the shuffle, so partial
+    aggregation still applies and no extra pass over the fact is
+    needed.  ``grouping_id`` disambiguates subtotal rows from genuine
+    NULL group values (bit order: first rollup column = MSB, identical
+    in Spark and DuckDB)."""
+    o = load_table(spark, sf, "orders")
+    base = o.select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    return base.rollup("order_year", "status").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.grouping_id().cast("int").alias("grp_id"),
+    )
+
+
+ORACLE_ROLLUP_HIERARCHY = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(CAST(year(o_orderdate) AS INTEGER), o_orderstatus) AS INTEGER) AS grp_id
+FROM orders
+GROUP BY ROLLUP(CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+"""
+
+
+def q_group_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k (O2 generalized from global top-N to top-k
+    WITHIN each group): top 5 orders by price per order status.  Runs
+    the two-phase salted plan (``windows.topk_per_group`` with
+    ``n_salts=8``): with only a handful of groups a plain per-group
+    window funnels every row of a group through one reducer — the salt
+    phase bounds reducer input to ≤ k·n_salts rows per group, which is
+    what survives 1000 executors × 100 TB.  Result is provably
+    identical to the plain window (each salt keeps its own top-k, and
+    the global top-k is contained in the union of salt-local top-ks)."""
+    o = load_table(spark, sf, "orders")
+    top = win_ops.topk_per_group(
+        o,
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=5,
+        n_salts=8,
+    )
+    return top.select(
+        F.col("o_orderstatus").alias("status"),
+        "rn",
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+ORACLE_GROUP_TOPK = """
+SELECT status, rn, order_key, total_price
+FROM (
+  SELECT o_orderstatus AS status,
+         CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+         o_orderkey AS order_key,
+         o_totalprice AS total_price
+  FROM orders)
+WHERE rn <= 5
+"""
+
+
+def q_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped PERCENTILE_CONT (A5 extended to order statistics):
+    p50/p90 of event value per event type via
+    ``aggregates.percentile_cont_grouped`` — rank + two-point pick +
+    interpolation, one window shuffle, no full sort and nothing
+    collected.  The oracle mirrors the identical expression tree
+    (interpolation literals cast to DOUBLE on the DuckDB side, where a
+    bare ``0.5`` would be DECIMAL and change the arithmetic)."""
+    ev = load_table(spark, sf, "events")
+    return agg_ops.percentile_cont_grouped(
+        ev,
+        "event_type",
+        "value",
+        "event_id",
+        {"p50_value": 0.5, "p90_value": 0.9},
+        count_alias="n_events",
+    )
+
+
+ORACLE_PERCENTILE_STATS = EV + """
+, ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev),
+picked AS (
+  SELECT event_type,
+         CAST(max(n) AS BIGINT) AS n_events,
+         max(CASE WHEN rn = floor((n - 1) * CAST(0.5 AS DOUBLE)) + 1 THEN value END) AS lo50,
+         max(CASE WHEN rn = ceil((n - 1) * CAST(0.5 AS DOUBLE)) + 1 THEN value END) AS hi50,
+         max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE)) + 1 THEN value END) AS lo90,
+         max(CASE WHEN rn = ceil((n - 1) * CAST(0.9 AS DOUBLE)) + 1 THEN value END) AS hi90
+  FROM ranked GROUP BY event_type)
+SELECT event_type, n_events,
+       lo50 + (hi50 - lo50) * ((n_events - 1) * CAST(0.5 AS DOUBLE)
+                               - floor((n_events - 1) * CAST(0.5 AS DOUBLE))) AS p50_value,
+       lo90 + (hi90 - lo90) * ((n_events - 1) * CAST(0.9 AS DOUBLE)
+                               - floor((n_events - 1) * CAST(0.9 AS DOUBLE))) AS p90_value
+FROM picked
+"""
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series as-of join (the event-stream generalization of the
+    SCD2 point-in-time join): each click event picks up the latest
+    prior-or-simultaneous purchase by the same user.  Spark side is the
+    union-and-sweep plan (``joins.asof_join``): ONE hash shuffle on
+    user_id, linear sweep, no candidate fan-out — the oracle is
+    DuckDB's native ASOF LEFT JOIN, a genuinely independent
+    implementation of the same semantics."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return join_ops.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="ts",
+        right_value="purchase_value",
+        out_ts="last_purchase_ts",
+        out_value="last_purchase_value",
+    )
+
+
+ORACLE_ASOF_JOIN = EV + """
+, clicks AS (
+  SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, c.ts AS click_ts, c.value AS click_value,
+       p.ts AS last_purchase_ts, p.purchase_value AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""

@@ -155,3 +155,60 @@ def test_simhash_near_vs_far(spark):
         return bin(a ^ b).count("1")
 
     assert hamming(sig[1], sig[2]) < hamming(sig[1], sig[3])
+
+
+def test_asof_join_picks_latest_prior_inclusive(spark):
+    clicks = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),  # before any purchase -> NULL
+            (2, 10, "2024-01-01 12:00:00"),  # equal ts -> inclusive match
+            (3, 10, "2024-01-01 15:00:00"),  # after both -> latest (13:00)
+            (4, 20, "2024-01-01 09:00:00"),  # user with no purchases
+        ],
+        ["event_id", "user_id", "click_ts"],
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+    purchases = spark.createDataFrame(
+        [(10, "2024-01-01 12:00:00", 5.0), (10, "2024-01-01 13:00:00", 7.0)],
+        ["user_id", "ts", "purchase_value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = join_ops.asof_join(
+        clicks, purchases, "user_id", "click_ts", "ts", "purchase_value"
+    )
+    got = {r.event_id: r.asof_value for r in out.collect()}
+    assert got == {1: None, 2: 5.0, 3: 7.0, 4: None}
+    assert out.count() == clicks.count()  # LEFT semantics: no row loss
+
+
+def test_topk_per_group_salted_equals_plain(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 4).alias("g"),
+        (F.xxhash64("id") % 10000).alias("score"),
+        F.col("id"),
+    )
+    order = [F.col("score").desc(), F.col("id")]
+    plain = win_ops.topk_per_group(df, ["g"], order, k=7, n_salts=0)
+    salted = win_ops.topk_per_group(df, ["g"], order, k=7, n_salts=8)
+    key = lambda r: (r.g, r.rn, r.id, r.score)
+    assert sorted(map(key, plain.collect())) == sorted(map(key, salted.collect()))
+
+
+def test_percentile_cont_grouped_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 100, 501).tolist()
+    rows = [("a", i, v) for i, v in enumerate(vals)] + [
+        ("b", i, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["g", "tid", "value"])
+    out = {
+        r.g: r
+        for r in agg_ops.percentile_cont_grouped(
+            df, "g", "value", "tid", {"p50": 0.5, "p90": 0.9}
+        ).collect()
+    }
+    assert out["a"].n_rows == 501
+    assert abs(out["a"].p50 - float(np.percentile(vals, 50))) < 1e-9
+    assert abs(out["a"].p90 - float(np.percentile(vals, 90))) < 1e-9
+    # n=10, p=0.9 -> h=8.1: genuine two-point interpolation case
+    assert abs(out["b"].p90 - 8.1) < 1e-12
