@@ -83,6 +83,7 @@ CATALOG: dict[str, QuerySpec] = {
     "group_topk": QuerySpec(R.q_group_topk, R.ORACLE_GROUP_TOPK),
     "percentile_stats": QuerySpec(R.q_percentile_stats, R.ORACLE_PERCENTILE_STATS),
     "asof_join": QuerySpec(R.q_asof_join, R.ORACLE_ASOF_JOIN),
+    "interval_join": QuerySpec(R.q_interval_join, R.ORACLE_INTERVAL_JOIN),
     # pipeline-shaped (C7/C10 as queries)
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),

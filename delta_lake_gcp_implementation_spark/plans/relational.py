@@ -1275,6 +1275,48 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval (range) join: every click paired with EVERY purchase by
+    the same user in the preceding 60 minutes — the attribution-window
+    generalization of the as-of join (all candidates, not just the
+    latest).  Catalyst executes the user_id equality as the hash-join
+    key and the time range as a post-join filter, so this stays a
+    single-shuffle hash join — no nested-loop, no broadcast
+    requirement.  Batch twin of the stream-stream
+    ``streaming.jobs.click_purchase_join`` (same condition tree; parity
+    asserted in tests)."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") <= F.col("ts"))
+        & (F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 60 MINUTES"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "event_id", "user_id", "ts", "p_event_id", "p_ts", "p_value"
+    )
+
+
+ORACLE_INTERVAL_JOIN = EV + """
+SELECT c.event_id, c.user_id, c.ts,
+       p.event_id AS p_event_id, p.ts AS p_ts, p.value AS p_value
+FROM ev c
+JOIN ev p
+  ON c.user_id = p.user_id
+ AND p.ts <= c.ts
+ AND p.ts >= c.ts - INTERVAL 60 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 ORACLE_ASOF_JOIN = EV + """
 , clicks AS (
   SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'click'),

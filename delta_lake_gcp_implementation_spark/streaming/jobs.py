@@ -94,6 +94,44 @@ def dedup_events(stream: DataFrame, lateness: str = "1 hour") -> DataFrame:
     )
 
 
+def click_purchase_join(
+    stream: DataFrame, lateness: str = "2 hours", lookback_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: each click joins the purchases by
+    the same user in the preceding ``lookback_minutes`` (attribution
+    join).  Both sides carry event-time watermarks and the join
+    condition bounds ``p_ts`` to a finite range behind ``ts``, so Spark
+    derives state eviction for BOTH sides — buffered state is capped at
+    lookback + lateness of stream data per side, never unbounded.
+    Without the time-range bound a stream-stream join must buffer one
+    side forever; with it this runs indefinitely at constant memory.
+    The batch twin is ``plans.relational.q_interval_join`` (parity
+    asserted in tests)."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", lateness)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", lateness)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") <= F.col("ts"))
+        & (F.col("p_ts") >= F.col("ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "event_id", "user_id", "ts", "p_event_id", "p_ts", "p_value"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> None:
     """Drain all available input into an in-memory table (test sink)."""

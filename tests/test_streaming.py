@@ -175,3 +175,33 @@ def test_stream_dedup_matches_batch(spark, event_dir, tmp_path):
     assert (
         got.select("event_id").exceptAll(batch.select("event_id")).count() == 0
     )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_dir):
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_to_memory(
+        jobs.click_purchase_join(stream), "interval_join_out"
+    )
+    got = {
+        (r.event_id, r.p_event_id)
+        for r in spark.table("interval_join_out").collect()
+    }
+    ev = _batch_events(spark, event_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") <= F.col("ts"))
+        & (F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 60 MINUTES"))
+    )
+    expect = {
+        (r.event_id, r.p_event_id)
+        for r in clicks.join(purchases, cond, "inner").collect()
+    }
+    assert got == expect and len(got) > 0
