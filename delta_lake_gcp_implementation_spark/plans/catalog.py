@@ -120,6 +120,7 @@ CATALOG: dict[str, QuerySpec] = {
     "embedding_near_dups": QuerySpec(
         X.q_embedding_near_dups, X.ORACLE_EMBEDDING_NEAR_DUPS
     ),
+    "semantic_dedup": QuerySpec(X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP),
     # multimodal plumbing (documents as stand-in blobs)
     "multimodal_metadata": QuerySpec(
         X.q_multimodal_metadata, X.ORACLE_MULTIMODAL_METADATA

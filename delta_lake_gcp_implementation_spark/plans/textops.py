@@ -775,6 +775,53 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication verdict: embedding-cosine
+    near-dup pairs (LSH-bucketed, :func:`q_embedding_near_dups`) ->
+    connected components -> keep the min-id representative per semantic
+    cluster.  The embedding-space twin of the text-space
+    ``dup_clusters`` pass: together they are the two dedup verdicts a
+    training-data pipeline materializes per corpus snapshot.  Same
+    scale shape as dup_clusters: bucketed candidate generation (no
+    all-pairs), iterative label propagation with small-label-table
+    broadcast."""
+    e = load_table(spark, sf, "embeddings")
+    pairs = q_embedding_near_dups(spark, sf).select("id_a", "id_b")
+    cc = dedup_ops.connected_components(pairs, e.select("vec_id"), "vec_id")
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v, {_sql_bucket_expr("v")} AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm FROM e),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+)
+SELECT src AS vec_id,
+       min(dst) AS cluster_id,
+       (min(dst) = src) AS is_canonical
+FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------- multimodal plumbing
 
 
