@@ -72,3 +72,47 @@ def test_dedup_window_is_partitioned(spark):
     plan = _plan(spark, "dedup_latest_version")
     # hashpartitioning on the dedup key — never a single-partition window
     assert "hashpartitioning(user_id" in plan
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    # union-and-sweep: the as-of match is a window sweep, not a join —
+    # no candidate fan-out, no range nested-loop anywhere in the plan
+    plan = _plan(spark, "asof_join")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan  # one per-key shuffle
+
+
+def test_interval_join_stays_hash_join(spark):
+    # the user_id equality must be the join key with the time range as
+    # a post-join condition — never a nested-loop/cartesian degradation
+    plan = _plan(spark, "interval_join")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_is_single_expand_pass(spark):
+    # ROLLUP = one Expand + one aggregate over one scan, not a union of
+    # per-level aggregation passes
+    plan = _plan(spark, "rollup_hierarchy")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_group_topk_prefilters_on_salt(spark):
+    # two-phase top-k: the first window must partition on (group, salt)
+    # so no reducer ever sees a whole group
+    plan = _plan(spark, "group_topk")
+    assert "__salt" in plan
+
+
+def test_percentile_plan_no_single_partition_exchange(spark):
+    # rank + two-point pick: everything stays hash-partitioned by
+    # group — a global sort/collect would show Exchange SinglePartition
+    plan = _plan(spark, "percentile_stats")
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan
