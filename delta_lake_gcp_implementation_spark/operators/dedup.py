@@ -389,24 +389,23 @@ def connected_components(
             .agg(F.min("dst_comp").alias("nbr_comp"))
             .withColumnRenamed("src", "id")
         )
+        nxt = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_comp"), F.col("component")),
+        )
+        # carry the changed flag inline: the convergence check is then a
+        # scan of the checkpointed result, not a second join per round
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_comp"), F.col("component")),
-                ).alias("component"),
+                nxt.alias("component"),
+                (nxt < F.col("component")).alias("__changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError(

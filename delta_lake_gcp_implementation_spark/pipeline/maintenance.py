@@ -73,3 +73,31 @@ def write_partitioned(
         shutil.rmtree(final)
     os.rename(tmp, final)
     store.spark.catalog.refreshByPath(final)
+
+
+def write_bucketed(
+    spark,
+    df,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed + sorted catalog table: rows are
+    hash-partitioned into ``n_buckets`` files by ``key`` AT WRITE TIME
+    and sorted within each bucket.
+
+    This is the co-located-join tool: two tables bucketed on the same
+    key with the same bucket count join with ZERO Exchange (and with
+    ``sortBy`` also zero Sort) — the shuffle happened once at write
+    time instead of on every query.  For a 100 TB fact repeatedly
+    joined on the same key, this converts the dominant per-query
+    shuffle into a one-time layout cost (the plan assertion lives in
+    the tests).  Bucketing needs the session catalog (file metadata
+    alone cannot carry bucket info), hence ``saveAsTable`` rather than
+    a bare parquet path; ``path`` makes it an external table.
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

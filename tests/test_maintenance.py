@@ -100,3 +100,35 @@ def test_partitioned_write_prunes(spark, store, sf_dir):
     # pruned scan reads only matching rows
     expect = ev.filter(F.to_date("ts") == "2024-01-03").count()
     assert q.count() == expect
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables co-bucketed on user_id must sort-merge join with no
+    Exchange and no Sort — the write-time layout replaces the per-query
+    shuffle (broadcast disabled to prove it's the buckets doing it)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    n_expected = clicks.join(purchases, "user_id").count()
+    mt.write_bucketed(
+        spark, clicks, "bck_clicks", "user_id", 8,
+        path=str(tmp_path / "bck_clicks"),
+    )
+    mt.write_bucketed(
+        spark, purchases, "bck_purchases", "user_id", 8,
+        path=str(tmp_path / "bck_purchases"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bck_clicks").alias("c").join(
+            spark.table("bck_purchases").alias("p"), "user_id"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == n_expected and n_expected > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bck_clicks")
+        spark.sql("DROP TABLE IF EXISTS bck_purchases")
