@@ -167,3 +167,123 @@ def test_scrub_and_normalize_match_duckdb(spark, parts):
     ).fetchone()
     assert row.scrubbed == want[0], f"scrub diverged on {s!r}"
     assert row.norm == want[1], f"normalize diverged on {s!r}"
+
+
+# ---------------------------------------------------------------- as-of / percentile fuzz
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    clicks=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=15,
+    ),
+    purchases=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 999)),
+        min_size=0, max_size=15,
+    ),
+)
+def test_asof_join_matches_duckdb_native_asof(spark, clicks, purchases):
+    """Union-and-sweep as-of join vs DuckDB's native ASOF LEFT JOIN on
+    adversarial tiny inputs (equal timestamps, missing users, empty
+    right side)."""
+    from delta_lake_gcp_implementation_spark.operators import joins as join_ops
+
+    # unique purchases per (user, ts): keep max value, as the catalog
+    # query's pre-aggregation does
+    pmap = {}
+    for u, t, v in purchases:
+        pmap[(u, t)] = max(pmap.get((u, t), -1), v)
+    c_rows = [
+        (i, u, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}")
+        for i, (u, t) in enumerate(clicks)
+    ]
+    p_rows = [
+        (u, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", float(v))
+        for (u, t), v in pmap.items()
+    ]
+    cdf = spark.createDataFrame(
+        c_rows, ["event_id", "user_id", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pdf_schema = "user_id long, ts string, val double"
+    pdf = spark.createDataFrame(p_rows or [], schema=pdf_schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r.event_id, str(r.asof_ts), r.asof_value)
+        for r in join_ops.asof_join(
+            cdf, pdf, "user_id", "ts", "ts", "val"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE c(event_id BIGINT, user_id BIGINT, ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO c VALUES (?, ?, ?)", c_rows) if c_rows else None
+    con.execute("CREATE TABLE p(user_id BIGINT, ts TIMESTAMP, val DOUBLE)")
+    if p_rows:
+        con.executemany("INSERT INTO p VALUES (?, ?, ?)", p_rows)
+    want = {
+        (r[0], str(r[1]), r[2])
+        for r in con.execute(
+            """SELECT c.event_id, p.ts, p.val
+               FROM c ASOF LEFT JOIN p
+                 ON c.user_id = p.user_id AND c.ts >= p.ts"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=40),
+    p=st.sampled_from([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+def test_percentile_matches_duckdb_mirror_and_numpy(spark, values, p):
+    """percentile_cont_grouped: bit-exact vs the mirrored DuckDB SQL
+    tree (the driver-hash claim) AND semantically correct vs numpy's
+    linear interpolation (the independent oracle)."""
+    import numpy as np
+
+    from delta_lake_gcp_implementation_spark.operators import (
+        aggregates as agg_ops,
+    )
+
+    rows = [("g", i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["g", "tid", "value"])
+    got = agg_ops.percentile_cont_grouped(
+        df, "g", "value", "tid", {"pv": p}
+    ).first()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, tid BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        f"""
+        WITH ranked AS (
+          SELECT g, value,
+                 row_number() OVER (PARTITION BY g ORDER BY value, tid) AS rn,
+                 count(*) OVER (PARTITION BY g) AS n
+          FROM t),
+        picked AS (
+          SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+                 max(CASE WHEN rn = floor((n - 1) * CAST({p!r} AS DOUBLE)) + 1
+                     THEN value END) AS lo,
+                 max(CASE WHEN rn = ceil((n - 1) * CAST({p!r} AS DOUBLE)) + 1
+                     THEN value END) AS hi
+          FROM ranked GROUP BY g)
+        SELECT lo + (hi - lo) * ((n_rows - 1) * CAST({p!r} AS DOUBLE)
+                   - floor((n_rows - 1) * CAST({p!r} AS DOUBLE))) AS pv
+        FROM picked
+        """
+    ).fetchone()
+    assert repr(got.pv) == repr(want[0]), f"ULP divergence at p={p}"
+    assert abs(got.pv - float(np.percentile([float(v) for v in values], p * 100))) < 1e-9
