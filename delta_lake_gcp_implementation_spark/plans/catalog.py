@@ -84,6 +84,9 @@ CATALOG: dict[str, QuerySpec] = {
     "percentile_stats": QuerySpec(R.q_percentile_stats, R.ORACLE_PERCENTILE_STATS),
     "asof_join": QuerySpec(R.q_asof_join, R.ORACLE_ASOF_JOIN),
     "interval_join": QuerySpec(R.q_interval_join, R.ORACLE_INTERVAL_JOIN),
+    # sketches: engine-specific estimators -> no SQL oracle (rows-only
+    # driver check; error bounds property-tested vs exact answers)
+    "sketch_stats": QuerySpec(R.q_sketch_stats, None),
     # pipeline-shaped (C7/C10 as queries)
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),

@@ -1243,6 +1243,25 @@ FROM picked
 """
 
 
+def q_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregations — the 100 TB path for distinct counts and
+    percentiles: HyperLogLog++ (``approx_count_distinct``, rsd 2%) and
+    KLL-style quantile sketch (``approx_percentile``).  Exact
+    COUNT(DISTINCT) shuffles every distinct value; the sketch shuffles
+    a KB-sized mergeable summary per partition — same single-shuffle
+    hash-agg shape, constant-size state.  No SQL oracle: sketch
+    internals are engine-specific (DuckDB's approx functions use
+    different estimators), so the driver records a rows-only check and
+    the error bounds vs exact answers are property-tested instead
+    (``test_sketch_stats_error_bounds``)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series as-of join (the event-stream generalization of the
     SCD2 point-in-time join): each click event picks up the latest

@@ -116,3 +116,33 @@ def test_percentile_plan_no_single_partition_exchange(spark):
     plan = _plan(spark, "percentile_stats")
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(event_type" in plan
+
+
+def test_sketch_stats_error_bounds(spark):
+    """HLL distinct within its rsd bound and sketch p50 within rank
+    tolerance of the exact median, per group — the correctness story
+    for the no-oracle sketch query."""
+    out = {
+        r.event_type: r
+        for r in CATALOG["sketch_stats"].builder(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for et, e in exact.items():
+        a = out[et]
+        assert abs(a.approx_users - e.n_users) <= max(3, 0.1 * e.n_users), et
+        # percentile_approx returns a real data value near the median
+        assert 0 <= a.approx_p50 <= e.vmax, et
+        assert abs(a.approx_p50 - e.p50) <= 0.05 * e.vmax, et
