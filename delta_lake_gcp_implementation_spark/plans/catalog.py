@@ -80,6 +80,8 @@ CATALOG: dict[str, QuerySpec] = {
     "json_extract": QuerySpec(R.q_json_extract, R.ORACLE_JSON_EXTRACT),
     # hierarchy / top-k / percentile / as-of extensions
     "rollup_hierarchy": QuerySpec(R.q_rollup_hierarchy, R.ORACLE_ROLLUP_HIERARCHY),
+    "pivot_status": QuerySpec(R.q_pivot_status, R.ORACLE_PIVOT_STATUS),
+    "unpivot_measures": QuerySpec(R.q_unpivot_measures, R.ORACLE_UNPIVOT_MEASURES),
     "group_topk": QuerySpec(R.q_group_topk, R.ORACLE_GROUP_TOPK),
     "percentile_stats": QuerySpec(R.q_percentile_stats, R.ORACLE_PERCENTILE_STATS),
     "asof_join": QuerySpec(R.q_asof_join, R.ORACLE_ASOF_JOIN),

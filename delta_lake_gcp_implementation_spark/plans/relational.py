@@ -1243,6 +1243,78 @@ FROM picked
 """
 
 
+def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts and revenue per year spread across status
+    columns (the cross-tab report shape).  Values are enumerated
+    explicitly (``pivot(col, values)``) — with an explicit value list
+    Catalyst compiles the pivot to ONE pass of conditional aggregates
+    (no second distinct-values job, no extra shuffle), which is also
+    exactly how the oracle expresses it, keeping both engines on the
+    same single-aggregation plan."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            # count(*) is invalid inside a pivot aggregate; count(lit(1))
+            # is the same count.  Empty cells are NULL (both measures) —
+            # the oracle mirrors with NULLIF(count FILTER ..., 0)
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+
+
+ORACLE_PIVOT_STATUS = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       NULLIF(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O_rev,
+       NULLIF(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F_rev,
+       NULLIF(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P_n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P_rev
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): lineitem's four measure columns to long
+    (measure_name, measure_value) rows — the normalization step before
+    generic per-measure profiling.  ``unpivot`` is a zero-shuffle
+    narrow transform (each row expands in place); the oracle is the
+    equivalent UNION ALL over one scan."""
+    li = load_table(spark, sf, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure_name",
+        valueColumnName="measure_value",
+    )
+
+
+ORACLE_UNPIVOT_MEASURES = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure_name,
+       l_quantity AS measure_value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
 def q_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch aggregations — the 100 TB path for distinct counts and
     percentiles: HyperLogLog++ (``approx_count_distinct``, rsd 2%) and
