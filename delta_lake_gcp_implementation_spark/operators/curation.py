@@ -126,7 +126,9 @@ def shingle_hashes(
     the join substrate for containment checks (integer equi-join keys
     are several times cheaper to shuffle and compare than UTF8
     shingles)."""
-    return df.select(
+    from ..tables import scale_out
+
+    return scale_out(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(

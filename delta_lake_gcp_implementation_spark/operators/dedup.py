@@ -79,7 +79,9 @@ def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> Data
     for MinHash / Jaccard.  Pure built-in expressions (sequence +
     transform + explode), JVM-side, no Python UDF.
     """
-    shingled = df.select(
+    from ..tables import scale_out
+
+    shingled = scale_out(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
@@ -426,8 +428,10 @@ def simhash_bits(
     a shorter signature (32 bits is plenty for banded candidate search;
     use 64 for final hamming verification).
     """
+    from ..tables import scale_out
+
     assert bits % 4 == 0 and bits <= 60
-    tokens = df.select(
+    tokens = scale_out(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
@@ -527,7 +531,9 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Near-dup detection = hamming distance on the signature
     (``bit_count(simhash_a ^ simhash_b)``).
     """
-    tokens = df.select(
+    from ..tables import scale_out
+
+    tokens = scale_out(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")

@@ -137,8 +137,12 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: normalized-content md5, compact 60-bit
     integer form, and a winnowing-style rolling min-hash over char
     8-grams (shift-resistant)."""
+    from ..tables import scale_out
+
     d = load_table(spark, sf, "documents")
-    return d.select(
+    # the rolling min-hash evaluates md5 per char 8-gram per row — CPU
+    # cost that a 1-file local scan would serialize on one core
+    return scale_out(d).select(
         "doc_id",
         T.fingerprint_md5(F.col("text")).alias("fp_md5"),
         T.fingerprint_int60(F.col("text")).alias("fp60"),
