@@ -34,9 +34,11 @@ HEADLINE = [
     "point_in_time",
     "summary_stats",
     "rollup_hierarchy",
+    "pivot_status",
     "group_topk",
     "percentile_stats",
     "asof_join",
+    "interval_join",
     # training-data pipeline family (documents / embeddings)
     "token_counts",
     "doc_fingerprint",
@@ -44,6 +46,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "dup_clusters",
+    "semantic_dedup",
     "simhash_near_dups",
     "cosine_topk",
     "ann_lsh_topk",

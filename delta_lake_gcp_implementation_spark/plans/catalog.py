@@ -80,6 +80,7 @@ CATALOG: dict[str, QuerySpec] = {
     "json_extract": QuerySpec(R.q_json_extract, R.ORACLE_JSON_EXTRACT),
     # hierarchy / top-k / percentile / as-of extensions
     "rollup_hierarchy": QuerySpec(R.q_rollup_hierarchy, R.ORACLE_ROLLUP_HIERARCHY),
+    "grouping_sets": QuerySpec(R.q_grouping_sets, R.ORACLE_GROUPING_SETS),
     "pivot_status": QuerySpec(R.q_pivot_status, R.ORACLE_PIVOT_STATUS),
     "unpivot_measures": QuerySpec(R.q_unpivot_measures, R.ORACLE_UNPIVOT_MEASURES),
     "group_topk": QuerySpec(R.q_group_topk, R.ORACLE_GROUP_TOPK),

@@ -1243,6 +1243,42 @@ FROM picked
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS with disjoint sets — two independent breakdowns
+    (by year, by status) in ONE pass of the fact (same Expand + single
+    hash-agg plan as ROLLUP; arbitrary set lists have no DataFrame API,
+    so this goes through ``spark.sql``, which is the same Catalyst
+    front door).  ``grouping_id()`` tags which breakdown each row
+    belongs to (1 = by-year set, 2 = by-status set)."""
+    o = load_table(spark, sf, "orders")
+    o.select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    ).createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT order_year, status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               CAST(grouping_id() AS INT) AS grp_id
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((order_year), (status))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderstatus AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(CAST(year(o_orderdate) AS INTEGER), o_orderstatus) AS INTEGER) AS grp_id
+FROM orders
+GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INTEGER)), (o_orderstatus))
+"""
+
+
 def q_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT: order counts and revenue per year spread across status
     columns (the cross-tab report shape).  Values are enumerated
