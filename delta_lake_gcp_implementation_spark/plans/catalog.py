@@ -70,6 +70,8 @@ CATALOG: dict[str, QuerySpec] = {
     "surrogate_keys": QuerySpec(R.q_surrogate_keys, R.ORACLE_SURROGATE_KEYS),
     "best_record": QuerySpec(R.q_best_record, R.ORACLE_BEST_RECORD),
     "lag_transitions": QuerySpec(R.q_lag_transitions, R.ORACLE_LAG_TRANSITIONS),
+    "running_total": QuerySpec(R.q_running_total, R.ORACLE_RUNNING_TOTAL),
+    "trailing_window": QuerySpec(R.q_trailing_window, R.ORACLE_TRAILING_WINDOW),
     # top-k / union
     "watermark_top1": QuerySpec(R.q_watermark_top1, R.ORACLE_WATERMARK_TOP1),
     "topn_revenue": QuerySpec(R.q_topn_revenue, R.ORACLE_TOPN_REVENUE),

@@ -1243,6 +1243,79 @@ FROM picked
 """
 
 
+def q_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative window frame (ROWS UNBOUNDED PRECEDING .. CURRENT):
+    per-customer running order count and revenue in order-date order —
+    the running-balance shape.  Hash-partitioned on the entity key like
+    every other window here; the frame is evaluated incrementally per
+    partition (no per-row rescan).  Money accumulates through DECIMAL
+    (exact at any prefix length), cast to DOUBLE only at the output
+    boundary."""
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderdate").alias("order_date"),
+        F.count("*").over(w).cast("bigint").alias("running_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey AS cust_key,
+       o_orderkey AS order_key,
+       o_orderdate AS order_date,
+       CAST(count(*) OVER w AS BIGINT) AS running_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_revenue
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-range window frame (RANGE BETWEEN 3600 PRECEDING AND
+    CURRENT ROW over epoch seconds): per event, how many same-user
+    events landed in the trailing hour and their max value — the
+    sliding-feature shape of a behavioral pipeline.  The frame
+    aggregates (count/max) are order-independent inside the frame, so
+    the result is deterministic under timestamp ties in both engines
+    (a SUM of doubles here would be association-order-dependent —
+    DuckDB evaluates large frames with a segment tree)."""
+    ev = load_table(spark, sf, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("events_1h"),
+        F.max("value").over(w).alias("max_value_1h"),
+    )
+
+
+ORACLE_TRAILING_WINDOW = EV + """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS events_1h,
+       max(value) OVER w AS max_value_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """GROUPING SETS with disjoint sets — two independent breakdowns
     (by year, by status) in ONE pass of the fact (same Expand + single
