@@ -76,6 +76,7 @@ CATALOG: dict[str, QuerySpec] = {
     "watermark_top1": QuerySpec(R.q_watermark_top1, R.ORACLE_WATERMARK_TOP1),
     "topn_revenue": QuerySpec(R.q_topn_revenue, R.ORACLE_TOPN_REVENUE),
     "union_slices": QuerySpec(R.q_union_slices, R.ORACLE_UNION_SLICES),
+    "set_ops": QuerySpec(R.q_set_ops, R.ORACLE_SET_OPS),
     # time windows / json
     "tumbling_window": QuerySpec(R.q_tumbling_window, R.ORACLE_TUMBLING_WINDOW),
     "session_window": QuerySpec(R.q_session_window, R.ORACLE_SESSION_WINDOW),

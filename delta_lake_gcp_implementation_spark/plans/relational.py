@@ -1243,6 +1243,37 @@ FROM picked
 """
 
 
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """U-family completion: INTERSECT and EXCEPT (DISTINCT set
+    semantics) — customers active in both 1995 and 1996 vs churned
+    after 1995.  Catalyst plans both as semi/anti hash joins over the
+    de-duplicated keys (same single-shuffle shape as J3/J4), tagged and
+    unioned into one result."""
+    o = load_table(spark, sf, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).select(
+        F.col("o_custkey").alias("cust_key"), F.lit("retained").alias("cohort")
+    )
+    churned = y95.exceptAll(y96).select(
+        F.col("o_custkey").alias("cust_key"), F.lit("churned").alias("cohort")
+    )
+    return both.unionByName(churned)
+
+
+ORACLE_SET_OPS = """
+SELECT cust_key, 'retained' AS cohort FROM (
+  SELECT o_custkey AS cust_key FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+UNION ALL
+SELECT cust_key, 'churned' AS cohort FROM (
+  SELECT DISTINCT o_custkey AS cust_key FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+"""
+
+
 def q_running_total(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative window frame (ROWS UNBOUNDED PRECEDING .. CURRENT):
     per-customer running order count and revenue in order-date order —
