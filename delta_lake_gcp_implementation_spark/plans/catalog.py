@@ -77,6 +77,7 @@ CATALOG: dict[str, QuerySpec] = {
     "topn_revenue": QuerySpec(R.q_topn_revenue, R.ORACLE_TOPN_REVENUE),
     "union_slices": QuerySpec(R.q_union_slices, R.ORACLE_UNION_SLICES),
     "set_ops": QuerySpec(R.q_set_ops, R.ORACLE_SET_OPS),
+    "table_profile": QuerySpec(R.q_table_profile, R.ORACLE_TABLE_PROFILE),
     # time windows / json
     "tumbling_window": QuerySpec(R.q_tumbling_window, R.ORACLE_TUMBLING_WINDOW),
     "session_window": QuerySpec(R.q_session_window, R.ORACLE_SESSION_WINDOW),

@@ -1243,6 +1243,55 @@ FROM picked
 """
 
 
+def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column data-profiling block (the ANALYZE TABLE / data-quality
+    report shape every ingestion pipeline runs): one row per column
+    with null count, distinct count, and min/max rendered as strings.
+    ONE pass over the table — all per-column aggregates sit in a single
+    hash aggregation (Spark computes the COUNT(DISTINCT)s via a shared
+    Expand, not one scan per column) — then a zero-shuffle unpivot of
+    the 1-row result to the long report layout."""
+    o = load_table(spark, sf, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_repr"),
+            F.col(f"{c}__max").alias("max_repr"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def _sql_profile_col(c: str) -> str:
+    return f"""SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_repr,
+       CAST(max({c}) AS VARCHAR) AS max_repr
+FROM orders"""
+
+
+ORACLE_TABLE_PROFILE = "\nUNION ALL\n".join(
+    _sql_profile_col(c)
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+)
+
+
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """U-family completion: INTERSECT and EXCEPT (DISTINCT set
     semantics) — customers active in both 1995 and 1996 vs churned
