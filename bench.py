@@ -34,11 +34,18 @@ HEADLINE = [
     "point_in_time",
     "summary_stats",
     "rollup_hierarchy",
+    "grouping_sets",
     "pivot_status",
+    "unpivot_measures",
     "group_topk",
     "percentile_stats",
+    "running_total",
+    "trailing_window",
     "asof_join",
     "interval_join",
+    "set_ops",
+    "sketch_stats",
+    "table_profile",
     # training-data pipeline family (documents / embeddings)
     "token_counts",
     "doc_fingerprint",

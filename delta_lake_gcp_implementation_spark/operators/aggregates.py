@@ -94,8 +94,12 @@ def percentile_cont_grouped(
     """
     wr = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
     wn = Window.partitionBy(group_col)
+    # NULL values are excluded (PERCENTILE_CONT semantics); keeping
+    # them would also diverge cross-engine on rank order (Spark sorts
+    # NULLS FIRST, DuckDB NULLS LAST)
     ranked = (
         df.select(group_col, value_col, tiebreak_col)
+        .filter(F.col(value_col).isNotNull())
         .withColumn("__rn", F.row_number().over(wr))
         .withColumn("__n", F.count("*").over(wn))
     )
