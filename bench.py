@@ -46,9 +46,13 @@ HEADLINE = [
     "set_ops",
     "sketch_stats",
     "table_profile",
+    "above_avg_spenders",
     # training-data pipeline family (documents / embeddings)
     "token_counts",
     "doc_fingerprint",
+    "doc_chunking",
+    "vocab_topk",
+    "label_centroids",
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard",

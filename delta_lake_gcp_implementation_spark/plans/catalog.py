@@ -91,6 +91,9 @@ CATALOG: dict[str, QuerySpec] = {
     "percentile_stats": QuerySpec(R.q_percentile_stats, R.ORACLE_PERCENTILE_STATS),
     "asof_join": QuerySpec(R.q_asof_join, R.ORACLE_ASOF_JOIN),
     "interval_join": QuerySpec(R.q_interval_join, R.ORACLE_INTERVAL_JOIN),
+    "above_avg_spenders": QuerySpec(
+        R.q_above_avg_spenders, R.ORACLE_ABOVE_AVG_SPENDERS
+    ),
     # sketches: engine-specific estimators -> no SQL oracle (rows-only
     # driver check; error bounds property-tested vs exact answers)
     "sketch_stats": QuerySpec(R.q_sketch_stats, None),
@@ -106,6 +109,9 @@ CATALOG: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(X.q_lang_id, X.ORACLE_LANG_ID),
     "doc_fingerprint": QuerySpec(X.q_doc_fingerprint, X.ORACLE_DOC_FINGERPRINT),
     # dedup family (documents)
+    "doc_chunking": QuerySpec(X.q_doc_chunking, X.ORACLE_DOC_CHUNKING),
+    "vocab_topk": QuerySpec(X.q_vocab_topk, X.ORACLE_VOCAB_TOPK),
+    "label_centroids": QuerySpec(X.q_label_centroids, X.ORACLE_LABEL_CENTROIDS),
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.ORACLE_DEDUP_EXACT),
     "minhash_signatures": QuerySpec(
         X.q_minhash_signatures, X.ORACLE_MINHASH_SIGNATURES

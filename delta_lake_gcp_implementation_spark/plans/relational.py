@@ -1608,3 +1608,60 @@ SELECT c.event_id, c.user_id, c.ts AS click_ts, c.value AS click_value,
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """
+
+
+def q_above_avg_spenders(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar-subquery shape (``WHERE total > (SELECT
+    avg(...) ... WHERE same nation)``), written the way Catalyst
+    decorrelates it: per-customer order totals, per-nation average of
+    those totals, tiny per-nation aggregate broadcast back, keep
+    customers above their nation's average.  Money goes through exact
+    integer cents (sum is associative — shuffle-order-proof) and the
+    avg stays an exact-int division, so the > comparison is
+    cross-engine deterministic with no decimal boundary risk."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("total_cents"))
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+            "o_custkey",
+        )
+    )
+    per_nation = per_cust.groupBy("c_nationkey").agg(
+        (F.sum("total_cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    return (
+        per_cust.join(F.broadcast(per_nation), "c_nationkey")
+        .filter(F.col("total_cents") > F.col("avg_cents"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_nationkey",
+            (F.col("total_cents").cast("double") / F.lit(100.0)).alias(
+                "total_spend"
+            ),
+            (F.col("avg_cents") / F.lit(100.0)).alias("nation_avg_spend"),
+        )
+    )
+
+
+ORACLE_ABOVE_AVG_SPENDERS = """
+WITH per_cust AS (
+    SELECT o.o_custkey AS c_custkey, c.c_nationkey,
+           SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey, c.c_nationkey
+),
+per_nation AS (
+    SELECT c_nationkey,
+           CAST(SUM(total_cents) AS DOUBLE) / COUNT(*) AS avg_cents
+    FROM per_cust GROUP BY c_nationkey
+)
+SELECT p.c_custkey, p.c_nationkey,
+       CAST(p.total_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS total_spend,
+       n.avg_cents / CAST(100 AS DOUBLE) AS nation_avg_spend
+FROM per_cust p JOIN per_nation n USING (c_nationkey)
+WHERE p.total_cents > n.avg_cents
+"""

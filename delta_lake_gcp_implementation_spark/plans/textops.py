@@ -855,3 +855,138 @@ SELECT doc_id,
             ELSE 'formatB' END AS sniffed_format
 FROM documents
 """
+
+
+# ---------------------------------------------------------------- chunking / vocab / centroids
+
+_CHUNK = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # overlap = _CHUNK - _CHUNK_STRIDE = 8 tokens
+
+
+def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window token chunking with overlap (LLM context-window
+    prep): whitespace tokens -> 32-token windows at stride 24, emitting
+    per-chunk token count + content hash.  ``explode(sequence(...))``
+    keeps chunk generation fully JVM-side (no Python in the row path);
+    the fan-out is bounded by ceil(n_tokens/stride) per document, so
+    the exploded row count — and therefore every downstream shuffle —
+    scales linearly with corpus token count, never quadratically."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents")
+    toks = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    # per-chunk md5 is CPU work a 1-file local scan would serialize
+    base = scale_out(d).select("doc_id", toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunked = base.select("doc_id", "toks", F.explode(starts).alias("s"))
+    chunk = F.slice("toks", F.col("s") + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("token_start"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+ORACLE_DOC_CHUNKING = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+    FROM documents
+),
+st AS (
+    SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), {_CHUNK_STRIDE})) AS s
+    FROM toks
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS token_start,
+       CAST(len(list_slice(t, s + 1, s + {_CHUNK})) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(list_slice(t, s + 1, s + {_CHUNK}), ' ')) AS chunk_hash
+FROM st
+"""
+
+_VOCAB_K = 100
+
+
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-100 whitespace tokens by frequency.  The
+    classic two-phase count: map-side partial aggregation shrinks the
+    shuffle to distinct-tokens-per-partition, and the final top-k is a
+    TakeOrdered over the aggregated set, not a global sort of the
+    token stream.  Deterministic (freq DESC, token ASC) tie-break makes
+    the limit boundary stable cross-engine."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents")
+    nonempty = d.filter(F.trim(F.col("text")) != "")
+    toks = scale_out(nonempty).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(_VOCAB_K)
+    )
+
+
+ORACLE_VOCAB_TOPK = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+_CENTROID_SCALE = 1_000_000
+
+
+def q_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroid in long form (label, dim_idx,
+    centroid): posexplode -> grouped mean.  Components are quantized to
+    a 1e-6 grid (floor(v * 1e6) as BIGINT) before summing, so the
+    grouped sum is exact integer arithmetic — associative, immune to
+    partition/shuffle order, and bit-identical to the DuckDB oracle (a
+    raw double sum diverges in the last ULPs between engines).  Long
+    form keeps the shuffle rows narrow ((label, dim) pairs, not whole
+    vectors) and lets the centroid agg scale out across dims."""
+    e = load_table(spark, sf, "embeddings")
+    expl = e.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+    q = F.floor(F.col("v").cast("double") * F.lit(float(_CENTROID_SCALE))).cast(
+        "bigint"
+    )
+    return expl.groupBy(
+        "label", F.col("dim_idx").cast("bigint").alias("dim_idx")
+    ).agg(
+        (
+            F.sum(q).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(float(_CENTROID_SCALE))
+        ).alias("centroid")
+    )
+
+
+ORACLE_LABEL_CENTROIDS = f"""
+WITH expl AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim_idx,
+           unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+)
+SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(SUM(CAST(floor(v * CAST({_CENTROID_SCALE} AS DOUBLE)) AS BIGINT))
+            AS DOUBLE)
+         / COUNT(*) / CAST({_CENTROID_SCALE} AS DOUBLE) AS centroid
+FROM expl
+GROUP BY label, dim_idx
+"""

@@ -146,3 +146,15 @@ def test_sketch_stats_error_bounds(spark):
         # percentile_approx returns a real data value near the median
         assert 0 <= a.approx_p50 <= e.vmax, et
         assert abs(a.approx_p50 - e.p50) <= 0.05 * e.vmax, et
+
+
+def test_above_avg_spenders_semantics_and_broadcast(spark):
+    sf = "/root/testdata/sf0.001"
+    out = CATALOG["above_avg_spenders"].builder(spark, sf).collect()
+    assert out, "some customer must beat its nation average"
+    assert all(r.total_spend > r.nation_avg_spend for r in out)
+    # above-the-mean is a strict subset of spending customers
+    n_cust = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert len(out) < n_cust
+    plan = _plan(spark, "above_avg_spenders")
+    assert "BroadcastHashJoin" in plan  # per-nation avgs never shuffle per_cust

@@ -326,3 +326,59 @@ def test_kmeans_assign_literal_and_join_paths_agree(spark, sf_dir, monkeypatch):
     a = {(r._id, r.cell) for r in lit_path.collect()}
     b = {(r._id, r.cell) for r in join_path.collect()}
     assert a == b
+
+
+def test_doc_chunking_covers_all_tokens(spark, sf_dir):
+    """Every token position is covered by >=1 chunk; strides/widths
+    honor the (32, 24) config; chunk 0 starts at 0."""
+    out = X.q_doc_chunking(spark, sf_dir)
+    rows = out.collect()
+    toks = {
+        r.doc_id: r.n
+        for r in X.load_table(spark, sf_dir, "documents")
+        .select("doc_id", T.token_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = toks[doc_id]
+        covered = set()
+        for r in chunks:
+            assert r.token_start == r.chunk_idx * 24
+            assert r.chunk_tokens <= 32
+            covered.update(range(r.token_start, r.token_start + r.chunk_tokens))
+        assert covered == set(range(n))
+        # no chunk starts at/after the token count (except the n=0 stub)
+        assert all(r.token_start < max(n, 1) for r in chunks)
+
+
+def test_vocab_topk_matches_exploded_counts(spark, sf_dir):
+    out = {r.token: r.freq for r in X.q_vocab_topk(spark, sf_dir).collect()}
+    d = X.load_table(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    manual = (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    manual_top = {
+        r.t: r["count"]
+        for r in sorted(manual, key=lambda r: (-r["count"], r.t))[: len(out)]
+    }
+    assert out == manual_top
+
+
+def test_label_centroids_match_numpy_within_grid(spark, sf_dir):
+    out = X.q_label_centroids(spark, sf_dir).collect()
+    emb = X.load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    means = {lbl: np.mean(np.stack(vs), axis=0) for lbl, vs in by_label.items()}
+    assert len(out) == len(means) * 64
+    for r in out:
+        # quantized mean is within one 1e-6 grid step of the float mean
+        assert abs(r.centroid - means[r.label][r.dim_idx]) < 1.5e-6
