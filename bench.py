@@ -47,11 +47,13 @@ HEADLINE = [
     "sketch_stats",
     "table_profile",
     "above_avg_spenders",
+    "order_histogram",
     # training-data pipeline family (documents / embeddings)
     "token_counts",
     "doc_fingerprint",
     "doc_chunking",
     "vocab_topk",
+    "tfidf_topk",
     "label_centroids",
     "dedup_exact",
     "minhash_lsh_pairs",

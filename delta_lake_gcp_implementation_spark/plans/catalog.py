@@ -94,6 +94,7 @@ CATALOG: dict[str, QuerySpec] = {
     "above_avg_spenders": QuerySpec(
         R.q_above_avg_spenders, R.ORACLE_ABOVE_AVG_SPENDERS
     ),
+    "order_histogram": QuerySpec(R.q_order_histogram, R.ORACLE_ORDER_HISTOGRAM),
     # sketches: engine-specific estimators -> no SQL oracle (rows-only
     # driver check; error bounds property-tested vs exact answers)
     "sketch_stats": QuerySpec(R.q_sketch_stats, None),
@@ -111,6 +112,7 @@ CATALOG: dict[str, QuerySpec] = {
     # dedup family (documents)
     "doc_chunking": QuerySpec(X.q_doc_chunking, X.ORACLE_DOC_CHUNKING),
     "vocab_topk": QuerySpec(X.q_vocab_topk, X.ORACLE_VOCAB_TOPK),
+    "tfidf_topk": QuerySpec(X.q_tfidf_topk, X.ORACLE_TFIDF_TOPK),
     "label_centroids": QuerySpec(X.q_label_centroids, X.ORACLE_LABEL_CENTROIDS),
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.ORACLE_DEDUP_EXACT),
     "minhash_signatures": QuerySpec(

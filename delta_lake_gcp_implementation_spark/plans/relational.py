@@ -1665,3 +1665,61 @@ SELECT p.c_custkey, p.c_nationkey,
 FROM per_cust p JOIN per_nation n USING (c_nationkey)
 WHERE p.total_cents > n.avg_cents
 """
+
+
+_HIST_WIDTH = 50_000  # bucket width in currency units
+
+
+def q_order_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Value-distribution histogram: orders bucketed by floor(total /
+    50k), per-bucket count, revenue, and share of orders.  A single
+    hash aggregation on a derived key — the bucket expression stays in
+    whole-stage codegen, the agg combines map-side, and the bucket
+    count (~12) means the final shuffle is trivially small at any
+    corpus size.  Revenue goes through exact integer cents; the share
+    is an exact-int division, so every output is cross-engine
+    deterministic."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(float(_HIST_WIDTH))).cast(
+        "bigint"
+    )
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        o.select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("sum_cents"))
+        .join(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (F.col("sum_cents").cast("double") / F.lit(100.0)).alias(
+                "bucket_revenue"
+            ),
+            (
+                F.col("n_orders").cast("double") / F.col("n_total").cast("double")
+            ).alias("order_share"),
+        )
+    )
+
+
+ORACLE_ORDER_HISTOGRAM = f"""
+WITH b AS (
+    SELECT CAST(floor(o_totalprice / CAST({_HIST_WIDTH} AS DOUBLE)) AS BIGINT)
+               AS bucket,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+agg AS (
+    SELECT bucket, count(*) AS n_orders, SUM(cents) AS sum_cents
+    FROM b GROUP BY bucket
+),
+n AS (SELECT count(*) AS n_total FROM orders)
+SELECT bucket,
+       CAST(bucket * {_HIST_WIDTH} AS DOUBLE) AS bucket_lo,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(sum_cents AS DOUBLE) / CAST(100 AS DOUBLE) AS bucket_revenue,
+       CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS order_share
+FROM agg CROSS JOIN n
+"""

@@ -990,3 +990,80 @@ SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
 FROM expl
 GROUP BY label, dim_idx
 """
+
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.  Plan: one
+    (doc, token) aggregation for TF, a vocab-sized DF aggregation
+    joined back (broadcast — vocabulary is orders of magnitude smaller
+    than the token stream), and a per-doc window for the top-k.  Uses
+    the linear IDF variant (N/df instead of ln(N/df)): IEEE division
+    and multiplication are bit-identical across engines, so ranking and
+    the oracle hash stay exact, while term ordering is unchanged for
+    fixed tf (both are monotone decreasing in df).  Swap in
+    ``F.log(N/df)`` for the classic variant when cross-engine
+    bit-parity is not required."""
+    from pyspark.sql import Window
+
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    tok = scale_out(d).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+ORACLE_TFIDF_TOPK = f"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM d),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE)
+             * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS rn
+    FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {_TFIDF_K}
+"""

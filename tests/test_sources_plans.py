@@ -158,3 +158,12 @@ def test_above_avg_spenders_semantics_and_broadcast(spark):
     assert len(out) < n_cust
     plan = _plan(spark, "above_avg_spenders")
     assert "BroadcastHashJoin" in plan  # per-nation avgs never shuffle per_cust
+
+
+def test_order_histogram_partitions_all_orders(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = CATALOG["order_histogram"].builder(spark, sf).collect()
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(sum(r.order_share for r in rows) - 1.0) < 1e-9
+    assert all(r.bucket_lo == r.bucket * 50_000 for r in rows)

@@ -382,3 +382,27 @@ def test_label_centroids_match_numpy_within_grid(spark, sf_dir):
     for r in out:
         # quantized mean is within one 1e-6 grid step of the float mean
         assert abs(r.centroid - means[r.label][r.dim_idx]) < 1.5e-6
+
+
+def test_tfidf_topk_ranks_and_monotonicity(spark, sf_dir):
+    rows = X.q_tfidf_topk(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.rank)
+        assert [r.rank for r in chunks] == list(range(1, len(chunks) + 1))
+        assert len(chunks) <= 3
+        # scores non-increasing down the ranks; ties broken by token asc
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.tfidf > b.tfidf or (
+                a.tfidf == b.tfidf and a.token < b.token
+            )
+    # linear IDF: spot-check score == tf * n_docs / df exactly
+    r0 = rows[0]
+    assert r0.tfidf == r0.tf * (
+        X.load_table(spark, sf_dir, "documents")
+        .filter(F.trim("text") != "")
+        .count()
+        / r0.df
+    )
