@@ -190,6 +190,101 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def minhash_band_incidence(
+    signatures: DataFrame, id_col: str, n_hashes: int = 16, band_size: int = 2
+) -> DataFrame:
+    """LSH banding as an ``(id, bucket)`` incidence list — one row per
+    (doc, band), so LINEAR in corpus size.  The clique-expanded
+    candidate-pair list (:func:`minhash_candidate_pairs`) is quadratic
+    in bucket size; when the consumer only needs connectivity (dedup
+    clustering), propagating labels through the bucket nodes gives the
+    same components without ever materializing the self-join."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh_{b * band_size + j}").cast("string")
+                    for j in range(band_size)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("bucket")
+    )
+
+
+def connected_components_groups(
+    incidence: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    group_col: str = "bucket",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components where every group is a clique (LSH buckets,
+    shared-key blocks): min-label propagation over the BIPARTITE
+    (id, group) incidence instead of the clique-expanded edge list.
+
+    Identical components to :func:`connected_components` over the
+    pair expansion — one id->group->id round trip per iteration is
+    exactly one hop in the pair graph — but each iteration joins the
+    linear-sized incidence list, not the quadratic pair list, and the
+    O(k^2)-per-bucket band self-join is never run at all.  This is the
+    corpus-scale shape: a hot bucket of 10^4 docs contributes 10^4
+    incidence rows instead of 10^8 pairs.
+
+    Per iteration: incidence |><| labels -> per-group MIN (the group's
+    candidate label) -> per-id MIN over its groups.  Both aggregations
+    have map-side partial combine; the group-min table is at most one
+    row per group and is broadcast when small."""
+    inc = (
+        incidence.select(
+            F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+    bcast = _fits_broadcast(labels)
+    for _ in range(max_iterations):
+        grp_min = (
+            inc.join(F.broadcast(labels) if bcast else labels, "id")
+            .groupBy("grp")
+            .agg(F.min("component").alias("grp_comp"))
+        )
+        nbr_min = (
+            inc.join(F.broadcast(grp_min) if bcast else grp_min, "grp")
+            .groupBy("id")
+            .agg(F.min("grp_comp").alias("nbr_comp"))
+        )
+        nxt = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_comp"), F.col("component")),
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                nxt.alias("component"),
+                (nxt < F.col("component")).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components_groups did not converge in {max_iterations} iterations"
+    )
+
+
 def _fits_broadcast(df: DataFrame, budget_bytes: int = 256 << 20) -> bool:
     """Catalyst size estimate for the broadcast-vs-partition decision.
 

@@ -260,13 +260,20 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster resolution: MinHash+LSH candidate pairs ->
     connected components -> (doc_id, cluster_id, is_canonical), the
     keep/drop verdict of a corpus dedup pass (cluster_id = smallest
-    reachable doc_id; the canonical doc is the one kept)."""
+    reachable doc_id; the canonical doc is the one kept).
+
+    Scale shape: label propagation runs over the (doc, band-bucket)
+    INCIDENCE list — linear in corpus size — not the clique-expanded
+    candidate pairs, so the quadratic-in-bucket band self-join never
+    runs; identical components by construction (a bucket is a clique)."""
     d = load_table(spark, sf, "documents")
-    sig = q_minhash_signatures(spark, sf).localCheckpoint()
-    pairs = dedup_ops.minhash_candidate_pairs(
+    sig = q_minhash_signatures(spark, sf)
+    inc = dedup_ops.minhash_band_incidence(
         sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND
     )
-    cc = dedup_ops.connected_components(pairs, d.select("doc_id"), "doc_id")
+    cc = dedup_ops.connected_components_groups(
+        inc, d.select("doc_id"), "doc_id", "bucket"
+    )
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),

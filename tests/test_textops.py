@@ -190,6 +190,55 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
 
 
+def test_cc_groups_matches_pair_cc(spark):
+    """Hypergraph label propagation over (id, bucket) incidence must
+    produce the exact components of pair-CC over the clique expansion —
+    chain of overlapping buckets, a hot clique bucket, singletons."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    # buckets: {0,1} {1,2} {2,3} chain; {5,6,7} clique; {8} singleton
+    inc = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "c"),
+         (5, "d"), (6, "d"), (7, "d"), (8, "e")],
+        ["doc_id", "bucket"],
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (5, 7), (6, 7)], ["id_a", "id_b"]
+    )
+    via_groups = {
+        r.id: r.component
+        for r in dedup_ops.connected_components_groups(
+            inc, ids, "doc_id", "bucket"
+        ).collect()
+    }
+    via_pairs = {
+        r.id: r.component
+        for r in dedup_ops.connected_components(pairs, ids, "doc_id").collect()
+    }
+    assert via_groups == via_pairs
+    assert via_groups[0] == 0 and via_groups[3] == 0 and via_groups[9] == 9
+
+
+def test_dup_clusters_incidence_matches_pair_expansion(spark, sf_dir):
+    """q_dup_clusters' incidence-based CC must equal CC over the full
+    minhash_candidate_pairs expansion on real document data."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r.doc_id: r.cluster_id for r in X.q_dup_clusters(spark, sf_dir).collect()}
+    sh = dedup_ops.char_shingles(d, "text", "doc_id", k=X._MH_K)
+    sig = dedup_ops.minhash_signatures(
+        sh, "doc_id", n_hashes=X._MH_N
+    ).localCheckpoint()
+    pairs = dedup_ops.minhash_candidate_pairs(
+        sig, "doc_id", n_hashes=X._MH_N, band_size=X._MH_BAND
+    )
+    ref = {
+        r.id: r.component
+        for r in dedup_ops.connected_components(
+            pairs, d.select("doc_id"), "doc_id"
+        ).collect()
+    }
+    assert out == ref
+
+
 def test_ngram_jaccard_partitioned_path_identical(spark, sf_dir):
     """The broadcast and hash-partitioned (100 TB) join strategies must
     return the same pairs — same LSH candidates in, same exact
