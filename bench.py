@@ -67,6 +67,8 @@ HEADLINE = [
     "contamination_check",
     "token_packing",
     "stratified_sample",
+    "chunk_dedup",
+    "shuffle_shard",
 ]
 
 

@@ -158,4 +158,6 @@ CATALOG: dict[str, QuerySpec] = {
     "repetition_metrics": QuerySpec(
         C.q_repetition_metrics, C.ORACLE_REPETITION_METRICS
     ),
+    "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
+    "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
 }

@@ -330,6 +330,138 @@ FROM uni JOIN bi USING (doc_id)
 """
 
 
+#: non-overlapping token-block width for inter-document block dedup.
+CHUNK_DEDUP_W = 16
+
+
+def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-document duplicated-block detection (the RefinedWeb/CCNet
+    paragraph-dedup shape, applied to fixed 16-token blocks since the
+    corpus carries no paragraph breaks): per document, the fraction of
+    its blocks that also occur verbatim in at least one OTHER document,
+    plus a drop verdict at 50%.  Complements ``repetition_metrics``
+    (intra-doc) and ``dup_clusters`` (whole-doc near-dup): this is the
+    partial-overlap detector for boilerplate shared across documents.
+
+    Plan shape: explode to (doc, block-hash) — linear in corpus token
+    count — distinct, one hash-agg per block hash for the global doc
+    count, equi-join back on the hash, one hash-agg per doc.  Shuffles
+    carry (doc_id, 32-char hash) pairs only, never text."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents")
+    toks = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(CHUNK_DEDUP_W),
+    )
+    block = F.slice("toks", F.col("s") + 1, CHUNK_DEDUP_W)
+    blocks = (
+        scale_out(d)
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(starts).alias("s"), F.col("toks"))
+        .filter(F.size(block) > 0)
+        .select("doc_id", F.md5(F.array_join(block, " ")).alias("h"))
+        .distinct()
+    )
+    hash_docs = blocks.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (
+        blocks.join(hash_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_blocks")).alias("shared_frac"),
+            (F.col("n_shared") / F.col("n_blocks") >= 0.5).alias(
+                "drop_candidate"
+            ),
+        )
+    )
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH tl AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+), bl AS (
+    SELECT DISTINCT doc_id,
+           md5(array_to_string(
+               toks[CAST(s AS INT) + 1 : CAST(s AS INT) + {CHUNK_DEDUP_W}],
+               ' ')) AS h
+    FROM tl,
+         unnest(range(0, greatest(len(toks), 1), {CHUNK_DEDUP_W})) AS t(s)
+    WHERE len(toks[CAST(s AS INT) + 1 : CAST(s AS INT) + {CHUNK_DEDUP_W}]) > 0
+), hc AS (
+    SELECT h, count(*) AS n_docs FROM bl GROUP BY h
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_blocks,
+           CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS n_shared
+    FROM bl JOIN hc USING (h)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_blocks, n_shared,
+       n_shared / n_blocks AS shared_frac,
+       n_shared / n_blocks >= CAST(0.5 AS DOUBLE) AS drop_candidate
+FROM per_doc
+"""
+
+#: shard count for the deterministic training-order shuffle.
+N_SHARDS = 8
+
+
+def q_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for reproducible
+    training-data loading: every document gets an md5-derived sort key,
+    a shard assignment (key mod 8), and its position within the shard.
+    Re-running the pipeline yields byte-identical shard files — the
+    property data-loader reproducibility depends on — with no RNG
+    state and no global ordering step.
+
+    Plan shape: the only shuffle is the hash partition on shard_id for
+    the per-shard row_number; shards are mutually independent, so the
+    window never sees more than 1/N_SHARDS of the corpus — this is the
+    scalable replacement for a global ORDER BY rand()."""
+    d = load_table(spark, sf, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("shard_id").orderBy("sort_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            key.alias("sort_key"),
+            (key % N_SHARDS).alias("shard_id"),
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
+ORACLE_SHUFFLE_SHARD = f"""
+WITH k AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS sort_key
+    FROM documents
+)
+SELECT doc_id, sort_key, sort_key % {N_SHARDS} AS shard_id,
+       row_number() OVER (PARTITION BY sort_key % {N_SHARDS}
+                          ORDER BY sort_key, doc_id) AS shard_pos
+FROM k
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-mix report: per (language, source) token share and the
     uniform-target sampling weight used to rebalance the mixture —

@@ -173,3 +173,42 @@ def test_repetition_metrics_flag_repeated_text(spark, sf_dir, tmp_path):
     assert out[2].dup_bigram_frac == 0.0
     assert out[2].top_unigram_frac < 0.2
     assert out[3].dup_bigram_frac > 0.8
+
+
+def test_chunk_dedup_flags_cross_doc_blocks(spark, tmp_path):
+    """Docs sharing a verbatim 16-token block are flagged with the
+    exact shared fraction; fully unique docs score 0."""
+    shared = " ".join(f"s{i}" for i in range(16))
+    docs = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(16))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(16))),
+        (3, " ".join(f"c{i}" for i in range(32))),
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r for r in plans_cur.q_chunk_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_blocks == 2 and out[1].n_shared == 1
+    assert out[1].shared_frac == 0.5 and out[1].drop_candidate
+    assert out[2].shared_frac == 0.5 and out[2].drop_candidate
+    assert out[3].n_shared == 0 and not out[3].drop_candidate
+
+
+def test_shuffle_shard_reproducible_and_partitioned(spark, sf_dir):
+    """Shard assignment is a pure function of doc_id (byte-identical on
+    re-run); positions are contiguous 1..n per shard; and the window
+    runs per-shard — never a SinglePartition global sort."""
+    a = plans_cur.q_shuffle_shard(spark, sf_dir)
+    rows1 = sorted(map(tuple, a.collect()))
+    rows2 = sorted(map(tuple, plans_cur.q_shuffle_shard(spark, sf_dir).collect()))
+    assert rows1 == rows2
+    by_shard = {}
+    for _, _, shard, pos in rows1:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    assert len(by_shard) == plans_cur.N_SHARDS
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
