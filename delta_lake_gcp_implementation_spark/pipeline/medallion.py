@@ -251,6 +251,12 @@ def validate_bronze(
         typed = typed.filter(
             (F.col("transaction_timestamp") > w) | (F.col("updated_at") > w)
         )
+    # materialize the typed slice ONCE: both the quarantine append and
+    # the staging write consume it, and the try_to_timestamp cast chain
+    # is the most expensive per-row work in the stage — recomputing it
+    # per sink doubles the validation scan (the 100 TB version of this
+    # is a persisted staging table; localCheckpoint is the local twin)
+    typed = typed.localCheckpoint()
 
     cutoff = _batch_cutoff()
     t1 = _tier1_pred(cutoff)

@@ -18,11 +18,23 @@ def store(spark, tmp_path):
 
 def test_compact_reduces_file_count(spark, store, sf_dir):
     ev = load_table(spark, sf_dir, "events")
-    store.overwrite("t.events", ev.repartition(37))
+    # optimize=False mimics a table fragmented by accumulated external
+    # writes (optimizeWrite would refuse to create this state itself)
+    store.overwrite("t.events", ev.repartition(37), optimize=False)
     assert mt.file_count(store, "t.events") == 37
     n = mt.compact(store, "t.events", target_files=4)
     assert n <= 4
     assert store.count("t.events") == ev.count()
+
+
+def test_optimize_write_collapses_small_files(spark, store, sf_dir):
+    """Default writes are AQE-rebalanced (Delta optimizeWrite analog):
+    a small overwrite lands as a few advisory-sized files no matter how
+    over-partitioned the incoming frame is."""
+    ev = load_table(spark, sf_dir, "events")
+    store.overwrite("t.opt", ev.repartition(37))
+    assert mt.file_count(store, "t.opt") < 8
+    assert store.count("t.opt") == ev.count()
 
 
 def test_cluster_by_sorts_layout(spark, store, sf_dir):
