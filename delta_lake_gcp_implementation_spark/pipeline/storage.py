@@ -69,26 +69,31 @@ class TableStore:
 
     @staticmethod
     def _optimize_write(df: DataFrame) -> DataFrame:
-        """Delta optimizeWrite analog: AQE-sized REBALANCE before the
-        sink, so file count follows actual output bytes (advisory
-        partition size) instead of whatever partitioning the plan ends
-        with.  Kills the small-file problem for filter-only writes —
-        a 90K-row daily batch writes a handful of right-sized files,
-        not 32 KB-sized ones (measured 3x on the write stage) — and at
-        100 TB produces advisory-sized files with full upstream
-        parallelism (the shuffle it adds is the price Delta pays too).
-        Local literal frames (1-row job_control appends) skip the
-        shuffle — nothing to size."""
+        """Delta optimizeWrite analog for APPEND sinks: AQE-sized
+        REBALANCE before the write, so file count follows actual output
+        bytes (advisory partition size), not the scan's partitioning.
+        Appends are where small files accumulate unboundedly (every
+        batch adds its files forever) and where the input is typically
+        a shuffle-free scan+filter whose partitioning AQE cannot
+        coalesce — measured 3x on a 90K-row filter-only write (32
+        KB-sized files -> a handful of advisory-sized ones).  Replace
+        sinks deliberately skip this: their inputs end in a join/window
+        exchange AQE already coalesces, so a second shuffle is pure
+        overhead at any scale.  Local literal frames (1-row job_control
+        appends) also skip — nothing to size."""
         if df.isLocal():
             return df
         return df.hint("rebalance")
 
-    def overwrite(self, name: str, df: DataFrame, optimize: bool = True) -> None:
+    def overwrite(self, name: str, df: DataFrame, optimize: bool = False) -> None:
         """S6 INSERT OVERWRITE: full replace, schema preserved by the
-        caller passing an explicitly-projected frame.  ``optimize=False``
-        preserves the frame's own partitioning/order — for maintenance
-        rewrites (compaction targets, clustered layouts) where the
-        layout IS the point."""
+        caller passing an explicitly-projected frame.
+
+        ``optimize=True`` forces the rebalance shuffle for frames with
+        no exchange of their own (rare for overwrites — replace inputs
+        are joins/windows whose last shuffle AQE already coalesces to
+        advisory-sized partitions, so a second shuffle would be pure
+        overhead, locally and at 100 TB alike)."""
         self._replace(name, df, optimize=optimize)
 
     def upsert(
@@ -116,9 +121,7 @@ class TableStore:
                     f"{[dup[0][k] for k in keys]} (Delta multi-match semantics)"
                 )
         if not self.exists(name):
-            self._optimize_write(source).write.mode("overwrite").parquet(
-                self.path(name)
-            )
+            source.write.mode("overwrite").parquet(self.path(name))
             return
         target = self.read(name)
         # target rows not matched by any source key, plus all source rows
@@ -181,7 +184,7 @@ class TableStore:
 
     # ---------------------------------------------------------------- internals
 
-    def _replace(self, name: str, df: DataFrame, optimize: bool = True) -> None:
+    def _replace(self, name: str, df: DataFrame, optimize: bool = False) -> None:
         """Write-to-staging-then-swap: Spark cannot overwrite a parquet
         dir it is currently reading, so materialize first."""
         final = self.path(name)

@@ -28,13 +28,16 @@ def test_compact_reduces_file_count(spark, store, sf_dir):
 
 
 def test_optimize_write_collapses_small_files(spark, store, sf_dir):
-    """Default writes are AQE-rebalanced (Delta optimizeWrite analog):
-    a small overwrite lands as a few advisory-sized files no matter how
-    over-partitioned the incoming frame is."""
+    """Appends are AQE-rebalanced (Delta optimizeWrite analog): a small
+    appended batch lands as a few advisory-sized files no matter how
+    over-partitioned the incoming frame is — appends are where small
+    files otherwise accumulate unboundedly."""
     ev = load_table(spark, sf_dir, "events")
-    store.overwrite("t.opt", ev.repartition(37))
+    store.append("t.opt", ev.repartition(37))
     assert mt.file_count(store, "t.opt") < 8
-    assert store.count("t.opt") == ev.count()
+    store.append("t.opt", ev.repartition(37))
+    assert mt.file_count(store, "t.opt") < 16
+    assert store.count("t.opt") == 2 * ev.count()
 
 
 def test_cluster_by_sorts_layout(spark, store, sf_dir):
