@@ -95,6 +95,17 @@ CATALOG: dict[str, QuerySpec] = {
         R.q_above_avg_spenders, R.ORACLE_ABOVE_AVG_SPENDERS
     ),
     "order_histogram": QuerySpec(R.q_order_histogram, R.ORACLE_ORDER_HISTOGRAM),
+    # analytic windows / BI patterns
+    "analytic_ranks": QuerySpec(R.q_analytic_ranks, R.ORACLE_ANALYTIC_RANKS),
+    "cohort_retention": QuerySpec(
+        R.q_cohort_retention, R.ORACLE_COHORT_RETENTION
+    ),
+    "funnel_analysis": QuerySpec(R.q_funnel_analysis, R.ORACLE_FUNNEL_ANALYSIS),
+    "dense_grid_fill": QuerySpec(R.q_dense_grid_fill, R.ORACLE_DENSE_GRID_FILL),
+    "fuzzy_name_match": QuerySpec(
+        R.q_fuzzy_name_match, R.ORACLE_FUZZY_NAME_MATCH
+    ),
+    "event_path_topk": QuerySpec(R.q_event_path_topk, R.ORACLE_EVENT_PATH_TOPK),
     # sketches: engine-specific estimators -> no SQL oracle (rows-only
     # driver check; error bounds property-tested vs exact answers)
     "sketch_stats": QuerySpec(R.q_sketch_stats, None),
@@ -113,6 +124,7 @@ CATALOG: dict[str, QuerySpec] = {
     "doc_chunking": QuerySpec(X.q_doc_chunking, X.ORACLE_DOC_CHUNKING),
     "vocab_topk": QuerySpec(X.q_vocab_topk, X.ORACLE_VOCAB_TOPK),
     "tfidf_topk": QuerySpec(X.q_tfidf_topk, X.ORACLE_TFIDF_TOPK),
+    "bm25_topk": QuerySpec(X.q_bm25_topk, X.ORACLE_BM25_TOPK),
     "label_centroids": QuerySpec(X.q_label_centroids, X.ORACLE_LABEL_CENTROIDS),
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.ORACLE_DEDUP_EXACT),
     "minhash_signatures": QuerySpec(

@@ -1723,3 +1723,324 @@ SELECT bucket,
        CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE) AS order_share
 FROM agg CROSS JOIN n
 """
+
+
+# ---------------------------------------------------------------- analytic windows / BI patterns (round 3)
+
+
+def q_analytic_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic ranking family the reference stops short of (SURVEY
+    §2.5 notes ROW_NUMBER only): NTILE equi-depth quartiles,
+    PERCENT_RANK, CUME_DIST, and FIRST_VALUE, per nation over customer
+    balance.  One hash-partitioned window (partitionBy nation) — the
+    same shuffle serves all four functions, and per-nation partitions
+    are bounded, so the sort inside each partition stays local at any
+    corpus size.  The ordering key includes c_custkey as a unique
+    tie-break, which makes rank-derived ratios (r-1)/(n-1) and r/n
+    exact integer divisions — bit-identical cross-engine."""
+    c = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(F.col("c_custkey")).over(w).cast("bigint").alias(
+            "poorest_custkey"
+        ),
+    )
+
+
+ORACLE_ANALYTIC_RANKS = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS BIGINT) AS balance_quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(FIRST_VALUE(c_custkey) OVER w AS BIGINT) AS poorest_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted per months-elapsed offset.  Two hash aggregations (min
+    order month per customer; distinct customers per cell) and one
+    equi-join on customer key — no window, no global sort, every stage
+    shuffles on a bounded key set.  The canonical BI companion to the
+    star schema (reference's Gold layer serves exactly this class of
+    query through BigQuery, ``Gold/Gold Layer README.md``)."""
+    o = load_table(spark, sf, "orders")
+    om = o.select(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("order_month")
+    )
+    cohort = om.groupBy("o_custkey").agg(
+        F.min("order_month").alias("cohort_month")
+    )
+    return (
+        om.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("order_month") - F.year("cohort_month")) * 12
+                + (F.month("order_month") - F.month("cohort_month"))
+            ).cast("bigint").alias("month_offset"),
+        )
+        .agg(F.count_distinct(F.col("o_custkey")).alias("active_customers"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH om AS (
+    SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+    FROM orders
+),
+cohort AS (
+    SELECT o_custkey, MIN(order_month) AS cohort_month FROM om GROUP BY o_custkey
+)
+SELECT c.cohort_month,
+       CAST((YEAR(o.order_month) - YEAR(c.cohort_month)) * 12
+            + (MONTH(o.order_month) - MONTH(c.cohort_month)) AS BIGINT)
+           AS month_offset,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
+FROM om o JOIN cohort c USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+def q_funnel_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel analysis over the event stream: users who
+    viewed, then clicked at-or-after their first view, then purchased
+    at-or-after that click.  Each stage is a conditional-min hash
+    aggregation keyed on user_id followed by an equi-join back — the
+    progression constraint (strictly ordered stages) never needs a
+    self-join on time, so the plan is three bounded shuffles on
+    user_id.  Stage counts come out as one tiny frame."""
+    ev = load_table(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view_ts")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("first_view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("first_click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    stage = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).alias("users")
+    )
+    return (
+        stage("1_view", views)
+        .unionByName(stage("2_click_after_view", clicks))
+        .unionByName(stage("3_purchase_after_click", purchases))
+    )
+
+
+ORACLE_FUNNEL_ANALYSIS = EV + """
+, views AS (
+    SELECT user_id, MIN(ts) AS first_view_ts FROM ev
+    WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+    SELECT e.user_id, MIN(e.ts) AS first_click_ts
+    FROM ev e JOIN views v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= v.first_view_ts
+    GROUP BY e.user_id
+),
+purchases AS (
+    SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+    FROM ev e JOIN clicks c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= c.first_click_ts
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM views
+UNION ALL
+SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM clicks
+UNION ALL
+SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM purchases
+"""
+
+
+def q_dense_grid_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Report densification: a generated month spine (native
+    ``sequence()``, the S4 pattern) cross-joined with the distinct
+    status dimension, LEFT-joined to monthly aggregates, zero-filled.
+    The spine and status list are tiny generated frames — the cross
+    join is dims-only and broadcast; the single real shuffle is the
+    monthly aggregation of orders.  Guarantees every (month, status)
+    cell exists even where no orders landed — the shape BI tools need
+    for gap-free charts."""
+    o = load_table(spark, sf, "orders")
+    bounds = o.agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("lo"),
+        F.max(F.trunc("o_orderdate", "month")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 month)")
+        ).alias("month")
+    )
+    statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("cents")
+    )
+    return (
+        spine.crossJoin(statuses)
+        .join(monthly, ["month", "status"], "left")
+        .select(
+            "month",
+            "status",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce(F.col("cents"), F.lit(0)).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+ORACLE_DENSE_GRID_FILL = """
+WITH bounds AS (
+    SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+           CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+    FROM orders
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+               AS month
+    FROM bounds
+),
+statuses AS (SELECT DISTINCT o_orderstatus AS status FROM orders),
+monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1, 2
+)
+SELECT s.month, st.status,
+       CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(m.cents, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue
+FROM spine s CROSS JOIN statuses st
+LEFT JOIN monthly m ON m.month = s.month AND m.status = st.status
+"""
+
+
+_FUZZY_MAX_DIST = 3
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution fuzzy join: part-name pairs within Levenshtein
+    distance 3, candidate-generated by a blocking key (first name
+    token) so the quadratic comparison only ever runs inside a block —
+    the standard blocked record-linkage shape.  At corpus scale the
+    block equi-join shuffles on the blocking key and each block's
+    pairs are generated locally; no global cross join exists in the
+    plan.  ``levenshtein`` is a built-in JVM expression on both
+    engines (identical unit-cost edit distance)."""
+    p = load_table(spark, sf, "part")
+    named = p.select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("block"),
+    )
+    left = named.select(
+        F.col("block"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    right = named.select(
+        F.col("block"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        left.join(right, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+    )
+
+
+ORACLE_FUZZY_NAME_MATCH = f"""
+WITH named AS (
+    SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS block FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM named a JOIN named b ON a.block = b.block
+WHERE a.p_partkey < b.p_partkey
+  AND a.p_name <> b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+"""
+
+
+_PATH_K = 10
+
+
+def q_event_path_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence mining over the event stream: top-10 most frequent
+    per-user event-type trigrams (path fragments like
+    view>click>purchase).  LAG twice over a user-partitioned window
+    (one shuffle, bounded per-user partitions), then the two-phase
+    count + TakeOrdered top-k.  The window ordering carries event_id
+    as a unique tie-break so trigram extraction is deterministic under
+    equal timestamps."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("e1"),
+            F.lag("event_type", 1).over(w).alias("e2"),
+            F.col("event_type").alias("e3"),
+        )
+        .filter(F.col("e1").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "path")
+        .limit(_PATH_K)
+    )
+
+
+ORACLE_EVENT_PATH_TOPK = EV + f"""
+, tri AS (
+    SELECT LAG(event_type, 2) OVER w AS e1,
+           LAG(event_type, 1) OVER w AS e2,
+           event_type AS e3
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS occurrences
+FROM tri WHERE e1 IS NOT NULL
+GROUP BY 1
+ORDER BY occurrences DESC, path
+LIMIT {_PATH_K}
+"""

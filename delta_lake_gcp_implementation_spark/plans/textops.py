@@ -1074,3 +1074,128 @@ SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        tfidf, CAST(rn AS BIGINT) AS rank
 FROM ranked WHERE rn <= {_TFIDF_K}
 """
+
+
+# ---------------------------------------------------------------- BM25 retrieval (round 3)
+
+BM25_TERMS = ("spark", "hash", "stream")
+_BM25_K = 20
+# Okapi BM25 with k1 = 6/5 and b = 3/4, evaluated in exact rational
+# form so both engines compute bit-identical doubles:
+#   idf(t)      = (N - df + 0.5) / (df + 0.5)      [linear idf, same
+#                 dodge as tfidf_topk: no cross-engine log()]
+#               = (2N - 2df + 1) / (2df + 1)        ... bigint / bigint
+#   tfnorm(t,d) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#               with avgdl = total/N:
+#               = 22*tf*total / (10*tf*total + 3*total + 9*dl*N)
+#                                                   ... bigint / bigint
+#   score term  = idf * tfnorm  — each factor is a single correctly-
+#   rounded bigint division, and the product of two doubles is one
+#   correctly-rounded multiply: deterministic cross-engine.  (At a
+#   10^13-token corpus the tfnorm numerator would overflow BIGINT;
+#   there the plain double form is the right call — the rational form
+#   exists for oracle-grade determinism at test scale.)
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed conjunctive term set.
+    Plan shape built for corpus scale: one token explode feeding two
+    hash aggs (per-doc tf over only the query terms; per-doc length),
+    a 3-row document-frequency table and a 1-row corpus-stats frame
+    joined back by broadcast, and a TakeOrdered top-k — the only
+    full-corpus shuffle is the per-doc aggregation.  Scoring sums the
+    per-term BM25 contributions in fixed syntactic order (conditional
+    sums), so no shuffle-order float drift exists anywhere."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    toks = scale_out(d).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .join(F.broadcast(stats))
+    )
+    idf = (
+        (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+        / (2 * F.col("df") + 1).cast("double")
+    )
+    tfnorm = (
+        (22 * F.col("tf") * F.col("total_tokens")).cast("double")
+        / (
+            10 * F.col("tf") * F.col("total_tokens")
+            + 3 * F.col("total_tokens")
+            + 9 * F.col("dl") * F.col("n_docs")
+        ).cast("double")
+    )
+    per_term = scored.select(
+        "doc_id", "token", (idf * tfnorm).alias("term_score")
+    )
+    term_sum = lambda t: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("token") == t, F.col("term_score"))), F.lit(0.0)
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            (
+                term_sum(BM25_TERMS[0])
+                + term_sum(BM25_TERMS[1])
+                + term_sum(BM25_TERMS[2])
+            ).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLE_BM25_TOPK = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM toks
+    WHERE token IN ({_BM25_IN}) GROUP BY doc_id, token
+),
+df_t AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+per_term AS (
+    SELECT tf.doc_id, tf.token,
+           (CAST(2 * s.n_docs - 2 * df_t.df + 1 AS DOUBLE)
+            / CAST(2 * df_t.df + 1 AS DOUBLE))
+           * (CAST(22 * tf.tf * s.total_tokens AS DOUBLE)
+              / CAST(10 * tf.tf * s.total_tokens + 3 * s.total_tokens
+                     + 9 * dl.dl * s.n_docs AS DOUBLE)) AS term_score
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN df_t USING (token)
+    CROSS JOIN stats s
+)
+SELECT doc_id,
+       COALESCE(SUM(CASE WHEN token = '{BM25_TERMS[0]}' THEN term_score END), 0.0)
+       + COALESCE(SUM(CASE WHEN token = '{BM25_TERMS[1]}' THEN term_score END), 0.0)
+       + COALESCE(SUM(CASE WHEN token = '{BM25_TERMS[2]}' THEN term_score END), 0.0)
+           AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS terms_hit
+FROM per_term
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_K}
+"""
