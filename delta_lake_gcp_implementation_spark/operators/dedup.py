@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# broadcast-vs-partition decision shared with the TableStore MERGE
+# primitives; kept under the old private name for in-module callers
+from .sizing import fits_broadcast as _fits_broadcast
+
 
 def keep_first_version(
     df: DataFrame, keys: list[str], order_by: list[Column] | None = None
@@ -285,21 +289,6 @@ def connected_components_groups(
     )
 
 
-def _fits_broadcast(df: DataFrame, budget_bytes: int = 256 << 20) -> bool:
-    """Catalyst size estimate for the broadcast-vs-partition decision.
-
-    ``localCheckpoint``-ed frames report their true materialized size;
-    un-materialized plans report Catalyst's estimate — both err on the
-    large side for array columns, which is the safe direction here
-    (falling back to the partitioned join costs a shuffle, never an
-    executor OOM)."""
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:
-        return False
-    return 0 <= size <= budget_bytes
 
 
 def _pair_lookup_join(
@@ -372,6 +361,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     broadcast_sets: bool | None = None,
+    allow_quadratic: bool = False,
+    quadratic_row_limit: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for (candidate) pairs.
 
@@ -391,6 +382,9 @@ def ngram_jaccard_pairs(
     Without ``candidates`` an all-pairs id cross join is used — the
     exactness baseline for small inputs only; at scale always feed LSH
     candidates (plus :func:`minhash_agreement_filter` for precision).
+    To guard against accidental O(n^2) plans on real corpora, the
+    all-pairs default refuses inputs above ``quadratic_row_limit`` ids
+    unless ``allow_quadratic=True`` is passed explicitly.
     Returns (id_a, id_b, jaccard) above threshold.
     """
     sh = char_shingles(df, text_col, id_col, k)
@@ -402,6 +396,16 @@ def ngram_jaccard_pairs(
     ).localCheckpoint()
     if candidates is None:
         ids = df.select(F.col(id_col))
+        if not allow_quadratic:
+            n_ids = ids.limit(quadratic_row_limit + 1).count()
+            if n_ids > quadratic_row_limit:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: candidates=None builds an all-pairs "
+                    f"cross join, and the input has more than "
+                    f"{quadratic_row_limit} ids — feed LSH candidates "
+                    f"(minhash_lsh_candidate_pairs) or pass "
+                    f"allow_quadratic=True to accept the O(n^2) plan."
+                )
         candidates = (
             ids.select(F.col(id_col).alias("id_a"))
             .crossJoin(ids.select(F.col(id_col).alias("id_b")))

@@ -6,12 +6,16 @@ parquet, push decode/feature work to Arrow-batched Python only where
 built-ins cannot express it.
 
 The Spark-side plumbing here (schemas, partition-preserving
-``mapInPandas``, batch shapes, UDF signatures) is real and tested; the
-codec step itself is STUBBED because this environment has no
-image/audio libraries: ``decode_media`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a clearly-marked deterministic
-fake (byte-histogram features, byte-slice "frames") stands in so the
-downstream plan shape can be exercised end-to-end.
+``mapInPandas``, batch shapes, UDF signatures) is real and tested.
+The codec step is REAL for two formats that need no external library
+(see :mod:`.codecs`): BMP 24-bit (full decode/encode/resize/pixel
+features) and WAV PCM16 (full decode/encode/audio features/segment
+sampling).  Formats whose decoding genuinely requires external
+libraries (PNG/JPEG entropy coding, video codecs) raise
+``NotImplementedError`` on the real path; ``fake=True`` substitutes a
+clearly-marked deterministic stand-in (byte-histogram features,
+byte-slice "frames") so downstream plan shape can be exercised with
+any format.
 
 Scale notes (100 TB of media): mapInPandas streams Arrow batches —
 no per-row Python, no driver collect; partition count = parallelism,
@@ -30,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as sqltypes
+
+from . import codecs
 
 MEDIA_SCHEMA = sqltypes.StructType(
     [
@@ -95,30 +101,45 @@ def _fake_features(content: bytes, n_bins: int = 16) -> list[float]:
     return [h / total for h in hist]
 
 
+def _real_features(blob: bytes, fmt: str) -> list[float]:
+    """Real decode dispatch: BMP pixels / WAV samples via the
+    pure-Python codecs; anything else genuinely needs external
+    libraries and raises."""
+    if fmt == "bmp":
+        return codecs.bmp_features(blob)
+    if fmt == "wav":
+        return codecs.wav_features(blob)
+    raise NotImplementedError(
+        f"no codec for format {fmt!r} in this environment (real path "
+        f"supports bmp/wav); pass fake=True for the deterministic stand-in"
+    )
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + featurize media blobs via partition-preserving
     ``mapInPandas`` (Arrow batches in, Arrow batches out — no per-row
     Python overhead, no shuffle).
 
-    With ``fake=False`` this raises at execution time: the real codec
-    (PIL/ffmpeg/torchaudio) is not installed in this environment.
+    ``fake=False`` runs the REAL codec for BMP/WAV blobs (pure
+    numpy, see :mod:`.codecs`) and raises for formats that need
+    external libraries.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "pass fake=True for the deterministic stand-in"
-                )
+            if fake:
+                feats = [_fake_features(bytes(c)) for c in pdf["content"]]
+            else:
+                feats = [
+                    _real_features(bytes(c), m["format"])
+                    for c, m in zip(pdf["content"], pdf["meta"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "format": [m["format"] for m in pdf["meta"]],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "features": [
-                        _fake_features(bytes(c)) for c in pdf["content"]
-                    ],
+                    "features": feats,
                 }
             )
 
@@ -126,24 +147,37 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = False) -> DataFrame:
-    """Video frame sampling as a 1->N ``mapInPandas`` (each blob yields
-    ``n_frames`` rows).  FAKE mode slices the byte stream into equal
-    chunks — the real path would seek keyframes via a codec."""
+    """Frame/segment sampling as a 1->N ``mapInPandas`` (each blob
+    yields ``n_frames`` rows).
+
+    Real path: WAV blobs are split into ``n_frames`` standalone WAV
+    segments (equal sample count — the audio analog of frame
+    sampling); video formats need a real codec and raise.  FAKE mode
+    slices the raw byte stream into equal chunks for any format."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video codecs not available; pass fake=True"
-                )
             out: dict[str, list[Any]] = {"media_id": [], "frame_idx": [], "frame_bytes": []}
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
                 blob = bytes(content)
-                step = max(len(blob) // n_frames, 1)
-                for i in range(n_frames):
+                if fake:
+                    step = max(len(blob) // n_frames, 1)
+                    frames = [
+                        blob[i * step : (i + 1) * step] for i in range(n_frames)
+                    ]
+                elif meta["format"] == "wav":
+                    frames = codecs.wav_segments(blob, n_frames)
+                else:
+                    raise NotImplementedError(
+                        f"no frame sampler for format {meta['format']!r} "
+                        f"(real path supports wav); pass fake=True"
+                    )
+                for i, fr in enumerate(frames):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
-                    out["frame_bytes"].append(blob[i * step : (i + 1) * step])
+                    out["frame_bytes"].append(fr)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
@@ -153,22 +187,31 @@ def resize_media(
     media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
 ) -> DataFrame:
     """Image resize as partition-preserving ``mapInPandas``: content in,
-    resized content + updated metadata out.  FAKE mode deterministically
-    truncates/pads the byte stream to the target pixel budget (w*h
-    bytes) — stands in for a real decode-resize-encode round trip."""
+    resized content + updated metadata out.
+
+    Real path: BMP blobs go through a true decode -> nearest-neighbor
+    resample -> re-encode round trip (pure numpy, see :mod:`.codecs`);
+    other formats raise.  FAKE mode deterministically truncates/pads
+    the byte stream to the target pixel budget (w*h bytes)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         budget = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs not available; pass fake=True"
-                )
             out = []
-            for c in pdf["content"]:
+            for c, m in zip(pdf["content"], pdf["meta"]):
                 blob = bytes(c)
-                resized = blob[:budget].ljust(budget, b"\x00")
-                out.append(resized)
+                if fake:
+                    out.append(blob[:budget].ljust(budget, b"\x00"))
+                elif m["format"] == "bmp":
+                    px = codecs.decode_bmp(blob)
+                    out.append(
+                        codecs.encode_bmp(codecs.resize_nearest(px, width, height))
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no resize codec for format {m['format']!r} "
+                        f"(real path supports bmp); pass fake=True"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

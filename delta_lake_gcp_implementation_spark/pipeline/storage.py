@@ -18,7 +18,13 @@ source (rows inserted/updated).  This sandbox has no ``delta-spark``
 package, so the Delta MERGE/UPDATE branch is intentionally NOT
 implemented — the parquet fallback is the only path, and the pipeline
 stays storage-agnostic through this module's five primitives (swap in
-Delta/Iceberg implementations at deployment).  Delta's multi-match
+Delta/Iceberg implementations at deployment).  Verified 2026-08-13:
+``import delta`` fails, and ``pip`` cannot reach any index (DNS
+resolution fails — no network), so neither the Python package nor the
+Delta JVM jars (normally fetched from Maven via
+``spark.jars.packages`` at session start) are obtainable here.  The
+Delta branch therefore cannot be built or tested in this environment,
+by constraint rather than by choice.  Delta's multi-match
 MERGE error semantics are available via ``upsert(...,
 require_unique_source=True)``, which raises like Delta does when two
 source rows hit one target key; the pipeline itself guarantees unique
@@ -41,17 +47,56 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sizing import maybe_broadcast
+
 
 class TableStore:
-    """Maps logical ``db.table`` names to parquet dirs under ``root``."""
+    """Maps logical ``db.table`` names to parquet dirs under ``root``.
+
+    Every write also (re-)registers the table in the Spark session
+    catalog as an EXTERNAL parquet table, so the reference's BI entry
+    point works verbatim: ``spark.sql("SELECT ... FROM
+    gold.fact_transactions WHERE is_current = true")`` (the reference
+    reaches tables through a Hive metastore — ``validate_bronze.py:9``
+    ``.enableHiveSupport()``, ``Gold/Gold Layer README.md:390-447``;
+    locally the in-memory session catalog plays that role, on a real
+    cluster the same statements land in the actual metastore).
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # re-attach tables persisted by a previous session over this
+        # root, so read-only consumers get the spark.sql surface too
+        for d in sorted(os.listdir(root)):
+            if "__" in d and os.path.isdir(os.path.join(root, d)):
+                self._register(d.replace("__", ".", 1))
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name.replace(".", "__"))
+
+    def _register(self, name: str) -> None:
+        """Catalog-register ``name`` as an external parquet table.
+
+        Drop-and-recreate (metadata-only, driver-side) rather than
+        ``IF NOT EXISTS``: the catalog snapshots the file schema at
+        creation, and an overwrite may legitimately change it."""
+        db, dot, tbl = name.partition(".")
+        if not dot:
+            db, tbl = "default", name
+        try:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+            self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+            self.spark.sql(
+                f"CREATE TABLE `{db}`.`{tbl}` USING parquet "
+                f"LOCATION '{self.path(name)}'"
+            )
+        except Exception:
+            # registration is a convenience surface; never fail a write
+            # over catalog limitations (e.g. a foreachBatch worker
+            # session without catalog access)
+            pass
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self.path(name))
@@ -65,7 +110,12 @@ class TableStore:
     # ---------------------------------------------------------------- sinks
 
     def append(self, name: str, df: DataFrame) -> None:
+        existed = self.exists(name)
         self._optimize_write(df).write.mode("append").parquet(self.path(name))
+        if not existed:
+            self._register(name)
+        else:
+            self.spark.catalog.refreshByPath(self.path(name))
 
     @staticmethod
     def _optimize_write(df: DataFrame) -> DataFrame:
@@ -122,10 +172,15 @@ class TableStore:
                 )
         if not self.exists(name):
             source.write.mode("overwrite").parquet(self.path(name))
+            self._register(name)
             return
         target = self.read(name)
-        # target rows not matched by any source key, plus all source rows
-        kept = target.join(F.broadcast(source.select(*keys).distinct()),
+        # target rows not matched by any source key, plus all source
+        # rows.  The key set is broadcast only while Catalyst estimates
+        # it under budget — a forced broadcast of a 9M-key batch is the
+        # first executor OOM at 100x scale; oversized sets fall back to
+        # a shuffled anti join.
+        kept = target.join(maybe_broadcast(source.select(*keys).distinct()),
                            keys, "left_anti")
         self._replace(name, kept.unionByName(source))
 
@@ -136,7 +191,7 @@ class TableStore:
         target = self.read(name)
         self._replace(
             name,
-            target.join(F.broadcast(ids.select(*keys).distinct()), keys, "left_anti"),
+            target.join(maybe_broadcast(ids.select(*keys).distinct()), keys, "left_anti"),
         )
 
     def update_where(self, name: str, cond, assignments: dict) -> None:
@@ -171,7 +226,7 @@ class TableStore:
         long before 100x scale)."""
         target = self.read(name)
         flags = ids.select(*keys).distinct().withColumn("__match__", F.lit(True))
-        updated = target.join(F.broadcast(flags), keys, "left")
+        updated = target.join(maybe_broadcast(flags), keys, "left")
         cond = F.col("__match__").isNotNull()
         if extra_cond is not None:
             cond = cond & extra_cond
@@ -196,3 +251,6 @@ class TableStore:
         os.rename(tmp, final)
         # Spark caches file listings per path; the swap invalidates them
         self.spark.catalog.refreshByPath(final)
+        # re-register: the replace may have changed the schema, and the
+        # catalog snapshots the schema at table-creation time
+        self._register(name)

@@ -3,6 +3,11 @@
 Consumed by ``__spark_entry__`` (driver contract) and ``bench.py``.
 ``oracle_sql=None`` marks genuinely non-SQL-expressible operators; the
 driver then records a weaker rows-only check.
+
+Ordering note: the driver's correctness gate windows the FIRST ~50
+entries in dict order.  Entries that have not yet received a driver
+CORRECTNESS row are deliberately placed first; the long-green remainder
+follows.  Rotate per round until every entry has a green row on record.
 """
 
 from __future__ import annotations
@@ -24,6 +29,47 @@ class QuerySpec:
 
 
 CATALOG: dict[str, QuerySpec] = {
+    # --- never driver-checked through r3: keep these first until each
+    # --- has a green CORRECTNESS row (see VERDICT r3 item #1) ---------
+    "funnel_analysis": QuerySpec(R.q_funnel_analysis, R.ORACLE_FUNNEL_ANALYSIS),
+    "dense_grid_fill": QuerySpec(R.q_dense_grid_fill, R.ORACLE_DENSE_GRID_FILL),
+    "fuzzy_name_match": QuerySpec(
+        R.q_fuzzy_name_match, R.ORACLE_FUZZY_NAME_MATCH
+    ),
+    "event_path_topk": QuerySpec(R.q_event_path_topk, R.ORACLE_EVENT_PATH_TOPK),
+    "dup_clusters": QuerySpec(X.q_dup_clusters, X.ORACLE_DUP_CLUSTERS),
+    "corpus_curation": QuerySpec(X.q_corpus_curation, X.ORACLE_CORPUS_CURATION),
+    "doc_chunking": QuerySpec(X.q_doc_chunking, X.ORACLE_DOC_CHUNKING),
+    "vocab_topk": QuerySpec(X.q_vocab_topk, X.ORACLE_VOCAB_TOPK),
+    "tfidf_topk": QuerySpec(X.q_tfidf_topk, X.ORACLE_TFIDF_TOPK),
+    "bm25_topk": QuerySpec(X.q_bm25_topk, X.ORACLE_BM25_TOPK),
+    "label_centroids": QuerySpec(X.q_label_centroids, X.ORACLE_LABEL_CENTROIDS),
+    # trained-codebook IVF: iterative float k-means -> no SQL oracle
+    # (numpy-parity tested; driver records rows-only)
+    "ann_ivf_trained": QuerySpec(X.q_ann_ivf_trained, None),
+    "semantic_dedup": QuerySpec(X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP),
+    "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
+    "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
+    "stratified_sample": QuerySpec(
+        C.q_stratified_sample, C.ORACLE_STRATIFIED_SAMPLE
+    ),
+    "token_packing": QuerySpec(C.q_token_packing, C.ORACLE_TOKEN_PACKING),
+    "contamination_check": QuerySpec(
+        C.q_contamination_check, C.ORACLE_CONTAMINATION_CHECK
+    ),
+    "domain_mix": QuerySpec(C.q_domain_mix, C.ORACLE_DOMAIN_MIX),
+    "repetition_metrics": QuerySpec(
+        C.q_repetition_metrics, C.ORACLE_REPETITION_METRICS
+    ),
+    "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
+    "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
+    # --- fell out of the r3 window (rows exist in r1/r2 only): re-check
+    # sketches: engine-specific estimators -> no SQL oracle (rows-only
+    # driver check; error bounds property-tested vs exact answers)
+    "sketch_stats": QuerySpec(R.q_sketch_stats, None),
+    "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
+    "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
+    # --- long-green remainder (driver rows in r1/r2/r3) ---------------
     # scans / projections / filters
     "typed_projection": QuerySpec(R.q_typed_projection, R.ORACLE_TYPED_PROJECTION),
     "watermark_filter": QuerySpec(R.q_watermark_filter, R.ORACLE_WATERMARK_FILTER),
@@ -100,32 +146,12 @@ CATALOG: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(
         R.q_cohort_retention, R.ORACLE_COHORT_RETENTION
     ),
-    "funnel_analysis": QuerySpec(R.q_funnel_analysis, R.ORACLE_FUNNEL_ANALYSIS),
-    "dense_grid_fill": QuerySpec(R.q_dense_grid_fill, R.ORACLE_DENSE_GRID_FILL),
-    "fuzzy_name_match": QuerySpec(
-        R.q_fuzzy_name_match, R.ORACLE_FUZZY_NAME_MATCH
-    ),
-    "event_path_topk": QuerySpec(R.q_event_path_topk, R.ORACLE_EVENT_PATH_TOPK),
-    # sketches: engine-specific estimators -> no SQL oracle (rows-only
-    # driver check; error bounds property-tested vs exact answers)
-    "sketch_stats": QuerySpec(R.q_sketch_stats, None),
-    # pipeline-shaped (C7/C10 as queries)
-    "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
-    "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
-    # corpus dedup-cluster resolution + curation composite
-    "dup_clusters": QuerySpec(X.q_dup_clusters, X.ORACLE_DUP_CLUSTERS),
-    "corpus_curation": QuerySpec(X.q_corpus_curation, X.ORACLE_CORPUS_CURATION),
     # text analysis (documents)
     "token_counts": QuerySpec(X.q_token_counts, X.ORACLE_TOKEN_COUNTS),
     "quality_score": QuerySpec(X.q_quality_score, X.ORACLE_QUALITY_SCORE),
     "lang_id": QuerySpec(X.q_lang_id, X.ORACLE_LANG_ID),
     "doc_fingerprint": QuerySpec(X.q_doc_fingerprint, X.ORACLE_DOC_FINGERPRINT),
     # dedup family (documents)
-    "doc_chunking": QuerySpec(X.q_doc_chunking, X.ORACLE_DOC_CHUNKING),
-    "vocab_topk": QuerySpec(X.q_vocab_topk, X.ORACLE_VOCAB_TOPK),
-    "tfidf_topk": QuerySpec(X.q_tfidf_topk, X.ORACLE_TFIDF_TOPK),
-    "bm25_topk": QuerySpec(X.q_bm25_topk, X.ORACLE_BM25_TOPK),
-    "label_centroids": QuerySpec(X.q_label_centroids, X.ORACLE_LABEL_CENTROIDS),
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.ORACLE_DEDUP_EXACT),
     "minhash_signatures": QuerySpec(
         X.q_minhash_signatures, X.ORACLE_MINHASH_SIGNATURES
@@ -144,32 +170,11 @@ CATALOG: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(X.q_cosine_topk, X.ORACLE_COSINE_TOPK),
     "ann_lsh_topk": QuerySpec(X.q_ann_lsh_topk, X.ORACLE_ANN_LSH_TOPK),
     "ann_ivf_topk": QuerySpec(X.q_ann_ivf_topk, X.ORACLE_ANN_IVF_TOPK),
-    # trained-codebook IVF: iterative float k-means -> no SQL oracle
-    # (numpy-parity tested; driver records rows-only)
-    "ann_ivf_trained": QuerySpec(X.q_ann_ivf_trained, None),
     "embedding_near_dups": QuerySpec(
         X.q_embedding_near_dups, X.ORACLE_EMBEDDING_NEAR_DUPS
     ),
-    "semantic_dedup": QuerySpec(X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP),
     # multimodal plumbing (documents as stand-in blobs)
     "multimodal_metadata": QuerySpec(
         X.q_multimodal_metadata, X.ORACLE_MULTIMODAL_METADATA
     ),
-    # corpus curation: normalization / PII / sampling / packing /
-    # contamination / domain mixing
-    "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
-    "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
-    "stratified_sample": QuerySpec(
-        C.q_stratified_sample, C.ORACLE_STRATIFIED_SAMPLE
-    ),
-    "token_packing": QuerySpec(C.q_token_packing, C.ORACLE_TOKEN_PACKING),
-    "contamination_check": QuerySpec(
-        C.q_contamination_check, C.ORACLE_CONTAMINATION_CHECK
-    ),
-    "domain_mix": QuerySpec(C.q_domain_mix, C.ORACLE_DOMAIN_MIX),
-    "repetition_metrics": QuerySpec(
-        C.q_repetition_metrics, C.ORACLE_REPETITION_METRICS
-    ),
-    "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
-    "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
 }

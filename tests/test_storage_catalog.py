@@ -1,0 +1,222 @@
+"""Round-4 hardening tests: size-gated MERGE broadcasts, the
+spark.sql ``db.table`` catalog surface (the reference's BI entry
+point, ``Gold/Gold Layer README.md:390-447``), and the quadratic
+guard on the all-pairs Jaccard default."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.operators import dedup as dedup_ops
+from delta_lake_gcp_implementation_spark.operators.sizing import (
+    fits_broadcast,
+    maybe_broadcast,
+)
+from delta_lake_gcp_implementation_spark.pipeline import fixtures, medallion
+from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "warehouse"))
+
+
+# --------------------------------------------------------------- size gate
+
+
+def test_fits_broadcast_reports_real_sizes(spark):
+    small = spark.range(100).withColumnRenamed("id", "k")
+    assert fits_broadcast(small)
+    # a zero budget rejects everything: the gate actually reads sizes
+    assert not fits_broadcast(small, budget_bytes=0)
+
+
+def test_maybe_broadcast_gates_join_strategy(spark):
+    """Oversized key sets must NOT produce a broadcast join.  With the
+    auto-broadcast threshold disabled, only the explicit hint can
+    create a BroadcastHashJoin — so plan strings prove the gate."""
+    target = spark.range(1000).withColumnRenamed("id", "k")
+    keys = spark.range(500).withColumnRenamed("id", "k")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = target.join(maybe_broadcast(keys, 0), ["k"], "left_anti")
+        hinted = target.join(maybe_broadcast(keys), ["k"], "left_anti")
+        plan_gated = gated._jdf.queryExecution().executedPlan().toString()
+        plan_hinted = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_gated
+        assert "BroadcastHashJoin" in plan_hinted
+        # both strategies compute the same anti join
+        assert gated.count() == hinted.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_upsert_correct_when_keyset_exceeds_budget(spark, store, monkeypatch):
+    """MERGE primitives stay correct on the shuffle fallback path (the
+    100x-batch case where the key set no longer fits a broadcast)."""
+    from delta_lake_gcp_implementation_spark.pipeline import storage as storage_mod
+
+    monkeypatch.setattr(
+        storage_mod, "maybe_broadcast", lambda df, budget_bytes=0: df
+    )
+    base = spark.createDataFrame(
+        [(i, "old") for i in range(100)], ["k", "v"]
+    )
+    store.overwrite("bronze.gate_probe", base)
+    src = spark.createDataFrame(
+        [(i, "new") for i in range(50, 150)], ["k", "v"]
+    )
+    store.upsert("bronze.gate_probe", src, ["k"])
+    out = store.read("bronze.gate_probe")
+    assert out.count() == 150
+    assert out.filter(F.col("v") == "new").count() == 100
+    store.delete_matched(
+        "bronze.gate_probe", spark.range(25).withColumnRenamed("id", "k"), ["k"]
+    )
+    assert store.count("bronze.gate_probe") == 125
+
+
+# ------------------------------------------------------ spark.sql surface
+
+
+def test_bi_queries_via_spark_sql(spark, store):
+    """The reference's four documented BI validation queries
+    (``Gold/Gold Layer README.md:390-447``) must run verbatim-shaped
+    through ``spark.sql`` against catalog-registered Gold tables."""
+    raw, _ = (lambda b: (b.df(spark), b.counts))(fixtures.generate_day(1))
+    medallion.run_incremental(store, raw)
+
+    # null-FK audit
+    nulls = spark.sql(
+        """
+        SELECT
+            SUM(CASE WHEN status_key IS NULL THEN 1 ELSE 0 END) AS null_status,
+            SUM(CASE WHEN date_key IS NULL THEN 1 ELSE 0 END) AS null_date
+        FROM gold.fact_transactions
+        """
+    ).collect()[0]
+    assert nulls.null_status == 0 and nulls.null_date == 0
+
+    # star-schema join
+    star = spark.sql(
+        """
+        SELECT f.transaction_id, dc.customer_tier, dm.merchant_name,
+               dpm.payment_method, ds.transaction_status, dd.full_date,
+               f.amount, f.gateway_revenue
+        FROM gold.fact_transactions f
+        JOIN gold.dim_customer dc
+            ON f.customer_key = dc.customer_key AND dc.is_current = true
+        JOIN gold.dim_merchant dm
+            ON f.merchant_key = dm.merchant_key AND dm.is_current = true
+        JOIN gold.dim_payment_method dpm
+            ON f.payment_method_key = dpm.payment_method_key
+        JOIN gold.dim_status ds ON f.status_key = ds.status_key
+        JOIN gold.dim_date dd ON f.date_key = dd.date_key
+        LIMIT 10
+        """
+    )
+    assert star.count() == 10
+
+    # revenue by merchant
+    rev = spark.sql(
+        """
+        SELECT dm.merchant_name, COUNT(*) AS transaction_count,
+               SUM(f.amount) AS total_amount,
+               SUM(f.gateway_revenue) AS total_revenue
+        FROM gold.fact_transactions f
+        JOIN gold.dim_merchant dm
+            ON f.merchant_key = dm.merchant_key AND dm.is_current = true
+        GROUP BY dm.merchant_name
+        ORDER BY total_revenue DESC
+        LIMIT 10
+        """
+    )
+    assert rev.count() > 0
+
+    # customer tier analysis
+    tiers = spark.sql(
+        """
+        SELECT dc.customer_tier,
+               COUNT(DISTINCT f.customer_key) AS customers,
+               COUNT(*) AS transactions,
+               SUM(f.amount) AS total_amount,
+               AVG(f.amount) AS avg_amount
+        FROM gold.fact_transactions f
+        JOIN gold.dim_customer dc
+            ON f.customer_key = dc.customer_key AND dc.is_current = true
+        GROUP BY dc.customer_tier
+        ORDER BY total_amount DESC
+        """
+    )
+    rows = tiers.collect()
+    assert len(rows) > 0
+    assert sum(r.transactions for r in rows) == spark.sql(
+        "SELECT COUNT(*) AS n FROM gold.fact_transactions "
+        "WHERE customer_key != -1"
+    ).collect()[0].n
+
+
+def test_catalog_sees_post_merge_state(spark, store):
+    """spark.sql must observe mutations (registration is refreshed per
+    write, including schema changes on overwrite)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    store.overwrite("silver.cat_probe", df)
+    assert spark.sql("SELECT COUNT(*) AS n FROM silver.cat_probe").collect()[0].n == 2
+    store.upsert(
+        "silver.cat_probe",
+        spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]),
+        ["k"],
+    )
+    got = {
+        r.k: r.v
+        for r in spark.sql("SELECT k, v FROM silver.cat_probe").collect()
+    }
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # schema change on overwrite is visible (drop-and-recreate)
+    store.overwrite(
+        "silver.cat_probe",
+        spark.createDataFrame([(1, "a", 9.5)], ["k", "v", "w"]),
+    )
+    assert "w" in spark.sql("SELECT * FROM silver.cat_probe").columns
+
+
+def test_store_reattaches_existing_tables(spark, tmp_path):
+    """A fresh TableStore over an existing warehouse re-registers the
+    tables, so read-only consumers get the spark.sql surface."""
+    root = str(tmp_path / "wh_reattach")
+    first = TableStore(spark, root)
+    first.overwrite(
+        "gold.reattach_probe", spark.createDataFrame([(1,)], ["k"])
+    )
+    spark.sql("DROP TABLE gold.reattach_probe")
+    TableStore(spark, root)  # init scans + re-registers
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM gold.reattach_probe").collect()[0].n
+        == 1
+    )
+
+
+# ------------------------------------------------------- quadratic guard
+
+
+def test_ngram_jaccard_refuses_large_all_pairs(spark):
+    df = spark.createDataFrame(
+        [(i, f"document text number {i} with enough shingles") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup_ops.ngram_jaccard_pairs(
+            df, "text", "doc_id", quadratic_row_limit=5
+        )
+    # explicit opt-in still works
+    out = dedup_ops.ngram_jaccard_pairs(
+        df,
+        "text",
+        "doc_id",
+        threshold=0.0,
+        quadratic_row_limit=5,
+        allow_quadratic=True,
+    )
+    assert out.count() == 12 * 11 // 2
