@@ -69,6 +69,11 @@ HEADLINE = [
     "stratified_sample",
     "chunk_dedup",
     "shuffle_shard",
+    # round-4 additions
+    "bigram_pmi_topk",
+    "train_val_test_split",
+    "mix_weights_temperature",
+    "fuzzy_name_match",
 ]
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 # Word-token pattern shared by Spark (Java regex) and DuckDB (RE2):
 # ASCII-only classes parse identically in both dialects.
-BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
 # Tiny per-language stopword profiles (unigram "n-gram heuristic").
 # Order = tie-break precedence of the CASE ladder in lang_id_scores.
@@ -38,8 +38,8 @@ EN_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it"]
 
 
 def tokens(text_col: Column) -> Column:
-    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
-    return F.split(F.trim(text_col), r"\s+")
+    """Whitespace tokenization: ``split(trim(text), '[ \\t\\n\\x0B\\f\\r]+')``."""
+    return F.split(F.trim(text_col), r"[ \t\n\x0B\f\r]+")
 
 
 def token_count(text_col: Column) -> Column:
@@ -75,8 +75,8 @@ def quality_metrics(text_col: Column) -> list[Column]:
     toks = tokens(text_col)
     n_tokens = token_count(text_col)
     # mean token length = (chars excluding separators) / tokens
-    n_nonspace = F.length(F.regexp_replace(text_col, r"\s+", ""))
-    n_punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9\\s]+", ""))
+    n_nonspace = F.length(F.regexp_replace(text_col, r"[ \t\n\x0B\f\r]+", ""))
+    n_punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+", ""))
     sw_ratio = stopword_ratio(text_col)
     mean_tok_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
         n_nonspace.cast("double") / n_tokens
@@ -134,7 +134,7 @@ def lang_id(text_col: Column) -> Column:
 def fingerprint_md5(text_col: Column) -> Column:
     """Full-document fingerprint: md5 of whitespace-normalized lowercase
     text (identical hex in Spark and DuckDB)."""
-    normalized = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(text_col)), r"[ \t\n\x0B\f\r]+", " ")
     return F.md5(normalized)
 
 
@@ -165,8 +165,8 @@ def normalize_text(text_col: Column) -> Column:
     the scan."""
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(text_col), "[^a-z0-9\\s]", " "),
-            r"\s+",
+            F.regexp_replace(F.lower(text_col), "[^a-z0-9 \\t\\n\\x0B\\f\\r]", " "),
+            r"[ \t\n\x0B\f\r]+",
             " ",
         )
     )

@@ -532,7 +532,7 @@ def simhash_bits(
     assert bits % 4 == 0 and bits <= 60
     tokens = scale_out(df).select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     ).filter(F.col("tok") != "")
     # hash once per DISTINCT token and weight by per-doc frequency:
     # md5+conv run O(|vocab|) times, the per-bit sums see one row per
@@ -634,7 +634,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     tokens = scale_out(df).select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     ).filter(F.col("tok") != "")
     # md5 prefix (16 hex chars) -> unsigned 64-bit value carried as
     # decimal(20,0): conv() returns a decimal string, and decimal math

@@ -69,6 +69,14 @@ CATALOG: dict[str, QuerySpec] = {
     "sketch_stats": QuerySpec(R.q_sketch_stats, None),
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
+    # --- new this round (need their first driver rows) ----------------
+    "bigram_pmi_topk": QuerySpec(X.q_bigram_pmi_topk, X.ORACLE_BIGRAM_PMI_TOPK),
+    "train_val_test_split": QuerySpec(
+        C.q_train_val_test_split, C.ORACLE_TRAIN_VAL_TEST_SPLIT
+    ),
+    "mix_weights_temperature": QuerySpec(
+        C.q_mix_weights_temperature, C.ORACLE_MIX_WEIGHTS_TEMPERATURE
+    ),
     # --- long-green remainder (driver rows in r1/r2/r3) ---------------
     # scans / projections / filters
     "typed_projection": QuerySpec(R.q_typed_projection, R.ORACLE_TYPED_PROJECTION),

@@ -23,7 +23,7 @@ from ..tables import load_table
 # DuckDB mirror of functions.text.token_count (whitespace tokens).
 _SQL_NTOK = (
     "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    "ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END"
 )
 
 
@@ -86,7 +86,7 @@ def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_NORM = (
     f"trim(regexp_replace(regexp_replace(lower({_SQL_CONTACT}), "
-    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    "'[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 )
 
 ORACLE_TEXT_NORMALIZE = f"""
@@ -259,7 +259,7 @@ def q_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
     BIGINTs."""
     d = load_table(spark, sf, "documents")
     toks = d.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        "doc_id", F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("tok")
     ).filter(F.col("tok") != "")
     uni = (
         toks.groupBy("doc_id", "tok")
@@ -278,7 +278,7 @@ def q_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
     big = (
         d.select(
             "doc_id",
-            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+            F.posexplode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("pos", "tok"),
         )
         .filter(F.col("tok") != "")
         .withColumn("nxt", F.lead("tok").over(w))
@@ -306,7 +306,7 @@ def q_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_REPETITION_METRICS = """
 WITH tl AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        t -> t <> '') AS toks
     FROM documents
 ), uni AS (
@@ -352,7 +352,7 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     toks = F.when(
         F.trim(F.col("text")) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    ).otherwise(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
     starts = F.sequence(
         F.lit(0),
         F.greatest(F.size("toks") - 1, F.lit(0)),
@@ -392,7 +392,7 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_CHUNK_DEDUP = f"""
 WITH tl AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        t -> t <> '') AS toks
     FROM documents
 ), bl AS (
@@ -490,4 +490,119 @@ SELECT lang, source, n_docs, n_tokens,
        n_tokens / stratum_tokens AS token_share,
        stratum_tokens / CAST(n_domains * n_tokens AS BIGINT) AS sampling_weight
 FROM pd JOIN ps USING (lang)
+"""
+
+
+_SPLIT_BUCKETS = 100
+_SPLIT_TRAIN = 90  # buckets 0-89 -> train
+_SPLIT_VAL = 95    # buckets 90-94 -> val, 95-99 -> test
+
+
+def q_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment: every document hashes
+    (md5, 15 hex chars -> BIGINT) into one of 100 buckets; bucket
+    ranges give a 90/5/5 split.  Hash-based assignment is the
+    production property that matters — membership is a pure function
+    of doc_id, so re-runs, backfills, and incremental additions never
+    move a document across splits (no RNG state, no global sort).
+    Pure row-level built-ins — embarrassingly parallel at any scale."""
+    d = load_table(spark, sf, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % _SPLIT_BUCKETS
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+ORACLE_TRAIN_VAL_TEST_SPLIT = f"""
+WITH b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_SPLIT_BUCKETS} AS bucket
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+# sqrt-temperature mixing (alpha = 0.5): sqrt is correctly rounded in
+# IEEE 754 on both engines (unlike pow/ln), so weights are bit-exact.
+# The normalization denominator quantizes each weight to a 1e-6 grid
+# (BIGINT) before summing — exact integer arithmetic, immune to
+# float-sum ordering across partitions (the label_centroids trick).
+_MIX_SCALE = 1_000_000
+
+
+def q_mix_weights_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled domain-mixture weights (alpha = 0.5): the
+    standard rebalancing between sampling domains proportionally
+    (alpha=1, big domains dominate) and uniformly (alpha=0, tiny
+    domains oversampled to death).  w_d = sqrt(share_d), normalized.
+
+    Plan shape: one grouped count per (lang, source) domain, the 1-row
+    corpus total and quantized weight-sum attach via broadcast cross
+    join — aggregations are map-side combined; nothing single-partition
+    scales with the corpus (domain count is bounded)."""
+    d = load_table(spark, sf, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = F.broadcast(per.agg(F.sum("n_docs").cast("bigint").alias("n_tot")))
+    share = F.col("n_docs").cast("double") / F.col("n_tot").cast("double")
+    w = per.crossJoin(tot).select(
+        "lang",
+        "source",
+        "n_docs",
+        share.alias("doc_share"),
+        F.sqrt(share).alias("temp_weight"),
+        F.floor(F.sqrt(share) * F.lit(float(_MIX_SCALE)))
+        .cast("bigint")
+        .alias("wq"),
+    )
+    denom = F.broadcast(w.agg(F.sum("wq").cast("bigint").alias("wq_tot")))
+    return (
+        w.crossJoin(denom)
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "doc_share",
+            "temp_weight",
+            (F.col("wq").cast("double") / F.col("wq_tot").cast("double")).alias(
+                "norm_weight"
+            ),
+        )
+    )
+
+
+ORACLE_MIX_WEIGHTS_TEMPERATURE = f"""
+WITH per AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM per),
+w AS (
+    SELECT lang, source, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS doc_share,
+           sqrt(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS temp_weight,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      * CAST({_MIX_SCALE} AS DOUBLE)) AS BIGINT) AS wq
+    FROM per CROSS JOIN tot
+),
+denom AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_tot FROM w)
+SELECT lang, source, n_docs, doc_share, temp_weight,
+       CAST(wq AS DOUBLE) / CAST(wq_tot AS DOUBLE) AS norm_weight
+FROM w CROSS JOIN denom
 """

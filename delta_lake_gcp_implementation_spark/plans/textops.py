@@ -16,7 +16,7 @@ RE2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
@@ -41,7 +41,7 @@ def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_TOKEN_COUNTS = f"""
 SELECT doc_id,
        CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)
            AS ws_tokens,
        CAST(len(regexp_extract_all(lower(text), '{T.BPE_ISH_PATTERN}')) AS BIGINT)
            AS bpe_ish_tokens
@@ -51,8 +51,8 @@ FROM documents
 _SW_LIST = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
 
 # shared oracle fragments (must mirror functions.text exactly)
-_SQL_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
-_SQL_TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_TOKS = "regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
+_SQL_TOKS_LOWER = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')"
 _SQL_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_SQL_TOKS}) END"
 _SQL_SW_RATIO = f"""CASE WHEN len({_SQL_TOKS_LOWER}) = 0 THEN 0.0
        ELSE len(list_filter({_SQL_TOKS_LOWER}, t -> t IN ({_SW_LIST})))
@@ -68,11 +68,11 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 
 _SQL_BUCKET = f"""CASE WHEN ({_SQL_NTOK}) < 5
                  OR (CASE WHEN {_SQL_NTOK} = 0 THEN 0.0
-                          ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                          ELSE CAST(len(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
                                / ({_SQL_NTOK}) END) < 2.0 THEN 'LOW'
             WHEN ({_SQL_SW_RATIO}) >= 0.05
                  AND (CASE WHEN len(text) = 0 THEN 0.0
-                           ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS DOUBLE)
+                           ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
                                 / len(text) END) < 0.2 THEN 'HIGH'
             ELSE 'MEDIUM' END"""
 
@@ -81,10 +81,10 @@ SELECT doc_id,
        CAST(len(text) AS BIGINT) AS n_chars_measured,
        CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
        CASE WHEN {_SQL_NTOK} = 0 THEN 0.0
-            ELSE CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            ELSE CAST(len(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
                  / ({_SQL_NTOK}) END AS mean_token_len,
        CASE WHEN len(text) = 0 THEN 0.0
-            ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')) AS DOUBLE)
+            ELSE CAST(len(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
                  / len(text) END AS punct_ratio,
        {_SQL_SW_RATIO} AS stopword_ratio,
        {_SQL_BUCKET} AS quality_bucket
@@ -153,7 +153,7 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_DOC_FINGERPRINT = """
 WITH base AS (
     SELECT doc_id, text,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp_md5
     FROM documents
 )
 SELECT doc_id, fp_md5,
@@ -466,7 +466,7 @@ def _sql_simhash_sig() -> str:
     )
     return f"""toks AS (
     SELECT doc_id, tok
-    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
           FROM documents)
     WHERE tok <> ''
 ),
@@ -883,7 +883,7 @@ def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     toks = F.when(
         F.trim(F.col("text")) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    ).otherwise(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
     # per-chunk md5 is CPU work a 1-file local scan would serialize
     base = scale_out(d).select("doc_id", toks.alias("toks"))
     starts = F.sequence(
@@ -906,7 +906,7 @@ ORACLE_DOC_CHUNKING = f"""
 WITH toks AS (
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS t
     FROM documents
 ),
 st AS (
@@ -936,7 +936,7 @@ def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     nonempty = d.filter(F.trim(F.col("text")) != "")
     toks = scale_out(nonempty).select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token")
     )
     return (
         toks.groupBy("token")
@@ -948,7 +948,7 @@ def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_VOCAB_TOPK = f"""
 SELECT token, CAST(count(*) AS BIGINT) AS freq
-FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS token
       FROM documents WHERE trim(text) <> '')
 GROUP BY token
 ORDER BY freq DESC, token
@@ -1019,7 +1019,7 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
     tok = scale_out(d).select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token"),
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("token").agg(
@@ -1052,7 +1052,7 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE_TFIDF_TOPK = f"""
 WITH d AS (
-    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
     FROM documents WHERE trim(text) <> ''
 ),
 tok AS (SELECT doc_id, unnest(t) AS token FROM d),
@@ -1111,7 +1111,7 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
     toks = scale_out(d).select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token"),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -1143,9 +1143,11 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     per_term = scored.select(
         "doc_id", "token", (idf * tfnorm).alias("term_score")
     )
-    term_sum = lambda t: F.coalesce(  # noqa: E731
-        F.sum(F.when(F.col("token") == t, F.col("term_score"))), F.lit(0.0)
-    )
+    def term_sum(t):
+        return F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.col("term_score"))), F.lit(0.0)
+        )
+
     return (
         per_term.groupBy("doc_id")
         .agg(
@@ -1166,7 +1168,7 @@ _BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
 ORACLE_BM25_TOPK = f"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+           unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS token
     FROM documents WHERE trim(text) <> ''
 ),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
@@ -1198,4 +1200,112 @@ FROM per_term
 GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id
 LIMIT {_BM25_K}
+"""
+
+
+_PMI_K = 50
+_PMI_MIN_PAIR = 5
+
+
+def q_bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram language-model statistics: top-50 adjacent-token bigrams
+    by pointwise mutual information (collocation mining — the signal
+    behind tokenizer-merge candidates and boilerplate phrase detection).
+
+    PMI = ln(p(ab) / (p(a) p(b))); ln is monotone, so ranking by the
+    raw probability ratio avoids a transcendental whose last-ULP
+    rounding differs between engines.  The ratio is computed from
+    exact integer counts lifted to doubles with an identical
+    left-associated operation chain in both engines — IEEE mul/div are
+    correctly rounded, so the result is bit-identical.
+
+    Plan shape: tokenization explodes per doc (scale_out parallelism),
+    the LEAD window partitions per doc_id (doc-sized partitions, never
+    global), unigram/bigram counts are map-side-combined groupBys, and
+    the two 1-row totals attach via broadcast cross join (the
+    pct_breakdown pattern) — no single-partition stage anywhere."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents")
+    nonempty = d.filter(F.trim(F.col("text")) != "")
+    toks = scale_out(nonempty).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("tok_a"), F.col("nxt").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = F.broadcast(
+        uni.agg(F.sum("n_tok").cast("bigint").alias("n_tot"))
+    )
+    btotals = F.broadcast(
+        toks.groupBy("doc_id")
+        .agg((F.count(F.lit(1)) - F.lit(1)).alias("nb"))
+        .agg(F.sum("nb").cast("bigint").alias("b_tot"))
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    def dbl(c):
+        return F.col(c).cast("double")
+
+    ratio = (
+        dbl("n_pair") * dbl("n_tot") * dbl("n_tot")
+        / (dbl("b_tot") * dbl("n_a") * dbl("n_b"))
+    )
+    return (
+        big.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(totals)
+        .crossJoin(btotals)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            ratio.alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "tok_a", "tok_b")
+        .limit(_PMI_K)
+    )
+
+
+ORACLE_BIGRAM_PMI_TOPK = f"""
+WITH toks AS (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, {_SQL_TOKS_LOWER} AS t
+          FROM documents WHERE trim(text) <> '')
+),
+big AS (
+    SELECT tok AS tok_a,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok_b
+    FROM toks
+),
+pc AS (
+    SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM big
+    WHERE tok_b IS NOT NULL GROUP BY tok_a, tok_b
+    HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+),
+uni AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_tot FROM uni),
+btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b_tot FROM (
+    SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM big
+    WHERE tok_b IS NOT NULL GROUP BY tok_a, tok_b))
+SELECT pc.tok_a, pc.tok_b, CAST(pc.n_pair AS BIGINT) AS n_pair,
+       CAST(pc.n_pair AS DOUBLE) * CAST(n_tot AS DOUBLE)
+         * CAST(n_tot AS DOUBLE)
+         / (CAST(b_tot AS DOUBLE) * CAST(ua.n_tok AS DOUBLE)
+            * CAST(ub.n_tok AS DOUBLE)) AS pmi_ratio
+FROM pc
+JOIN uni ua ON ua.tok = pc.tok_a
+JOIN uni ub ON ub.tok = pc.tok_b
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY pmi_ratio DESC, tok_a, tok_b
+LIMIT {_PMI_K}
 """
