@@ -72,6 +72,11 @@ def write_partitioned(
     if os.path.isdir(final):
         shutil.rmtree(final)
     os.rename(tmp, final)
+    # this write bypasses the TableStore counted path: drop the row-count
+    # sidecar so store.count() self-heals with one scan
+    meta = store._meta_path(name)
+    if os.path.exists(meta):
+        os.remove(meta)
     store.spark.catalog.refreshByPath(final)
 
 

@@ -278,14 +278,9 @@ def validate_bronze(
         F.nullif(F.input_file_name(), F.lit("")).alias("source_file"),
         F.lit(batch_id).alias("processing_batch_id"),
     )
-    store.append("bronze.quarantine", quarantine)
-    # count what was WRITTEN (cheap parquet re-scan of this batch's
-    # slice) instead of re-running the validation plan a second time
-    n_quarantined = (
-        store.read("bronze.quarantine")
-        .filter(F.col("processing_batch_id") == batch_id)
-        .count()
-    )
+    # count what was WRITTEN: the append observes its own row count
+    # during the write action — no re-scan, no second validation pass
+    n_quarantined = store.append("bronze.quarantine", quarantine)
 
     kept = typed.filter(~t1).select(
         "transaction_id",
@@ -357,8 +352,7 @@ def validate_bronze(
         kept, ["transaction_id", "updated_at"]
     ).select(*BRONZE_COLS)
 
-    store.overwrite("bronze.transactions_staging", deduped)
-    n_staged = store.count("bronze.transactions_staging")
+    n_staged = store.overwrite("bronze.transactions_staging", deduped)
     return {"quarantined": n_quarantined, "staged": n_staged}
 
 
@@ -372,16 +366,21 @@ def load_bronze(store: TableStore, batch_id: str, run_mode: str = "incremental")
     (``load_silver.py:75-151``)."""
     started = datetime.utcnow()
     staged = store.read("bronze.transactions_staging")
+    # before/after come from the O(1) meta counts; the upsert observes
+    # its own output; watermark + staged count share ONE aggregation
+    # job (previously: two table re-scans + two staging passes)
     n_before = store.count("bronze.transactions")
-    store.upsert("bronze.transactions", staged, ["transaction_id", "updated_at"])
-    n_after = store.count("bronze.transactions")
+    n_after = store.upsert(
+        "bronze.transactions", staged, ["transaction_id", "updated_at"]
+    )
     wm_row = staged.agg(
         F.date_format(
             F.greatest(F.max("transaction_timestamp"), F.max("updated_at")),
             "yyyy-MM-dd HH:mm:ss",
-        ).alias("wm")
+        ).alias("wm"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    n = staged.count()
+    n = wm_row.n
     inserted = n_after - n_before
     write_job_control(
         store, "load_bronze", "bronze", batch_id, run_mode, "SUCCESS",
@@ -423,9 +422,13 @@ def backfill_bronze(
         .withColumn("is_deleted", F.lit(False))
         .withColumn("deleted_at", F.lit(None).cast("timestamp"))
     )
-    deduped = dedup_ops.keep_first_version(
-        kept, ["transaction_id", "updated_at"]
-    ).select(*BRONZE_COLS)
+    # materialize once: both the count and the MERGE consume this frame,
+    # and the validate+dedup plan is the expensive part of a backfill
+    deduped = (
+        dedup_ops.keep_first_version(kept, ["transaction_id", "updated_at"])
+        .select(*BRONZE_COLS)
+        .localCheckpoint()
+    )
     n = deduped.count()
     store.upsert("bronze.transactions", deduped, ["transaction_id", "updated_at"])
     write_job_control(
@@ -489,8 +492,7 @@ def full_refresh_silver(
     latest = dedup_ops.keep_latest(
         live, ["transaction_id"], "updated_at", [F.col("transaction_id")]
     ).select(*SILVER_COLS)
-    store.overwrite("silver.transactions", latest)
-    n = store.count("silver.transactions")
+    n = store.overwrite("silver.transactions", latest)
     wm = (
         store.read("silver.transactions")
         .agg(F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm"))
@@ -605,8 +607,7 @@ def full_refresh_fact(
         ~F.col("merchant_id").like("MERCH_9%")
     )
     fact = _fact_frame(store, silver, unknown_member)
-    store.overwrite("gold.fact_transactions", fact)
-    n = store.count("gold.fact_transactions")
+    n = store.overwrite("gold.fact_transactions", fact)
     wm = (
         store.read("gold.fact_transactions")
         .agg(F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm"))
@@ -645,12 +646,14 @@ def run_silver(store: TableStore, batch_id: str) -> dict:
     latest = dedup_ops.keep_latest(
         live, ["transaction_id"], "updated_at", [F.col("transaction_id")]
     ).select(*SILVER_COLS)
-    store.overwrite("silver.transactions_staging", latest)
+    # staging write observes its own count; before/after are O(1) meta
+    # reads; the only extra job left is the watermark aggregation
+    n = store.overwrite("silver.transactions_staging", latest)
     staged = store.read("silver.transactions_staging")
-    n = staged.count()
     n_before = store.count("silver.transactions")
-    store.upsert("silver.transactions", staged, ["transaction_id"])
-    inserted = store.count("silver.transactions") - n_before
+    inserted = (
+        store.upsert("silver.transactions", staged, ["transaction_id"]) - n_before
+    )
     new_wm_rows = staged.agg(
         F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm")
     ).collect()
@@ -680,8 +683,10 @@ def gdpr_delete(store: TableStore, customer_id: str, batch_id: str) -> dict:
     target = (F.col("customer_id") == customer_id) & (
         (F.col("is_deleted") == False) | F.col("is_deleted").isNull()  # noqa: E712
     )
-    n_bronze = store.read("bronze.transactions").filter(target).count()
-    store.update_where(
+    # matched/deleted counts are observed inside the mutation writes —
+    # the pre-count scan of bronze and the semi-join count of silver
+    # (both full-table passes at scale) are gone
+    n_bronze = store.update_where(
         "bronze.transactions",
         target,
         {
@@ -697,12 +702,9 @@ def gdpr_delete(store: TableStore, customer_id: str, batch_id: str) -> dict:
         .select("transaction_id")
         .distinct()
     )
-    n_silver = (
-        store.read("silver.transactions")
-        .join(deleted_ids, "transaction_id", "left_semi")
-        .count()
+    n_silver = store.delete_matched(
+        "silver.transactions", deleted_ids, ["transaction_id"]
     )
-    store.delete_matched("silver.transactions", deleted_ids, ["transaction_id"])
     write_job_control(
         store, "gdpr_delete", "silver", batch_id, "gdpr", "SUCCESS", None,
         n_bronze + n_silver,
@@ -804,21 +806,16 @@ def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
         to_insert,
         (F.row_number().over(w) + F.lit(max_key)).cast("bigint").alias("customer_key"),
     )
-    store.overwrite("gold.dim_customer_staging", inserts)
+    n_inserted = store.overwrite("gold.dim_customer_staging", inserts)
     staged = store.read("gold.dim_customer_staging")
-    n_inserted = staged.count()
 
     # close old versions of changed members (MERGE-update semantics).
     # Semi-join against the staged keys — the ids are already a table;
     # collecting them into an `isin` literal list would bloat the plan
-    # linearly with changed-member count.
+    # linearly with changed-member count.  The closed-row count is
+    # observed inside the update write (no separate semi-join pass).
     is_cur = F.col("is_current") == True  # noqa: E712
-    n_closed = (
-        dim.filter(is_cur)
-        .join(staged.select("customer_id"), "customer_id", "left_semi")
-        .count()
-    )
-    store.update_matched(
+    n_closed = store.update_matched(
         dim_name,
         staged.select("customer_id"),
         ["customer_id"],
@@ -922,22 +919,17 @@ def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
         to_insert,
         (F.row_number().over(w) + F.lit(max_key)).cast("bigint").alias("merchant_key"),
     )
-    store.overwrite("gold.dim_merchant_staging", inserts)
+    n_inserted = store.overwrite("gold.dim_merchant_staging", inserts)
     staged = store.read("gold.dim_merchant_staging")
-    n_inserted = staged.count()
 
     # close changed members via semi-join against the staged key table
     # (no driver-side id collection), with the same-day guard: a
     # version opened today is REPLACED below, not closed (a closed row
-    # would have end < start); reference guard ``:211``
+    # would have end < start); reference guard ``:211``.  Closed-row
+    # count observed inside the update write.
     is_cur = F.col("is_current") == True  # noqa: E712
     not_today = F.col("effective_start_date") < F.current_date()
-    n_closed = (
-        dim.filter(is_cur & not_today)
-        .join(staged.select("merchant_id"), "merchant_id", "left_semi")
-        .count()
-    )
-    store.update_matched(
+    n_closed = store.update_matched(
         dim_name,
         staged.select("merchant_id"),
         ["merchant_id"],
@@ -1071,26 +1063,26 @@ def build_fact(
     silver = silver.filter(~F.col("merchant_id").like("MERCH_9%"))
 
     fact = _fact_frame(store, silver, unknown_member)
-    store.overwrite("gold.fact_transactions_staging", fact)
+    n = store.overwrite("gold.fact_transactions_staging", fact)
     staged = store.read("gold.fact_transactions_staging")
 
     # A4 null-FK audit over all 5 keys
-    # (``validate_fact_transactions.py:233-241``)
+    # (``validate_fact_transactions.py:233-241``) + watermark, ONE
+    # aggregation job over the staged slice (was two)
     audit = staged.agg(
         *[
             F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"null_{k}")
             for k in FACT_FK_COLS
-        ]
+        ],
+        F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm"),
     ).collect()[0]
 
-    n = staged.count()
     n_before = store.count("gold.fact_transactions")
-    store.upsert("gold.fact_transactions", staged, ["transaction_id"])
-    inserted = store.count("gold.fact_transactions") - n_before
-    new_wm_rows = staged.agg(
-        F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm")
-    ).collect()
-    new_wm = new_wm_rows[0].wm if n > 0 else wm
+    inserted = (
+        store.upsert("gold.fact_transactions", staged, ["transaction_id"])
+        - n_before
+    )
+    new_wm = audit.wm if n > 0 else wm
     write_job_control(
         store, "load_fact", "gold", batch_id, "incremental", "SUCCESS",
         new_wm, n, records_read=n, started_at=started,
@@ -1099,7 +1091,7 @@ def build_fact(
         "merged": n,
         "records_inserted": inserted,
         "records_updated": n - inserted,
-        "null_fk": {k: audit[k] for k in audit.asDict()},
+        "null_fk": {f"null_{k}": audit[f"null_{k}"] for k in FACT_FK_COLS},
         "watermark": new_wm,
     }
     emit_result("load_fact", result)

@@ -36,15 +36,27 @@ matched files); at 100 TB use Delta/Iceberg — the pipeline code is
 storage-agnostic through this module.  Writes land in a staging dir
 then swap atomically-enough for local runs; cluster deployments swap
 via metastore table rename or Delta's own commit protocol.
+
+Row-count accounting mirrors Delta's commit-log stats: every write
+observes its own row count DURING the write action (``df.observe`` —
+zero extra jobs, exactly-once across task retries) and persists it to
+a per-table meta sidecar; ``count()`` answers from the sidecar.  The
+alternative — re-scanning the table after each MERGE just to report
+counts — is a full metadata pass over millions of files at 100 TB and
+measurably dominates small-batch pipeline latency locally.  Invariant:
+all mutations go through this class (true for pipeline, streaming
+foreachBatch, and tests); a missing/invalid sidecar falls back to one
+scan and self-heals.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sizing import maybe_broadcast
@@ -105,17 +117,60 @@ class TableStore:
         return self.spark.read.parquet(self.path(name))
 
     def count(self, name: str) -> int:
-        return self.read(name).count() if self.exists(name) else 0
+        """Row count from the write-time meta sidecar (commit-log
+        stats, O(1)); falls back to one scan and self-heals when the
+        sidecar is missing."""
+        if not self.exists(name):
+            return 0
+        cached = self._load_count(name)
+        if cached is not None:
+            return cached
+        n = self.read(name).count()
+        self._save_count(name, n)
+        return n
+
+    # ------------------------------------------------------- meta sidecar
+
+    def _meta_path(self, name: str) -> str:
+        return self.path(name) + ".__meta__.json"
+
+    def _save_count(self, name: str, rows: int) -> None:
+        with open(self._meta_path(name), "w") as f:
+            json.dump({"row_count": int(rows)}, f)
+
+    def _load_count(self, name: str) -> int | None:
+        try:
+            with open(self._meta_path(name)) as f:
+                v = json.load(f).get("row_count")
+            return int(v) if v is not None else None
+        except Exception:
+            return None
+
+    @staticmethod
+    def _write_counted(df: DataFrame, path: str, mode: str) -> int:
+        """Write ``df`` and return its row count, observed during the
+        write action itself (no second pass over the data)."""
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            mode
+        ).parquet(path)
+        return int(obs.get["rows"])
 
     # ---------------------------------------------------------------- sinks
 
-    def append(self, name: str, df: DataFrame) -> None:
+    def append(self, name: str, df: DataFrame) -> int:
+        """S5 INSERT INTO; returns the number of rows appended."""
         existed = self.exists(name)
-        self._optimize_write(df).write.mode("append").parquet(self.path(name))
+        before = self.count(name) if existed else 0
+        rows = self._write_counted(
+            self._optimize_write(df), self.path(name), "append"
+        )
+        self._save_count(name, before + rows)
         if not existed:
             self._register(name)
         else:
             self.spark.catalog.refreshByPath(self.path(name))
+        return rows
 
     @staticmethod
     def _optimize_write(df: DataFrame) -> DataFrame:
@@ -135,16 +190,17 @@ class TableStore:
             return df
         return df.hint("rebalance")
 
-    def overwrite(self, name: str, df: DataFrame, optimize: bool = False) -> None:
+    def overwrite(self, name: str, df: DataFrame, optimize: bool = False) -> int:
         """S6 INSERT OVERWRITE: full replace, schema preserved by the
-        caller passing an explicitly-projected frame.
+        caller passing an explicitly-projected frame.  Returns rows
+        written.
 
         ``optimize=True`` forces the rebalance shuffle for frames with
         no exchange of their own (rare for overwrites — replace inputs
         are joins/windows whose last shuffle AQE already coalesces to
         advisory-sized partitions, so a second shuffle would be pure
         overhead, locally and at 100 TB alike)."""
-        self._replace(name, df, optimize=optimize)
+        return self._replace(name, df, optimize=optimize)
 
     def upsert(
         self,
@@ -152,9 +208,12 @@ class TableStore:
         source: DataFrame,
         keys: list[str],
         require_unique_source: bool = False,
-    ) -> None:
+    ) -> int:
         """S7/S8 MERGE upsert on ``keys``.  Source keys MUST be unique
         (guaranteed by W1/W2 dedup upstream, as in the reference).
+        Returns the table's post-merge row count (write-time observed;
+        ``inserted = after - before`` with ``before`` from the O(1)
+        meta count — no post-MERGE table re-scan).
 
         ``require_unique_source=True`` reproduces Delta MERGE's
         multi-match error: if two source rows share a key, raise
@@ -171,9 +230,10 @@ class TableStore:
                     f"{[dup[0][k] for k in keys]} (Delta multi-match semantics)"
                 )
         if not self.exists(name):
-            source.write.mode("overwrite").parquet(self.path(name))
+            rows = self._write_counted(source, self.path(name), "overwrite")
+            self._save_count(name, rows)
             self._register(name)
-            return
+            return rows
         target = self.read(name)
         # target rows not matched by any source key, plus all source
         # rows.  The key set is broadcast only while Catalyst estimates
@@ -182,21 +242,26 @@ class TableStore:
         # a shuffled anti join.
         kept = target.join(maybe_broadcast(source.select(*keys).distinct()),
                            keys, "left_anti")
-        self._replace(name, kept.unionByName(source))
+        return self._replace(name, kept.unionByName(source))
 
-    def delete_matched(self, name: str, ids: DataFrame, keys: list[str]) -> None:
-        """S9 MERGE-DELETE: drop target rows whose key appears in ids."""
+    def delete_matched(self, name: str, ids: DataFrame, keys: list[str]) -> int:
+        """S9 MERGE-DELETE: drop target rows whose key appears in ids.
+        Returns the number of rows deleted."""
         if not self.exists(name):
-            return
+            return 0
+        before = self.count(name)
         target = self.read(name)
-        self._replace(
+        after = self._replace(
             name,
             target.join(maybe_broadcast(ids.select(*keys).distinct()), keys, "left_anti"),
         )
+        return before - after
 
-    def update_where(self, name: str, cond, assignments: dict) -> None:
+    def update_where(self, name: str, cond, assignments: dict) -> int:
         """S10 in-place UPDATE: read-modify-overwrite with the same
-        observable state as Delta ``UPDATE ... WHERE``."""
+        observable state as Delta ``UPDATE ... WHERE``.  Returns the
+        number of rows MATCHED by ``cond`` (Delta's num_updated_rows),
+        observed during the rewrite — no separate pre-count scan."""
         target = self.read(name)
         # evaluate the predicate against the PRE-update row once — SQL
         # UPDATE semantics; naively re-applying ``cond`` per column
@@ -206,7 +271,15 @@ class TableStore:
             updated = updated.withColumn(
                 col, F.when(F.col("__upd__"), value).otherwise(F.col(col))
             )
+        matched = Observation()
+        updated = updated.observe(
+            matched,
+            F.coalesce(
+                F.sum(F.col("__upd__").cast("bigint")), F.lit(0).cast("bigint")
+            ).alias("matched"),
+        )
         self._replace(name, updated.drop("__upd__"))
+        return int(matched.get["matched"])
 
     def update_matched(
         self,
@@ -215,9 +288,11 @@ class TableStore:
         keys: list[str],
         assignments: dict,
         extra_cond=None,
-    ) -> None:
+    ) -> int:
         """S10 UPDATE where the row's key appears in ``ids`` (and
-        ``extra_cond`` holds, pre-update semantics).
+        ``extra_cond`` holds, pre-update semantics).  Returns the
+        number of rows matched+updated (observed during the rewrite —
+        replaces a separate semi-join count pass).
 
         The distributed twin of ``update_where(key.isin([...]))``:
         the key set stays a broadcast DataFrame instead of a
@@ -235,22 +310,35 @@ class TableStore:
             updated = updated.withColumn(
                 col, F.when(F.col("__upd__"), value).otherwise(F.col(col))
             )
-        self._replace(name, updated.drop("__upd__", "__match__").select(*target.columns))
+        matched = Observation()
+        updated = updated.observe(
+            matched,
+            F.coalesce(
+                F.sum(F.col("__upd__").cast("bigint")), F.lit(0).cast("bigint")
+            ).alias("matched"),
+        )
+        self._replace(
+            name, updated.drop("__upd__", "__match__").select(*target.columns)
+        )
+        return int(matched.get["matched"])
 
     # ---------------------------------------------------------------- internals
 
-    def _replace(self, name: str, df: DataFrame, optimize: bool = False) -> None:
+    def _replace(self, name: str, df: DataFrame, optimize: bool = False) -> int:
         """Write-to-staging-then-swap: Spark cannot overwrite a parquet
-        dir it is currently reading, so materialize first."""
+        dir it is currently reading, so materialize first.  Returns the
+        rows written (observed during the write)."""
         final = self.path(name)
         tmp = f"{final}.__stage__{uuid.uuid4().hex[:8]}"
         out = self._optimize_write(df) if optimize else df
-        out.write.mode("overwrite").parquet(tmp)
+        rows = self._write_counted(out, tmp, "overwrite")
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        self._save_count(name, rows)
         # Spark caches file listings per path; the swap invalidates them
         self.spark.catalog.refreshByPath(final)
         # re-register: the replace may have changed the schema, and the
         # catalog snapshots the schema at table-creation time
         self._register(name)
+        return rows

@@ -198,6 +198,69 @@ def test_store_reattaches_existing_tables(spark, tmp_path):
     )
 
 
+# -------------------------------------------------- write-time row stats
+
+
+def test_meta_counts_track_every_mutation(spark, store):
+    """store.count() answers from the write-observed sidecar (commit-
+    log-style stats); it must stay exactly consistent with a real scan
+    across every mutation primitive."""
+    name = "silver.meta_probe"
+
+    def check():
+        assert store.count(name) == store.read(name).count()
+
+    store.overwrite(name, spark.createDataFrame([(i, "x") for i in range(40)], ["k", "v"]))
+    check()
+    appended = store.append(
+        name, spark.createDataFrame([(100 + i, "a") for i in range(7)], ["k", "v"])
+    )
+    assert appended == 7
+    check()
+    after = store.upsert(
+        name,
+        spark.createDataFrame([(i, "u") for i in range(35, 50)], ["k", "v"]),
+        ["k"],
+    )
+    assert after == store.count(name)
+    check()
+    matched = store.update_where(
+        name, F.col("k") < 10, {"v": F.lit("z")}
+    )
+    assert matched == 10
+    check()
+    deleted = store.delete_matched(
+        name, spark.range(5).withColumnRenamed("id", "k"), ["k"]
+    )
+    assert deleted == 5
+    check()
+    # sidecar loss self-heals via one scan
+    import os
+
+    os.remove(store._meta_path(name))
+    check()
+
+
+def test_update_matched_returns_closed_count(spark, store):
+    name = "gold.meta_upd_probe"
+    store.overwrite(
+        name,
+        spark.createDataFrame(
+            [(1, True), (2, True), (3, False), (4, True)], ["k", "cur"]
+        ),
+    )
+    n = store.update_matched(
+        name,
+        spark.createDataFrame([(1,), (3,), (4,)], ["k"]),
+        ["k"],
+        {"cur": F.lit(False)},
+        extra_cond=F.col("cur") == True,  # noqa: E712
+    )
+    # k=3 matched the key set but failed extra_cond; k=2 untouched
+    assert n == 2
+    assert store.read(name).filter(F.col("cur")).count() == 1
+
+
 # ------------------------------------------------------- quadratic guard
 
 
