@@ -126,3 +126,62 @@ def test_two_phase_aggregate_equals_plain(spark):
     }
     assert got == expect
     assert all(isinstance(v[1], Decimal) for v in got.values())
+
+
+# ------------------------------------------------- pure-Python codecs
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    """BMP encode/decode is lossless for every (w, h), including the
+    widths whose 3-byte rows need stride padding (w % 4 != 0)."""
+    import numpy as np
+
+    from delta_lake_gcp_implementation_spark.operators import codecs
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=4000),
+    channels=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_roundtrip_any_shape(n, channels, rate, seed):
+    import numpy as np
+
+    from delta_lake_gcp_implementation_spark.operators import codecs
+
+    s = np.random.default_rng(seed).integers(
+        -32768, 32767, (n, channels), dtype=np.int16
+    )
+    got, got_rate = codecs.decode_wav(codecs.encode_wav(s, rate))
+    assert got_rate == rate
+    assert np.array_equal(got, s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    k=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_segments_partition_samples(n, k, seed):
+    """Segment sampling is a partition: re-decoded segments concatenate
+    back to the original sample stream."""
+    import numpy as np
+
+    from delta_lake_gcp_implementation_spark.operators import codecs
+
+    s = np.random.default_rng(seed).integers(-32768, 32767, (n, 1), dtype=np.int16)
+    blob = codecs.encode_wav(s, 16000)
+    parts = [codecs.decode_wav(b)[0] for b in codecs.wav_segments(blob, k)]
+    assert np.array_equal(np.concatenate(parts), s)
