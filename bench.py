@@ -74,6 +74,7 @@ HEADLINE = [
     "train_val_test_split",
     "mix_weights_temperature",
     "fuzzy_name_match",
+    "ann_recall_eval",
 ]
 
 

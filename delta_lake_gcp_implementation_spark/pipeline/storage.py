@@ -322,6 +322,27 @@ class TableStore:
         )
         return int(matched.get["matched"])
 
+    def vacuum(self) -> list[str]:
+        """Delta-VACUUM analog: remove orphaned artifacts under the
+        store root — staging dirs left by a crashed ``_replace`` (the
+        swap never ran) and meta sidecars whose table dir is gone.
+        Live tables are never touched: staging dirs are only ever
+        *renamed into place* on success, so any ``.__stage__`` dir that
+        still exists is by definition abandoned.  Returns the removed
+        paths."""
+        removed: list[str] = []
+        for entry in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, entry)
+            if ".__stage__" in entry and os.path.isdir(full):
+                shutil.rmtree(full)
+                removed.append(full)
+            elif entry.endswith(".__meta__.json"):
+                table_dir = full[: -len(".__meta__.json")]
+                if not os.path.isdir(table_dir):
+                    os.remove(full)
+                    removed.append(full)
+        return removed
+
     # ---------------------------------------------------------------- internals
 
     def _replace(self, name: str, df: DataFrame, optimize: bool = False) -> int:

@@ -77,6 +77,7 @@ CATALOG: dict[str, QuerySpec] = {
     "mix_weights_temperature": QuerySpec(
         C.q_mix_weights_temperature, C.ORACLE_MIX_WEIGHTS_TEMPERATURE
     ),
+    "ann_recall_eval": QuerySpec(X.q_ann_recall_eval, X.ORACLE_ANN_RECALL_EVAL),
     # --- long-green remainder (driver rows in r1/r2/r3) ---------------
     # scans / projections / filters
     "typed_projection": QuerySpec(R.q_typed_projection, R.ORACLE_TYPED_PROJECTION),

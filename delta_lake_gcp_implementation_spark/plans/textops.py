@@ -1309,3 +1309,107 @@ CROSS JOIN tot CROSS JOIN btot
 ORDER BY pmi_ratio DESC, tok_a, tok_b
 LIMIT {_PMI_K}
 """
+
+
+_RECALL_K = 3
+
+
+def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@3 of the LSH index
+    against the exact brute-force baseline — the measurement loop any
+    real ANN deployment runs before trusting an index (same shape as
+    faiss/annbench recall sweeps).
+
+    Plan shape: both arms reuse the existing operators (broadcast
+    queries; bucket equi-join), the hit check is a semi-join on
+    (query, neighbor), and the per-query counts are single divisions
+    of exact integers — bit-identical cross-engine.  Corpus-scale
+    recall sweeps sample the query set; everything here scales with
+    the two arms it measures."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _Q_CUT)
+    exact = sim.brute_force_topk(e, q, "vec_id", "embedding", k=_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim.lsh_topk(
+        e, q, "vec_id", "embedding",
+        k=_RECALL_K, n_planes=_ANN_PLANES, dim=_ANN_DIM,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    ex = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    ap = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx")
+    )
+    return (
+        ex.join(ap, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0).cast("bigint")).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0).cast("bigint")).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE_ANN_RECALL_EVAL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v, {_sql_bucket_expr("v")} AS bucket FROM e),
+q AS (SELECT * FROM e WHERE vec_id < {_Q_CUT}),
+qb AS (SELECT * FROM c WHERE vec_id < {_Q_CUT}),
+exact_pairs AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.v, e.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+               AS cosine
+    FROM e, q WHERE q.vec_id <> e.vec_id
+),
+exact_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM exact_pairs) WHERE rn <= {_RECALL_K}
+),
+lsh_pairs AS (
+    SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(qb.v, c.v)
+             / (sqrt(list_dot_product(qb.v, qb.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cosine
+    FROM c JOIN qb ON c.bucket = qb.bucket
+    WHERE qb.vec_id <> c.vec_id
+),
+lsh_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM lsh_pairs) WHERE rn <= {_RECALL_K}
+),
+hit AS (
+    SELECT et.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM exact_top et JOIN lsh_top lt
+      ON et.query_id = lt.query_id AND et.neighbor_id = lt.neighbor_id
+    GROUP BY et.query_id
+),
+ex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       FROM exact_top GROUP BY query_id),
+ap AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+       FROM lsh_top GROUP BY query_id)
+SELECT ex.query_id, ex.n_exact,
+       COALESCE(ap.n_approx, 0) AS n_approx,
+       COALESCE(hit.n_hit, 0) AS n_hit,
+       CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE)
+           AS recall
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id
+LEFT JOIN hit ON hit.query_id = ex.query_id
+"""

@@ -261,6 +261,25 @@ def test_update_matched_returns_closed_count(spark, store):
     assert store.read(name).filter(F.col("cur")).count() == 1
 
 
+def test_vacuum_removes_only_orphans(spark, store):
+    import os
+
+    store.overwrite(
+        "bronze.vac_probe", spark.createDataFrame([(1,)], ["k"])
+    )
+    # fabricate a crashed-replace staging dir and an orphan sidecar
+    stale_stage = store.path("bronze.vac_probe") + ".__stage__deadbeef"
+    os.makedirs(stale_stage)
+    orphan_meta = store._meta_path("bronze.gone_table")
+    with open(orphan_meta, "w") as f:
+        f.write('{"row_count": 5}')
+    removed = store.vacuum()
+    assert stale_stage in removed and orphan_meta in removed
+    # live table, its sidecar, and its data are untouched
+    assert store.count("bronze.vac_probe") == 1
+    assert os.path.exists(store._meta_path("bronze.vac_probe"))
+
+
 # ------------------------------------------------------- quadratic guard
 
 
