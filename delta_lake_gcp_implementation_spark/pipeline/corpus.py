@@ -1,0 +1,195 @@
+"""Incremental corpus deduplication: ingest document batches against
+the full historical corpus WITHOUT re-processing it.
+
+The batch-at-a-time form of the textops dedup family: a 100 TB corpus
+is deduplicated once, then every new batch must join against persisted
+*index* tables (content hashes, MinHash signatures, LSH band buckets)
+— never against the corpus text.  The only corpus text ever re-read is
+the tiny slice that LSH candidates name, for the exact verify step.
+
+Tables (all through :class:`~.storage.TableStore`, so counts are
+write-observed and spark.sql-addressable):
+
+- ``corpus.documents``      (doc_id, text, content_hash)
+- ``corpus.minhash_sigs``   (doc_id, mh_0..mh_{N-1})
+- ``corpus.minhash_bands``  (doc_id, bucket)   — LSH incidence list
+
+Per batch the plan is:
+
+1. intra-batch W1 exact dedup (hash groupBy, lowest id wins);
+2. cross-corpus exact dedup: anti-join on ``content_hash`` (an
+   equi-join against an index column, not a text comparison);
+3. near-dup candidates: the batch's band incidence equi-joins the
+   stored incidence (corpus side) and itself (intra-batch, id_a <
+   id_b) — linear in batch size, never a corpus self-join;
+4. signature-agreement precision filter, then exact n-gram Jaccard
+   verify over ONLY the candidate ids (corpus text semi-joined down to
+   the handful of matched old docs);
+5. survivors append to all three tables (write-observed counts).
+
+Drop rule: a new doc is dropped if it near-matches any corpus doc or
+any lower-id doc of the same batch — the conservative transitive
+greedy rule (if b matches the corpus and c matches b, c is dropped
+too: c is transitively a near-dup of corpus content).
+
+Scale shape: every join is an equi-join on a hash/bucket/id column;
+the corpus never re-shingles; index tables grow linearly with the
+ACCEPTED corpus.  MinHash constants are the module constants of
+``plans.textops`` so an offline rebuild of the index matches the
+incremental one bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dedup_ops
+from .storage import TableStore
+
+#: MinHash configuration — MUST match plans.textops (_MH_N/_MH_K/_MH_BAND)
+#: so incremental and offline indexes are interchangeable.
+MH_N = 8
+MH_K = 5
+MH_BAND = 2
+MIN_AGREE = 6
+JACCARD_THRESHOLD = 0.8
+
+DOCS = "corpus.documents"
+SIGS = "corpus.minhash_sigs"
+BANDS = "corpus.minhash_bands"
+
+
+def _signatures(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    sh = dedup_ops.char_shingles(batch, text_col, id_col, k=MH_K)
+    return dedup_ops.minhash_signatures(sh, id_col, n_hashes=MH_N)
+
+
+def ingest_batch(
+    store: TableStore,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Dedup ``batch`` against itself and the persisted corpus, append
+    the survivors + their index rows, return the accounting dict.
+
+    ``doc_id`` values must be globally unique across batches (the
+    caller's ingest contract, same as any CDC key)."""
+    batch = batch.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    # 1. intra-batch exact dedup: lowest id per content hash survives
+    n_batch = batch.count()
+    winners = (
+        batch.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    uniq = batch.join(
+        winners.select("doc_id"), "doc_id", "left_semi"
+    ).withColumn("content_hash", F.md5("text"))
+    n_exact_batch = n_batch - uniq.count()
+
+    # 2. cross-corpus exact dedup: anti-join on the stored hash column
+    if store.exists(DOCS):
+        fresh = uniq.join(
+            store.read(DOCS).select("content_hash"), "content_hash", "left_anti"
+        )
+    else:
+        fresh = uniq
+    # materialize: signatures, bands, the near-dup verify, and the
+    # final appends all consume this slice
+    fresh = fresh.localCheckpoint()
+    n_exact_corpus = n_batch - n_exact_batch - fresh.count()
+
+    # 3. near-dup candidates via LSH band incidence
+    sigs_new = _signatures(fresh, "doc_id", "text").localCheckpoint()
+    bands_new = dedup_ops.minhash_band_incidence(
+        sigs_new, "doc_id", n_hashes=MH_N, band_size=MH_BAND
+    ).localCheckpoint()
+
+    # batch-vs-corpus: equi-join against the STORED incidence list
+    if store.exists(BANDS):
+        cross = (
+            bands_new.withColumnRenamed("doc_id", "id_a")
+            .join(
+                store.read(BANDS).withColumnRenamed("doc_id", "id_b"),
+                "bucket",
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        cross = None
+    # batch-vs-batch: incidence self-join, higher id is the candidate
+    intra = (
+        bands_new.withColumnRenamed("doc_id", "id_a")
+        .join(bands_new.withColumnRenamed("doc_id", "id_b"), "bucket")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    candidates = intra if cross is None else intra.unionByName(cross).distinct()
+
+    # 4. precision filter + exact verify on the candidate slice only
+    if store.exists(SIGS):
+        old_ids = candidates.select(F.col("id_b").alias("doc_id")).distinct()
+        sigs_all = sigs_new.unionByName(
+            store.read(SIGS).join(old_ids, "doc_id", "left_semi")
+        )
+        texts_old = (
+            store.read(DOCS)
+            .join(old_ids, "doc_id", "left_semi")
+            .select("doc_id", "text")
+        )
+        texts_all = fresh.select("doc_id", "text").unionByName(texts_old)
+    else:
+        sigs_all = sigs_new
+        texts_all = fresh.select("doc_id", "text")
+    filtered = dedup_ops.minhash_agreement_filter(
+        candidates, sigs_all, "doc_id", MH_N, min_agree=MIN_AGREE
+    )
+    verified = dedup_ops.ngram_jaccard_pairs(
+        texts_all,
+        "text",
+        "doc_id",
+        k=MH_K,
+        threshold=JACCARD_THRESHOLD,
+        candidates=filtered,
+    )
+    near_ids = verified.select(F.col("id_a").alias("doc_id")).distinct()
+    accepted = fresh.join(near_ids, "doc_id", "left_anti").localCheckpoint()
+    n_near = n_batch - n_exact_batch - n_exact_corpus - accepted.count()
+
+    # 5. append survivors + index rows (write-observed counts)
+    n_accepted = store.append(DOCS, accepted.select("doc_id", "text", "content_hash"))
+    keep_ids = accepted.select("doc_id")
+    store.append(SIGS, sigs_new.join(keep_ids, "doc_id", "left_semi"))
+    store.append(BANDS, bands_new.join(keep_ids, "doc_id", "left_semi"))
+
+    return {
+        "batch": n_batch,
+        "exact_batch_dups": n_exact_batch,
+        "exact_corpus_dups": n_exact_corpus,
+        "near_dups": n_near,
+        "accepted": n_accepted,
+        "corpus_size": store.count(DOCS),
+    }
+
+
+def rebuild_index(store: TableStore) -> dict:
+    """Offline rebuild of the signature/band index from the corpus
+    text (disaster recovery / constant migration).  Produces exactly
+    the rows the incremental path would have written — the constants
+    are shared module-level literals."""
+    docs = store.read(DOCS)
+    sigs = _signatures(docs, "doc_id", "text").localCheckpoint()
+    n_sigs = store.overwrite(SIGS, sigs)
+    n_bands = store.overwrite(
+        BANDS,
+        dedup_ops.minhash_band_incidence(
+            sigs, "doc_id", n_hashes=MH_N, band_size=MH_BAND
+        ),
+    )
+    return {"docs": store.count(DOCS), "sigs": n_sigs, "bands": n_bands}

@@ -1,0 +1,78 @@
+"""Incremental corpus dedup scenarios: batch-vs-batch and
+batch-vs-corpus exact + near dedup, idempotent re-ingest, and
+offline index rebuild parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_gcp_implementation_spark.pipeline import corpus
+from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+A = ("the quick brown fox jumps over the lazy dog while the band plays "
+     "a slow waltz under clear autumn skies near the old stone bridge")
+B = ("distributed query engines shuffle hash partitions across executor "
+     "nodes to aggregate massive tables with minimal network transfer cost")
+B_NEAR = B[:-4] + "fees"  # last word tweaked: near-dup, not exact
+C = ("parquet row groups store columnar statistics enabling predicate "
+     "pushdown so scans skip entire chunks without touching the data pages")
+D = ("minhash signatures estimate jaccard similarity between shingle sets "
+     "allowing locality sensitive hashing to bucket similar documents")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "corpus_wh"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_ingest_dedups_within_and_across_batches(spark, store):
+    r1 = corpus.ingest_batch(store, _df(spark, [(1, A), (2, B), (3, C)]))
+    assert r1 == {
+        "batch": 3, "exact_batch_dups": 0, "exact_corpus_dups": 0,
+        "near_dups": 0, "accepted": 3, "corpus_size": 3,
+    }
+
+    # batch 2: exact copy of A, near copy of B, new doc D, intra dup of D
+    r2 = corpus.ingest_batch(
+        store, _df(spark, [(11, A), (12, B_NEAR), (13, D), (14, D)])
+    )
+    assert r2["batch"] == 4
+    assert r2["exact_batch_dups"] == 1      # 14 == 13
+    assert r2["exact_corpus_dups"] == 1     # 11 == stored A
+    assert r2["near_dups"] == 1             # 12 ~ stored B
+    assert r2["accepted"] == 1              # only D
+    assert r2["corpus_size"] == 4
+
+    accepted_ids = {
+        r.doc_id for r in store.read(corpus.DOCS).select("doc_id").collect()
+    }
+    assert accepted_ids == {1, 2, 3, 13}
+
+
+def test_reingest_is_fully_absorbed(spark, store):
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B), (3, C)]))
+    corpus.ingest_batch(store, _df(spark, [(13, D)]))
+    # same content under fresh ids: nothing may enter the corpus
+    r = corpus.ingest_batch(
+        store, _df(spark, [(21, A), (22, B_NEAR), (23, D), (24, D)])
+    )
+    assert r["accepted"] == 0
+    assert r["corpus_size"] == 4
+    # index tables track the corpus exactly
+    assert store.count(corpus.SIGS) == 4
+    assert store.count(corpus.BANDS) == 4 * (corpus.MH_N // corpus.MH_BAND)
+
+
+def test_rebuild_index_matches_incremental(spark, store):
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B)]))
+    corpus.ingest_batch(store, _df(spark, [(3, C), (4, D)]))
+    inc_sigs = sorted(map(tuple, store.read(corpus.SIGS).collect()))
+    inc_bands = sorted(map(tuple, store.read(corpus.BANDS).collect()))
+    r = corpus.rebuild_index(store)
+    assert r["docs"] == 4
+    assert sorted(map(tuple, store.read(corpus.SIGS).collect())) == inc_sigs
+    assert sorted(map(tuple, store.read(corpus.BANDS).collect())) == inc_bands
