@@ -178,6 +178,34 @@ def ingest_batch(
     }
 
 
+def ingest_stream(
+    store: TableStore,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming form of :func:`ingest_batch`: each micro-batch dedups
+    against the corpus-so-far via ``foreachBatch`` (checkpointed
+    offsets deliver each file once; the ingest itself is idempotent for
+    re-delivered content because exact/near duplicates are absorbed, so
+    the combination is exactly-once-ish like the medallion stream
+    sink)."""
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch(store, batch_df, id_col=id_col, text_col=text_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def rebuild_index(store: TableStore) -> dict:
     """Offline rebuild of the signature/band index from the corpus
     text (disaster recovery / constant migration).  Produces exactly

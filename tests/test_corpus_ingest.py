@@ -76,3 +76,34 @@ def test_rebuild_index_matches_incremental(spark, store):
     assert r["docs"] == 4
     assert sorted(map(tuple, store.read(corpus.SIGS).collect())) == inc_sigs
     assert sorted(map(tuple, store.read(corpus.BANDS).collect())) == inc_bands
+
+
+def test_streaming_ingest_dedups_across_microbatches(spark, store, tmp_path):
+    """File-source stream of document drops: later micro-batches dedup
+    against the corpus built by earlier ones, and a checkpointed re-run
+    reprocesses nothing."""
+    drops = str(tmp_path / "doc_drops")
+    _df(spark, [(1, A), (2, B)]).write.mode("append").parquet(drops)
+    _df(spark, [(11, A), (12, B_NEAR), (13, D)]).write.mode("append").parquet(drops)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    ckpt = str(tmp_path / "corpus_ckpt")
+    corpus.ingest_stream(store, stream, ckpt)
+
+    ids = {r.doc_id for r in store.read(corpus.DOCS).select("doc_id").collect()}
+    # 11 (exact dup of A) and 12 (near dup of B) absorbed; micro-batch
+    # order over two files is offset order, so 1/2 land before 11-13
+    assert ids == {1, 2, 13}
+
+    # checkpointed re-run: committed offsets -> corpus unchanged
+    stream2 = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    corpus.ingest_stream(store, stream2, ckpt)
+    assert store.count(corpus.DOCS) == 3
