@@ -5,9 +5,11 @@ Consumed by ``__spark_entry__`` (driver contract) and ``bench.py``.
 driver then records a weaker rows-only check.
 
 Ordering note: the driver's correctness gate windows the FIRST ~50
-entries in dict order.  Entries that have not yet received a driver
-CORRECTNESS row are deliberately placed first; the long-green remainder
-follows.  Rotate per round until every entry has a green row on record.
+entries in dict order.  ``CATALOG`` therefore orders itself
+STALEST-FIRST from ``driver_rows.LAST_GREEN`` (generated from the
+driver's own CORRECTNESS_r*.json by ``tools/update_driver_rows.py``):
+never-verified queries first, then ascending by last fully-green round.
+Run the regen tool after each round; no hand-rotation needed.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .driver_rows import LAST_GREEN
 from . import curation as C
 from . import relational as R
 from . import textops as X
@@ -28,9 +31,7 @@ class QuerySpec:
     oracle_sql: str | None
 
 
-CATALOG: dict[str, QuerySpec] = {
-    # --- never driver-checked through r3: keep these first until each
-    # --- has a green CORRECTNESS row (see VERDICT r3 item #1) ---------
+_SPECS: dict[str, QuerySpec] = {
     "funnel_analysis": QuerySpec(R.q_funnel_analysis, R.ORACLE_FUNNEL_ANALYSIS),
     "dense_grid_fill": QuerySpec(R.q_dense_grid_fill, R.ORACLE_DENSE_GRID_FILL),
     "fuzzy_name_match": QuerySpec(
@@ -63,13 +64,11 @@ CATALOG: dict[str, QuerySpec] = {
     ),
     "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
     "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
-    # --- fell out of the r3 window (rows exist in r1/r2 only): re-check
     # sketches: engine-specific estimators -> no SQL oracle (rows-only
     # driver check; error bounds property-tested vs exact answers)
     "sketch_stats": QuerySpec(R.q_sketch_stats, None),
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
-    # --- new this round (need their first driver rows) ----------------
     "bigram_pmi_topk": QuerySpec(X.q_bigram_pmi_topk, X.ORACLE_BIGRAM_PMI_TOPK),
     "train_val_test_split": QuerySpec(
         C.q_train_val_test_split, C.ORACLE_TRAIN_VAL_TEST_SPLIT
@@ -78,7 +77,6 @@ CATALOG: dict[str, QuerySpec] = {
         C.q_mix_weights_temperature, C.ORACLE_MIX_WEIGHTS_TEMPERATURE
     ),
     "ann_recall_eval": QuerySpec(X.q_ann_recall_eval, X.ORACLE_ANN_RECALL_EVAL),
-    # --- long-green remainder (driver rows in r1/r2/r3) ---------------
     # scans / projections / filters
     "typed_projection": QuerySpec(R.q_typed_projection, R.ORACLE_TYPED_PROJECTION),
     "watermark_filter": QuerySpec(R.q_watermark_filter, R.ORACLE_WATERMARK_FILTER),
@@ -187,3 +185,11 @@ CATALOG: dict[str, QuerySpec] = {
         X.q_multimodal_metadata, X.ORACLE_MULTIMODAL_METADATA
     ),
 }
+
+
+# Stalest-first: never-driver-verified entries (LAST_GREEN missing -> 0)
+# lead, then ascending by last fully-green round; insertion order breaks
+# ties, so thematic grouping above is preserved within a round cohort.
+CATALOG: dict[str, QuerySpec] = dict(
+    sorted(_SPECS.items(), key=lambda kv: LAST_GREEN.get(kv[0], 0))
+)
