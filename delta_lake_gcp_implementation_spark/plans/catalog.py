@@ -45,9 +45,11 @@ _SPECS: dict[str, QuerySpec] = {
     "tfidf_topk": QuerySpec(X.q_tfidf_topk, X.ORACLE_TFIDF_TOPK),
     "bm25_topk": QuerySpec(X.q_bm25_topk, X.ORACLE_BM25_TOPK),
     "label_centroids": QuerySpec(X.q_label_centroids, X.ORACLE_LABEL_CENTROIDS),
-    # trained-codebook IVF: iterative float k-means -> no SQL oracle
-    # (numpy-parity tested; driver records rows-only)
-    "ann_ivf_trained": QuerySpec(X.q_ann_ivf_trained, None),
+    # trained-codebook IVF: verdict query (exact companions + recall
+    # bound; the trained arm itself is not SQL-replayable)
+    "ann_ivf_trained": QuerySpec(
+        X.q_ann_ivf_trained, X.ORACLE_ANN_IVF_TRAINED
+    ),
     "semantic_dedup": QuerySpec(X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP),
     "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
     "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
@@ -64,9 +66,8 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
     "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
-    # sketches: engine-specific estimators -> no SQL oracle (rows-only
-    # driver check; error bounds property-tested vs exact answers)
-    "sketch_stats": QuerySpec(R.q_sketch_stats, None),
+    # sketches: verdict query (exact companions + in-bounds booleans)
+    "sketch_stats": QuerySpec(R.q_sketch_stats, R.ORACLE_SKETCH_STATS),
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
     "bigram_pmi_topk": QuerySpec(X.q_bigram_pmi_topk, X.ORACLE_BIGRAM_PMI_TOPK),

@@ -1507,20 +1507,53 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 def q_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch aggregations — the 100 TB path for distinct counts and
     percentiles: HyperLogLog++ (``approx_count_distinct``, rsd 2%) and
-    KLL-style quantile sketch (``approx_percentile``).  Exact
+    KLL-style quantile sketch (``percentile_approx``).  Exact
     COUNT(DISTINCT) shuffles every distinct value; the sketch shuffles
     a KB-sized mergeable summary per partition — same single-shuffle
-    hash-agg shape, constant-size state.  No SQL oracle: sketch
-    internals are engine-specific (DuckDB's approx functions use
-    different estimators), so the driver records a rows-only check and
-    the error bounds vs exact answers are property-tested instead
-    (``test_sketch_stats_error_bounds``)."""
+    hash-agg shape, constant-size state.
+
+    Verdict-query shape (sketch internals are engine-specific, so the
+    raw estimates cannot hash-match DuckDB): the output carries the
+    EXACT companions (``n_events``, ``n_users_exact`` — fully
+    oracle-checked) plus in-bounds booleans computed in-Spark — HLL
+    estimate within 10% of exact (5x the 2% rsd), sketch p50 inside
+    the exact interquartile range.  The oracle asserts the booleans
+    TRUE, so an estimator regression flips the hash.  The exact
+    companions exist only for the verdict; production callers use the
+    sketch columns alone (constant-size state at 100 TB)."""
     ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-        F.count("*").alias("n_events"),
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("_p50_sketch"),
+        F.expr("percentile(value, array(0.25, 0.75))").alias("_iqr_exact"),
     )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll_users") - F.col("n_users_exact"))
+            <= F.greatest(F.lit(3.0), 0.1 * F.col("n_users_exact"))
+        ).alias("hll_ok"),
+        F.coalesce(  # all-null value group: nothing to bound -> ok
+            (F.col("_p50_sketch") >= F.col("_iqr_exact")[0])
+            & (F.col("_p50_sketch") <= F.col("_iqr_exact")[1]),
+            F.lit(True),
+        ).alias("p50_ok"),
+    )
+
+
+ORACLE_SKETCH_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS hll_ok,
+       TRUE AS p50_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:

@@ -721,21 +721,70 @@ QUALIFY rank <= 3
 def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-flat ANN with a *trained* k-means codebook (3 Lloyd's
     iterations, nprobe=2): the production shape of the IVF index —
-    :func:`q_ann_ivf_topk` keeps the seeded-codebook variant for the
-    exact SQL oracle.  No oracle here: float means are
-    partition-order-dependent in the last ULPs, so the fit is
-    numpy-parity-tested instead (rows-only driver check)."""
+    :func:`q_ann_ivf_topk` keeps the seeded-codebook variant whose
+    neighbor lists the SQL oracle reproduces exactly.
+
+    Verdict-query shape (the trained codebook's float means are
+    partition-order-dependent in the last ULPs, so its neighbor lists
+    cannot be replayed in SQL): run the trained index AND the exact
+    brute-force arm, count per-query hits with a semi-join, and emit
+    ONE row of exact integers (``n_queries``, ``n_exact_pairs`` —
+    fully oracle-checked) plus ``recall_ok`` = corpus recall@3 >= 0.5.
+    Measured recall is 0.875 at sf0.001 and sf0.01, so the margin only
+    trips on structural breakage (bad fit, empty probes, wrong join),
+    which is exactly what a rows-only check missed.  The k-means fit
+    itself stays numpy-parity-tested (``test_kmeans_*``)."""
     e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _Q_CUT)
     cents = sim.kmeans_fit(e, "vec_id", "embedding", k=_IVF_K, iters=3)
-    return sim.ivf_topk(
-        e,
-        e.filter(F.col("vec_id") < _Q_CUT),
-        cents,
-        "vec_id",
-        "embedding",
-        k=3,
-        nprobe=2,
+    approx = sim.ivf_topk(
+        e, q, cents, "vec_id", "embedding", k=3, nprobe=2
+    ).select("query_id", "neighbor_id")
+    exact = sim.brute_force_topk(
+        e, q, "vec_id", "embedding", k=3
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+        )
+        .crossJoin(
+            hits.agg(F.count(F.lit(1)).cast("bigint").alias("_n_hit"))
+        )
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            (
+                F.col("_n_hit").cast("double")
+                / F.col("n_exact_pairs").cast("double")
+                >= 0.5
+            ).alias("recall_ok"),
+        )
     )
+
+
+ORACLE_ANN_IVF_TRAINED = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {_Q_CUT}),
+exact_pairs AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.v, e.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+               AS cosine
+    FROM e, q WHERE q.vec_id <> e.vec_id
+),
+exact_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM exact_pairs) WHERE rn <= 3
+)
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok
+FROM exact_top
+"""
 
 
 _NEAR_DUP_COS = 0.35  # cosine threshold (driver embeddings are near-random;

@@ -119,9 +119,10 @@ def test_percentile_plan_no_single_partition_exchange(spark):
 
 
 def test_sketch_stats_error_bounds(spark):
-    """HLL distinct within its rsd bound and sketch p50 within rank
-    tolerance of the exact median, per group — the correctness story
-    for the no-oracle sketch query."""
+    """The verdict query's exact companions must equal an independent
+    recomputation and every in-bounds boolean must hold — the HLL /
+    p50-sketch error-bound story, now also hash-checked by the oracle
+    (booleans flip -> driver mismatch)."""
     out = {
         r.event_type: r
         for r in CATALOG["sketch_stats"].builder(
@@ -134,18 +135,17 @@ def test_sketch_stats_error_bounds(spark):
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("n_users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.max("value").alias("vmax"),
+            F.count("*").alias("n_events"),
         )
         .collect()
     }
     assert set(out) == set(exact)
     for et, e in exact.items():
         a = out[et]
-        assert abs(a.approx_users - e.n_users) <= max(3, 0.1 * e.n_users), et
-        # percentile_approx returns a real data value near the median
-        assert 0 <= a.approx_p50 <= e.vmax, et
-        assert abs(a.approx_p50 - e.p50) <= 0.05 * e.vmax, et
+        assert a.n_users_exact == e.n_users, et
+        assert a.n_events == e.n_events, et
+        assert a.hll_ok, et
+        assert a.p50_ok, et
 
 
 def test_above_avg_spenders_semantics_and_broadcast(spark):

@@ -346,13 +346,11 @@ def test_kmeans_reduces_wcss_and_trained_ivf_runs(spark, sf_dir):
 
     out = X.q_ann_ivf_trained(spark, sf_dir)
     rows = out.collect()
-    assert len(rows) > 0
-    by_q = {}
-    for r in rows:
-        by_q.setdefault(r.query_id, []).append(r)
-    for q, rs in by_q.items():
-        assert len(rs) <= 3
-        assert all(r.neighbor_id != q for r in rs)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_queries > 0
+    assert r.n_exact_pairs == 3 * r.n_queries
+    assert r.recall_ok  # measured 0.875 vs the 0.5 verdict bound
 
 
 def test_kmeans_assign_literal_and_join_paths_agree(spark, sf_dir, monkeypatch):
