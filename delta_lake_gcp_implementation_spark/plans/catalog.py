@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .driver_rows import LAST_GREEN
+from . import corpusq as CQ
 from . import curation as C
 from . import relational as R
 from . import textops as X
@@ -66,6 +67,11 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
     "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
+    # incremental corpus dedup pipeline: real two-batch ingest into a
+    # throwaway store; oracle replays every drop decision in SQL
+    "corpus_ingest_verdict": QuerySpec(
+        CQ.q_corpus_ingest_verdict, CQ.ORACLE_CORPUS_INGEST_VERDICT
+    ),
     # sketches: verdict query (exact companions + in-bounds booleans)
     "sketch_stats": QuerySpec(R.q_sketch_stats, R.ORACLE_SKETCH_STATS),
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),

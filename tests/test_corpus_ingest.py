@@ -107,3 +107,32 @@ def test_streaming_ingest_dedups_across_microbatches(spark, store, tmp_path):
     )
     corpus.ingest_stream(store, stream2, ckpt)
     assert store.count(corpus.DOCS) == 3
+
+
+def test_catalog_verdict_matches_pipeline_accounting(spark):
+    """The oracle-checked catalog surface (corpusq) must agree with the
+    accounting dicts of a hand-run two-batch ingest over the same
+    split."""
+    import pyspark.sql.functions as F
+
+    from delta_lake_gcp_implementation_spark.plans import corpusq as CQ
+
+    sf = "/root/testdata/sf0.001"
+    out = CQ.q_corpus_ingest_verdict(spark, sf).collect()
+    n_total = len(out)
+    n_accepted = sum(1 for r in out if r.accepted)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    import tempfile, shutil
+
+    root = tempfile.mkdtemp(prefix="corpus_acct_")
+    try:
+        store = TableStore(spark, root)
+        r1 = corpus.ingest_batch(store, docs.filter(F.col("doc_id") % 2 == 0))
+        r2 = corpus.ingest_batch(store, docs.filter(F.col("doc_id") % 2 == 1))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert r1["batch"] + r2["batch"] == n_total
+    assert r2["corpus_size"] == n_accepted
+    assert r1["accepted"] + r2["accepted"] == n_accepted
