@@ -137,8 +137,14 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         cid, size = _CHUNK.unpack_from(blob, pos)
         pos += _CHUNK.size
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("WAV: duplicate fmt chunk")
             fmt = _FMT_PCM.unpack_from(blob, pos)
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("WAV: duplicate data chunk")
+            if pos + size > len(blob):
+                raise ValueError("WAV: truncated data chunk")
             data = blob[pos : pos + size]
         pos += size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:

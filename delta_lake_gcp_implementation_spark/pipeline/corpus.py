@@ -47,11 +47,16 @@ from pyspark.sql import functions as F
 from ..operators import dedup as dedup_ops
 from .storage import TableStore
 
-#: MinHash configuration — MUST match plans.textops (_MH_N/_MH_K/_MH_BAND)
-#: so incremental and offline indexes are interchangeable.
+#: Persisted-index parameters — MUST match plans.textops
+#: (_MH_N/_MH_K/_MH_BAND) so incremental and offline-rebuilt index
+#: tables are bit-for-bit interchangeable.
 MH_N = 8
 MH_K = 5
 MH_BAND = 2
+#: Per-run FILTER knobs (nothing persisted depends on them): this
+#: pipeline verifies near-dups at high precision, so they are
+#: deliberately stricter than textops' exploratory _MH_MIN_AGREE=4 /
+#: threshold 0.5 — do NOT "fix" them to match.
 MIN_AGREE = 6
 JACCARD_THRESHOLD = 0.8
 

@@ -80,9 +80,16 @@ class TableStore:
         self.root = root
         os.makedirs(root, exist_ok=True)
         # re-attach tables persisted by a previous session over this
-        # root, so read-only consumers get the spark.sql surface too
+        # root, so read-only consumers get the spark.sql surface too.
+        # Only 'db__table'-shaped dirs are real tables: a crashed
+        # replace leaves 'db__table.__stage__<hex>' dirs behind, whose
+        # '.' would mismap the name and register a junk catalog entry.
         for d in sorted(os.listdir(root)):
-            if "__" in d and os.path.isdir(os.path.join(root, d)):
+            if (
+                "__" in d
+                and "." not in d
+                and os.path.isdir(os.path.join(root, d))
+            ):
                 self._register(d.replace("__", ".", 1))
 
     def path(self, name: str) -> str:

@@ -125,6 +125,27 @@ def test_wav_roundtrip_pure_python():
     assert codecs.sniff_format(codecs.encode_wav(s, 22050)) == "wav"
 
 
+def test_wav_rejects_malformed_chunks():
+    s = np.random.default_rng(5).integers(-32768, 32767, (64, 1), dtype=np.int16)
+    blob = codecs.encode_wav(s, 8000)
+    # declared data size larger than the blob: must raise, not
+    # silently clamp-truncate the samples
+    import struct
+
+    data_off = blob.index(b"data")
+    hacked = (
+        blob[: data_off + 4]
+        + struct.pack("<I", len(blob) * 2)
+        + blob[data_off + 8 :]
+    )
+    with pytest.raises(ValueError, match="truncated data"):
+        codecs.decode_wav(hacked)
+    # duplicated data chunk: last-wins is silent corruption — reject
+    dup = blob + blob[data_off:]
+    with pytest.raises(ValueError, match="duplicate data"):
+        codecs.decode_wav(dup)
+
+
 def test_real_decode_features(real_media):
     rows = {r.media_id: r for r in mm.decode_media(real_media, fake=False).collect()}
     # BMP: [w, h, meanR, meanG, meanB, luma_std, hist*8]

@@ -118,12 +118,13 @@ _PII_SNIPPETS = [
     "1.2.3",
 ]
 
-# printable ASCII without \x0b/\x0c: Java's \s includes vertical tab,
-# RE2's does not — the functions are documented ASCII-text ops, so the
-# fuzz stays inside the common dialect.
+# full printable-ASCII whitespace INCLUDING \x0b/\x0c: the engine
+# code never uses \s (Java's includes vertical tab, RE2's does not) —
+# both sides spell the explicit class [ \t\n\x0B\f\r], so vertical
+# tab and form feed must round-trip identically and are fuzzed here.
 _ALPHABET = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-    " \t\n.-@%_+<>!,:/#()"
+    " \t\n\x0b\x0c.-@%_+<>!,:/#()"
 )
 
 
@@ -161,7 +162,8 @@ def test_scrub_and_normalize_match_duckdb(spark, parts):
                    '{T.PII_PHONE}', '<PHONE>', 'g'),
                    '{T.PII_IPV4}', '<IP>', 'g') AS scrubbed,
                trim(regexp_replace(regexp_replace(lower(?),
-                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+                   '[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'),
+                   '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
         """,
         [s, s],
     ).fetchone()

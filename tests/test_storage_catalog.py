@@ -184,18 +184,26 @@ def test_catalog_sees_post_merge_state(spark, store):
 
 def test_store_reattaches_existing_tables(spark, tmp_path):
     """A fresh TableStore over an existing warehouse re-registers the
-    tables, so read-only consumers get the spark.sql surface."""
+    tables — but NOT leftover crashed-replace staging dirs, whose '.'
+    would mismap to a junk catalog entry."""
+    import os
+
     root = str(tmp_path / "wh_reattach")
     first = TableStore(spark, root)
     first.overwrite(
         "gold.reattach_probe", spark.createDataFrame([(1,)], ["k"])
     )
+    # simulate a replace() that crashed between write and rename
+    os.makedirs(os.path.join(root, "gold__reattach_probe.__stage__ab12"))
     spark.sql("DROP TABLE gold.reattach_probe")
     TableStore(spark, root)  # init scans + re-registers
     assert (
         spark.sql("SELECT COUNT(*) AS n FROM gold.reattach_probe").collect()[0].n
         == 1
     )
+    # the stage dir must not have produced any catalog entry
+    tables = {t.name for t in spark.catalog.listTables("gold")}
+    assert not any("stage" in t for t in tables)
 
 
 # -------------------------------------------------- write-time row stats
