@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 # broadcast-vs-partition decision shared with the TableStore MERGE
 # primitives; kept under the old private name for in-module callers
 from .sizing import fits_broadcast as _fits_broadcast
+from .sizing import prefer_broadcast_payload as _prefer_broadcast_payload
 
 
 def keep_first_version(
@@ -344,7 +345,7 @@ def minhash_agreement_filter(
         F.lit(0),
     )
     if broadcast_sets is None:
-        broadcast_sets = _fits_broadcast(sa)
+        broadcast_sets = _prefer_broadcast_payload(sa, candidates)
     return (
         _pair_lookup_join(candidates, sa, sb, broadcast_sets)
         .withColumn("__agree", agree)
@@ -424,7 +425,7 @@ def ngram_jaccard_pairs(
     #   carrying multi-KB arrays) — the corpus-scale path where a
     #   broadcast would OOM the executors.
     if broadcast_sets is None:
-        broadcast_sets = _fits_broadcast(a)
+        broadcast_sets = _prefer_broadcast_payload(a, candidates)
     return (
         _pair_lookup_join(candidates, a, b, broadcast_sets)
         .select(

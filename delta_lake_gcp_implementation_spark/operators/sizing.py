@@ -49,3 +49,26 @@ def maybe_broadcast(
     actual stats shrink under ``autoBroadcastJoinThreshold``).
     """
     return F.broadcast(df) if fits_broadcast(df, budget_bytes) else df
+
+
+def prefer_broadcast_payload(
+    payload: DataFrame,
+    probe: DataFrame,
+    budget_bytes: int = BROADCAST_BUDGET_BYTES,
+) -> bool:
+    """Broadcast decision for pair-lookup joins (candidate pairs x
+    per-id payload tables): broadcast the payload ONLY when it fits
+    AND the probe side is itself too large to shuffle under the same
+    budget.
+
+    When both sides are small, the partitioned SHUFFLE_HASH join wins:
+    the probe shuffle is a cheap in-memory exchange, while every
+    broadcast is a driver-side collect + single-threaded relation
+    build per consumer job (measured: forced broadcasts cost
+    ngram_jaccard +0.8 s at sf0.1 on local[32], quiet interleaved
+    best-of-3 A/B).  When the probe side outgrows the budget — the
+    corpus-scale regime where candidate pairs dwarf the payload —
+    avoiding its shuffle is exactly what the broadcast buys."""
+    return fits_broadcast(payload, budget_bytes) and not fits_broadcast(
+        probe, budget_bytes
+    )
