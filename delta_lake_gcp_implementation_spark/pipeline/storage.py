@@ -37,6 +37,20 @@ storage-agnostic through this module.  Writes land in a staging dir
 then swap atomically-enough for local runs; cluster deployments swap
 via metastore table rename or Delta's own commit protocol.
 
+Versioned commit manifests (the local stand-in for ``_delta_log``):
+every mutation commits a JSON manifest — monotonically numbered, file
+list + write-observed row count + op — under
+``<table>.__log__/<version>.json``.  A replace ARCHIVES the previous
+live directory under ``<table>.__v__/<lineage>`` instead of deleting
+it, and appends add files without touching old ones, so
+``read_version(n)`` reconstructs any retained snapshot from its
+manifest's exact file list (time travel), ``versions(name)`` lists the
+history, and ``vacuum(retain_versions=k)`` deletes only archived
+lineages no retained manifest references.  Manifest resolution prefers
+the live dir and falls back to the archive when the listed files are
+not where the latest manifest says — which makes reads correct at
+every crash point of the two-rename swap (archive-then-promote).
+
 Row-count accounting mirrors Delta's commit-log stats: every write
 observes its own row count DURING the write action (``df.observe`` —
 zero extra jobs, exactly-once across task retries) and persists it to
@@ -120,13 +134,33 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return os.path.isdir(self.path(name))
 
+    def _heal(self, name: str) -> None:
+        """Crash recovery for the two-rename swap: if the live dir is
+        missing but the latest manifest names a lineage that sits in
+        the archive (the replace crashed between archive and promote),
+        promote it back.  Idempotent, metadata-only."""
+        final = self.path(name)
+        if os.path.isdir(final):
+            return
+        latest = self._latest_manifest(name)
+        if latest is None:
+            return
+        archived = os.path.join(
+            self._versions_dir(name), str(latest["lineage"])
+        )
+        if os.path.isdir(archived):
+            os.rename(archived, final)
+            self.spark.catalog.refreshByPath(final)
+
     def read(self, name: str) -> DataFrame:
+        self._heal(name)
         return self.spark.read.parquet(self.path(name))
 
     def count(self, name: str) -> int:
         """Row count from the write-time meta sidecar (commit-log
         stats, O(1)); falls back to one scan and self-heals when the
         sidecar is missing."""
+        self._heal(name)
         if not self.exists(name):
             return 0
         cached = self._load_count(name)
@@ -163,16 +197,123 @@ class TableStore:
         ).parquet(path)
         return int(obs.get["rows"])
 
+    # ----------------------------------------------- commit manifests
+
+    def _log_dir(self, name: str) -> str:
+        return self.path(name) + ".__log__"
+
+    def _versions_dir(self, name: str) -> str:
+        return self.path(name) + ".__v__"
+
+    def _list_data_files(self, base: str) -> list[str]:
+        """Relative paths of the data files under ``base`` (skips
+        _SUCCESS/_committed/hidden artifacts); partition subdirs keep
+        their ``col=value`` path components."""
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(base):
+            rel = os.path.relpath(dirpath, base)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                out.append(f if rel == "." else os.path.join(rel, f))
+        return sorted(out)
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._log_dir(name), f"{version:08d}.json")
+
+    def _load_manifest(self, name: str, version: int) -> dict:
+        with open(self._manifest_path(name, version)) as f:
+            return json.load(f)
+
+    def _latest_manifest(self, name: str) -> dict | None:
+        log = self._log_dir(name)
+        if not os.path.isdir(log):
+            return None
+        nums = [
+            int(f[:-5])
+            for f in os.listdir(log)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return self._load_manifest(name, max(nums)) if nums else None
+
+    def _commit(
+        self, name: str, op: str, rows: int, new_lineage: bool
+    ) -> int:
+        """Append one manifest version (atomic tmp+rename within the
+        log dir).  ``lineage`` identifies which physical directory a
+        version's files live in: it changes on every replace (the old
+        dir is archived under that lineage id) and is inherited by
+        appends.  At 100 TB this exact bookkeeping is Delta's JSON
+        commit log; the semantics here are the same, the file listing
+        is a local ``os.walk``."""
+        log = self._log_dir(name)
+        os.makedirs(log, exist_ok=True)
+        latest = self._latest_manifest(name)
+        version = (latest["version"] + 1) if latest else 1
+        lineage = (
+            version if (new_lineage or latest is None) else latest["lineage"]
+        )
+        manifest = {
+            "version": version,
+            "op": op,
+            "row_count": int(rows),
+            "lineage": lineage,
+            "files": self._list_data_files(self.path(name)),
+        }
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(name, version))
+        return version
+
+    def versions(self, name: str) -> list[dict]:
+        """Commit history, oldest first: version / op / row_count."""
+        log = self._log_dir(name)
+        if not os.path.isdir(log):
+            return []
+        out = []
+        for f in sorted(os.listdir(log)):
+            if f.endswith(".json") and f[:-5].isdigit():
+                m = self._load_manifest(name, int(f[:-5]))
+                out.append(
+                    {k: m[k] for k in ("version", "op", "row_count")}
+                )
+        return out
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel: the table exactly as of commit ``version``.
+
+        Resolution: a version whose lineage is still live reads its
+        file list from the live dir; an archived lineage reads from
+        ``<table>.__v__/<lineage>``.  If the listed files are missing
+        from the live dir (crash window between swap renames, or the
+        lineage was archived moments ago) the archive is tried — so
+        any retained version is readable at every crash point."""
+        m = self._load_manifest(name, version)
+        latest = self._latest_manifest(name)
+        base = self.path(name)
+        archived = os.path.join(self._versions_dir(name), str(m["lineage"]))
+        if m["lineage"] != latest["lineage"] or not all(
+            os.path.exists(os.path.join(base, f)) for f in m["files"]
+        ):
+            base = archived
+        paths = [os.path.join(base, f) for f in m["files"]]
+        if not paths:
+            return self.read(name).limit(0)
+        return self.spark.read.option("basePath", base).parquet(*paths)
+
     # ---------------------------------------------------------------- sinks
 
     def append(self, name: str, df: DataFrame) -> int:
         """S5 INSERT INTO; returns the number of rows appended."""
+        self._heal(name)
         existed = self.exists(name)
         before = self.count(name) if existed else 0
         rows = self._write_counted(
             self._optimize_write(df), self.path(name), "append"
         )
         self._save_count(name, before + rows)
+        self._commit(name, "append", before + rows, new_lineage=not existed)
         if not existed:
             self._register(name)
         else:
@@ -239,6 +380,7 @@ class TableStore:
         if not self.exists(name):
             rows = self._write_counted(source, self.path(name), "overwrite")
             self._save_count(name, rows)
+            self._commit(name, "create", rows, new_lineage=True)
             self._register(name)
             return rows
         target = self.read(name)
@@ -329,14 +471,20 @@ class TableStore:
         )
         return int(matched.get["matched"])
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Delta-VACUUM analog: remove orphaned artifacts under the
         store root — staging dirs left by a crashed ``_replace`` (the
         swap never ran) and meta sidecars whose table dir is gone.
         Live tables are never touched: staging dirs are only ever
         *renamed into place* on success, so any ``.__stage__`` dir that
-        still exists is by definition abandoned.  Returns the removed
-        paths."""
+        still exists is by definition abandoned.
+
+        ``retain_versions=k`` additionally expires history: for every
+        table, manifests older than the newest ``k`` are dropped and
+        archived lineage dirs no retained manifest references are
+        deleted (Delta's ``VACUUM ... RETAIN`` semantics — time travel
+        keeps working for every retained version).  Returns the
+        removed paths."""
         removed: list[str] = []
         for entry in sorted(os.listdir(self.root)):
             full = os.path.join(self.root, entry)
@@ -348,6 +496,30 @@ class TableStore:
                 if not os.path.isdir(table_dir):
                     os.remove(full)
                     removed.append(full)
+        if retain_versions is not None and retain_versions >= 1:
+            for entry in sorted(os.listdir(self.root)):
+                if not entry.endswith(".__log__"):
+                    continue
+                name = entry[: -len(".__log__")].replace("__", ".", 1)
+                history = self.versions(name)
+                kept = history[-retain_versions:]
+                kept_versions = {m["version"] for m in kept}
+                referenced = {
+                    self._load_manifest(name, v)["lineage"]
+                    for v in kept_versions
+                }
+                for m in history:
+                    if m["version"] not in kept_versions:
+                        p = self._manifest_path(name, m["version"])
+                        os.remove(p)
+                        removed.append(p)
+                vdir = self._versions_dir(name)
+                if os.path.isdir(vdir):
+                    for d in sorted(os.listdir(vdir)):
+                        if not d.isdigit() or int(d) not in referenced:
+                            full = os.path.join(vdir, d)
+                            shutil.rmtree(full)
+                            removed.append(full)
         return removed
 
     # ---------------------------------------------------------------- internals
@@ -356,14 +528,35 @@ class TableStore:
         """Write-to-staging-then-swap: Spark cannot overwrite a parquet
         dir it is currently reading, so materialize first.  Returns the
         rows written (observed during the write)."""
+        self._heal(name)
         final = self.path(name)
         tmp = f"{final}.__stage__{uuid.uuid4().hex[:8]}"
         out = self._optimize_write(df) if optimize else df
         rows = self._write_counted(out, tmp, "overwrite")
+        latest = self._latest_manifest(name)
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            if latest is not None:
+                # archive the outgoing lineage for time travel; a
+                # crash after this rename is recovered by manifest
+                # resolution (read_version falls back to the archive)
+                vdir = self._versions_dir(name)
+                os.makedirs(vdir, exist_ok=True)
+                dest = os.path.join(vdir, str(latest["lineage"]))
+                if os.path.exists(dest):
+                    # lineage already archived (crash after promote,
+                    # before commit): the live dir holds uncommitted
+                    # data no manifest references — park it for vacuum
+                    dest = os.path.join(
+                        vdir,
+                        f'{latest["lineage"]}.orphan-{uuid.uuid4().hex[:6]}',
+                    )
+                os.rename(final, dest)
+            else:
+                # pre-manifest table (no history recorded): plain swap
+                shutil.rmtree(final)
         os.rename(tmp, final)
         self._save_count(name, rows)
+        self._commit(name, "replace", rows, new_lineage=True)
         # Spark caches file listings per path; the swap invalidates them
         self.spark.catalog.refreshByPath(final)
         # re-register: the replace may have changed the schema, and the

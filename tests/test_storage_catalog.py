@@ -310,3 +310,85 @@ def test_ngram_jaccard_refuses_large_all_pairs(spark):
         allow_quadratic=True,
     )
     assert out.count() == 12 * 11 // 2
+
+
+# ------------------------------------------------- versioned manifests
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_time_travel_reads_pre_merge_state(spark, tmp_path):
+    """Every mutation commits a manifest; read_version(n) returns the
+    table exactly as of commit n, including across MERGE rewrites."""
+    store = TableStore(spark, str(tmp_path / "wh_tt"))
+    t = "silver.tt_probe"
+    store.overwrite(t, spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["k", "v"]))                      # v1
+    store.upsert(t, spark.createDataFrame(
+        [(2, "B"), (3, "c")], ["k", "v"]), keys=["k"])          # v2
+    store.append(t, spark.createDataFrame([(4, "d")], ["k", "v"]))  # v3
+    hist = store.versions(t)
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    assert [m["op"] for m in hist] == ["replace", "replace", "append"]
+    assert [m["row_count"] for m in hist] == [2, 3, 4]
+    assert _rows(store.read_version(t, 1)) == {(1, "a"), (2, "b")}
+    assert _rows(store.read_version(t, 2)) == {(1, "a"), (2, "B"), (3, "c")}
+    assert _rows(store.read_version(t, 3)) == _rows(store.read(t))
+    assert store.count(t) == 4
+
+
+def test_vacuum_retains_requested_versions(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_vac"))
+    t = "silver.vac_probe"
+    for i in range(4):
+        store.overwrite(t, spark.createDataFrame([(i,)], ["k"]))  # v1..v4
+    removed = store.vacuum(retain_versions=2)
+    assert removed, "old manifests/lineages must be expired"
+    assert [m["version"] for m in store.versions(t)] == [3, 4]
+    # retained versions still readable, expired ones gone
+    assert _rows(store.read_version(t, 3)) == {(2,)}
+    assert _rows(store.read_version(t, 4)) == {(3,)}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read_version(t, 1)
+
+
+def test_crashed_swap_recovers_and_stays_readable(spark, tmp_path, monkeypatch):
+    """Crash between the archive rename and the promote rename: the
+    latest committed version must stay readable (manifest fallback to
+    the archive), and the next mutation must heal the live dir."""
+    import os as _os
+
+    from delta_lake_gcp_implementation_spark.pipeline import storage as S
+
+    store = TableStore(spark, str(tmp_path / "wh_crash"))
+    t = "silver.crash_probe"
+    store.overwrite(t, spark.createDataFrame([(1, "a")], ["k", "v"]))  # v1
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        # the promote rename moves a .__stage__ dir into place
+        if ".__stage__" in src:
+            raise OSError("simulated crash before promote")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(S.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.overwrite(t, spark.createDataFrame([(2, "b")], ["k", "v"]))
+    monkeypatch.setattr(S.os, "rename", real_rename)
+    # committed state survives the crash via archive fallback
+    assert _rows(store.read_version(t, 1)) == {(1, "a")}
+    assert _rows(store.read(t)) == {(1, "a")}   # _heal promoted it back
+    assert store.count(t) == 1
+    # and the store is fully functional afterwards
+    store.overwrite(t, spark.createDataFrame([(3, "c")], ["k", "v"]))  # v2
+    assert _rows(store.read(t)) == {(3, "c")}
+    assert _rows(store.read_version(t, 1)) == {(1, "a")}
+    store.vacuum()  # clears the abandoned stage dir
+    assert not [
+        d for d in _os.listdir(store.root) if ".__stage__" in d
+    ]
