@@ -136,3 +136,62 @@ def test_catalog_verdict_matches_pipeline_accounting(spark):
     assert r1["batch"] + r2["batch"] == n_total
     assert r2["corpus_size"] == n_accepted
     assert r1["accepted"] + r2["accepted"] == n_accepted
+
+
+def test_streaming_ingest_recovers_after_midstream_crash(spark, tmp_path):
+    """Kill the stream after a micro-batch's side effects committed but
+    before its offset did (the worst restart window), restart from the
+    same checkpoint, and require the final corpus + index tables to be
+    row-identical to a clean batch run — the exactly-once-ish claim of
+    ingest_stream under actual failure, not just clean runs."""
+    drops = str(tmp_path / "crash_drops")
+    f1 = [(1, A), (2, B)]
+    f2 = [(11, A), (12, B_NEAR), (13, D)]
+    f3 = [(21, C), (22, D)]
+    for rows in (f1, f2, f3):
+        _df(spark, rows).write.mode("append").parquet(drops)
+
+    store = TableStore(spark, str(tmp_path / "wh_stream_crash"))
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    real_ingest = corpus.ingest_batch
+    calls = {"n": 0}
+
+    def crashing_ingest(st, batch, **kw):
+        calls["n"] += 1
+        out = real_ingest(st, batch, **kw)
+        if calls["n"] == 2:
+            # side effects are fully committed; the offset is not
+            raise RuntimeError("injected crash after commit")
+        return out
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+
+    corpus.ingest_batch = crashing_ingest
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            corpus.ingest_stream(store, make_stream(), ckpt)
+    finally:
+        corpus.ingest_batch = real_ingest
+
+    # restart: the crashed micro-batch is re-delivered and must be
+    # absorbed (its content is already in the corpus), then the stream
+    # finishes the remaining files
+    corpus.ingest_stream(store, make_stream(), ckpt)
+
+    ids = {r.doc_id for r in store.read(corpus.DOCS).select("doc_id").collect()}
+    assert ids == {1, 2, 13, 21}
+
+    # row-identical to a clean batch run over the same file sequence
+    batch_store = TableStore(spark, str(tmp_path / "wh_batch_ref"))
+    for rows in (f1, f2, f3):
+        corpus.ingest_batch(batch_store, _df(spark, rows))
+    for table in (corpus.DOCS, corpus.SIGS, corpus.BANDS):
+        got = sorted(tuple(r) for r in store.read(table).collect())
+        want = sorted(tuple(r) for r in batch_store.read(table).collect())
+        assert got == want, f"{table} diverged after crash-restart"
