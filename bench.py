@@ -75,6 +75,8 @@ HEADLINE = [
     "mix_weights_temperature",
     "fuzzy_name_match",
     "ann_recall_eval",
+    # round-5 additions
+    "corpus_ingest_verdict",
 ]
 
 

@@ -152,12 +152,26 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 16, band_size: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into bands of ``band_size``
     hashes, bucket-join docs sharing any band.  The join is an
     equi-join on (band_idx, band_key) — hash-partitioned, broadcast-free,
     and skew-safe under AQE.  Returns candidate (id_a < id_b) pairs.
+
+    ``max_bucket``: skip buckets holding more than this many docs
+    before the self-join.  The pair list is QUADRATIC in bucket size —
+    a 10x corpus rehearsal measured 99x pair growth (1.27M -> 126M)
+    and an 89x wall-clock blow-up driven by a handful of mega-buckets
+    (boilerplate/common-template clusters).  Those buckets' members
+    are trivially near-dups; enumerating their pairs is wasted work —
+    route them through the linear ``minhash_band_incidence`` +
+    connected-components path instead.  ``None`` keeps the exact
+    uncapped semantics (the oracle-replicated baseline).
     """
     n_bands = n_hashes // band_size
     bands = F.array(
@@ -178,6 +192,17 @@ def minhash_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+    if max_bucket is not None:
+        # one extra agg + semi-join on the SAME key the self-join
+        # shuffles on (co-partitioned, no new exchange pattern); the
+        # window-function alternative would sort inside every bucket
+        small = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        banded = banded.join(small, ["band_idx", "band_key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -576,6 +601,7 @@ def simhash_hamming_pairs(
     bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, found at scale via
     band-bucketing: split the signature into ``n_bands`` contiguous bit
@@ -600,6 +626,15 @@ def simhash_hamming_pairs(
     banded = signatures.select(
         F.col(id_col), F.col("simhash"), F.explode(bands).alias("band")
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        # same quadratic-bucket guard as minhash_candidate_pairs
+        small = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        banded = banded.join(small, ["band_idx", "band_val"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

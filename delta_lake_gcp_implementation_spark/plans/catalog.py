@@ -67,6 +67,10 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
     "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
+    # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
+    "minhash_lsh_pairs_capped": QuerySpec(
+        X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED
+    ),
     # incremental corpus dedup pipeline: real two-batch ingest into a
     # throwaway store; oracle replays every drop decision in SQL
     "corpus_ingest_verdict": QuerySpec(

@@ -256,6 +256,53 @@ FROM bands a JOIN bands b
 )
 
 
+_LSH_MAX_BUCKET = 64
+
+
+def q_minhash_lsh_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-shape LSH candidate pairs: buckets above
+    ``_LSH_MAX_BUCKET`` docs are skipped before the self-join.
+
+    The uncapped pair list is quadratic in bucket size — a 10x corpus
+    rehearsal measured 99x pair growth / 89x wall-clock on
+    :func:`q_minhash_lsh_pairs`, all of it inside a few mega-buckets
+    (boilerplate clusters).  Capping bounds the fan-out to
+    ``max_bucket^2 / 2`` per bucket, i.e. linear in bucket COUNT; the
+    dropped mega-buckets are exactly the trivially-duplicative content
+    the linear incidence + connected-components path
+    (``q_dup_clusters``) already handles without pair expansion."""
+    sig = q_minhash_signatures(spark, sf).localCheckpoint()
+    return dedup_ops.minhash_candidate_pairs(
+        sig,
+        "doc_id",
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+
+
+ORACLE_MINHASH_LSH_PAIRS_CAPPED = (
+    "WITH "
+    + _SQL_SHINGLES
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + f""",
+small AS (
+    SELECT band_idx, band_key FROM bands
+    GROUP BY band_idx, band_key
+    HAVING count(*) <= {_LSH_MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN small s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster resolution: MinHash+LSH candidate pairs ->
     connected components -> (doc_id, cluster_id, is_canonical), the

@@ -212,3 +212,34 @@ def test_percentile_cont_grouped_matches_numpy(spark):
     assert abs(out["a"].p90 - float(np.percentile(vals, 90))) < 1e-9
     # n=10, p=0.9 -> h=8.1: genuine two-point interpolation case
     assert abs(out["b"].p90 - 8.1) < 1e-12
+
+
+def test_minhash_pairs_bucket_cap(spark):
+    """max_bucket drops mega-bucket pair expansion but keeps ordinary
+    near-dup pairs — the quadratic-bucket guard from the 10x scale
+    rehearsal."""
+    from delta_lake_gcp_implementation_spark.operators import dedup as D
+
+    boiler = "common boilerplate template text repeated everywhere verbatim"
+    uniq = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge")
+    rows = [(i, boiler) for i in range(100)]
+    rows += [(1000, uniq), (1001, uniq + " x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = D.char_shingles(df, "text", "doc_id", k=5)
+    sig = D.minhash_signatures(sh, "doc_id", n_hashes=8).localCheckpoint()
+    uncapped = D.minhash_candidate_pairs(sig, "doc_id", 8, 2)
+    capped = D.minhash_candidate_pairs(sig, "doc_id", 8, 2, max_bucket=50)
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert cp <= un
+    assert (1000, 1001) in cp           # ordinary near-dup survives
+    assert (0, 1) in un and (0, 1) not in cp  # mega-bucket dropped
+    # the boilerplate clique must still be recoverable via the linear
+    # incidence + connected-components path
+    inc = D.minhash_band_incidence(sig, "doc_id", n_hashes=8, band_size=2)
+    comp = D.connected_components_groups(
+        inc, df.select("doc_id"), "doc_id"
+    )
+    labels = {r.id: r.component for r in comp.collect()}
+    assert len({labels[i] for i in range(100)}) == 1

@@ -1,0 +1,106 @@
+"""Generate a 10x-scale rehearsal dataset (sf1-shaped documents +
+embeddings) by bootstrap-resampling the sf0.1 tables' empirical
+distributions — token frequencies, token-count-per-doc, lang/source
+mixes, exact-dup rate, embedding coordinate distribution — so the
+dedup/ANN bench workload keeps its statistical shape at 10x rows.
+
+Usage: python tools/gen_scale_docs.py [out_dir] [scale]
+Default out_dir=/tmp/sfscale1, scale=10 (50k docs, 20k vectors).
+
+The driver's /root/testdata is read-only; rehearsal data is scratch
+(regenerate on demand, deterministic under seed 42).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale1"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    rng = np.random.default_rng(42)
+    con = duckdb.connect()
+
+    toks = con.execute(
+        f"""SELECT tok, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+            FROM read_parquet('{SRC}/documents.parquet')) GROUP BY tok"""
+    ).fetchall()
+    vocab = np.array([t for t, _ in toks])
+    freq = np.array([n for _, n in toks], dtype=float)
+    freq /= freq.sum()
+    lens = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"""SELECT len(regexp_split_to_array(trim(text), ' +'))
+                    FROM read_parquet('{SRC}/documents.parquet')"""
+            ).fetchall()
+        ]
+    )
+    meta = con.execute(
+        f"SELECT lang, source FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchall()
+    langs = np.array([m[0] for m in meta])
+    sources = np.array([m[1] for m in meta])
+    n_src = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    n_dups_src = n_src - con.execute(
+        f"""SELECT count(DISTINCT md5(text))
+            FROM read_parquet('{SRC}/documents.parquet')"""
+    ).fetchone()[0]
+
+    n = n_src * scale
+    texts = []
+    for i in range(n):
+        k = int(rng.choice(lens))
+        texts.append(" ".join(rng.choice(vocab, size=k, p=freq)))
+    # exact-dup rate scaled from the source table (8/5000 at sf0.1)
+    for _ in range(n_dups_src * scale):
+        a, b = rng.integers(0, n, size=2)
+        texts[int(a)] = texts[int(b)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(rng.choice(langs, size=n), pa.string()),
+            "source": pa.array(rng.choice(sources, size=n), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, f"{out}/documents.parquet")
+
+    n_vec = (
+        con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/embeddings.parquet')"
+        ).fetchone()[0]
+        * scale
+    )
+    emb = rng.normal(0.0, 0.12, size=(n_vec, 64)).astype(np.float32)
+    etbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vec), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            "label": pa.array(
+                rng.integers(0, 8, size=n_vec), pa.int32()
+            ),
+        }
+    )
+    pq.write_table(etbl, f"{out}/embeddings.parquet")
+    print(f"wrote {out}: {n} docs, {n_vec} vectors")
+
+
+if __name__ == "__main__":
+    main()
