@@ -34,9 +34,13 @@ too: c is transitively a near-dup of corpus content).
 
 Scale shape: every join is an equi-join on a hash/bucket/id column;
 the corpus never re-shingles; index tables grow linearly with the
-ACCEPTED corpus.  MinHash constants are the module constants of
-``plans.textops`` so an offline rebuild of the index matches the
-incremental one bit-for-bit.
+ACCEPTED corpus.  Only MH_N / MH_K / MH_BAND shape the PERSISTED
+index, and those must equal ``plans.textops``'s module constants so
+an offline rebuild of the index matches the incremental one
+bit-for-bit.  MIN_AGREE and JACCARD_THRESHOLD, by contrast, are
+per-run filter knobs applied at candidate-verify time — they
+intentionally differ from textops' looser test-scale settings and may
+be tuned without invalidating any stored table.
 """
 
 from __future__ import annotations

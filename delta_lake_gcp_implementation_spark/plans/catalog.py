@@ -78,6 +78,21 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # sketches: verdict query (exact companions + in-bounds booleans)
     "sketch_stats": QuerySpec(R.q_sketch_stats, R.ORACLE_SKETCH_STATS),
+    # approx-quantile sketch: verdict query (exact percentiles + bounds)
+    "approx_quantile_verdict": QuerySpec(
+        R.q_approx_quantile_verdict, R.ORACLE_APPROX_QUANTILE_VERDICT
+    ),
+    # corpus quality / fingerprint extensions (round 5)
+    "winnowing_fingerprints": QuerySpec(
+        X.q_winnowing_fingerprints, X.ORACLE_WINNOWING_FINGERPRINTS
+    ),
+    "dup_ngram_fraction": QuerySpec(
+        X.q_dup_ngram_fraction, X.ORACLE_DUP_NGRAM_FRACTION
+    ),
+    "unigram_surprisal": QuerySpec(
+        X.q_unigram_surprisal, X.ORACLE_UNIGRAM_SURPRISAL
+    ),
+    "ann_sq8_topk": QuerySpec(X.q_ann_sq8_topk, X.ORACLE_ANN_SQ8_TOPK),
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
     "bigram_pmi_topk": QuerySpec(X.q_bigram_pmi_topk, X.ORACLE_BIGRAM_PMI_TOPK),

@@ -2110,3 +2110,87 @@ GROUP BY 1
 ORDER BY occurrences DESC, path
 LIMIT {_PATH_K}
 """
+
+
+# ------------------------------------------------- approximate-quantile sketch verdict (round 5)
+
+_AQ_ACCURACY = 10000  # approx_percentile sketch accuracy (1/accuracy relative rank error)
+_AQ_RTOL = 0.01  # verdict bound: |approx - exact| <= 1% of exact
+
+
+def q_approx_quantile_verdict(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-quantile sketch (Greenwald-Khanna via Spark's
+    ``percentile_approx``) checked against the exact grouped
+    PERCENTILE_CONT — the quantile member of the estimator family
+    ``q_sketch_stats`` started for COUNT(DISTINCT).  Verdict-query
+    shape (same pattern as sketch_stats / ann_ivf_trained): the exact
+    percentiles are fully oracle-checked columns, the sketch arm folds
+    into ``ok_p50`` / ``ok_p90`` booleans asserting the estimate lands
+    within 1% relative error — the GK sketch at accuracy 10k is ~100x
+    inside that bound, so the boolean only trips on structural
+    breakage (wrong column, wrong group, broken sketch merge).
+
+    Scale shape: the sketch is the 100 TB path — single-pass, mergeable
+    per-partition state, no window shuffle; the exact arm (one window
+    + hash agg via ``percentile_cont_grouped``) is the test-scale
+    referee.  At production scale only the sketch runs.
+    """
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "_tb", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    exact = agg_ops.percentile_cont_grouped(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        "_tb",
+        {"p50_price": 0.5, "p90_price": 0.9},
+        count_alias="n_rows",
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, _AQ_ACCURACY).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.9, _AQ_ACCURACY).alias("ap90"),
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "p50_price",
+            "p90_price",
+            (
+                F.abs(F.col("ap50") - F.col("p50_price"))
+                <= F.lit(_AQ_RTOL) * F.col("p50_price")
+            ).alias("ok_p50"),
+            (
+                F.abs(F.col("ap90") - F.col("p90_price"))
+                <= F.lit(_AQ_RTOL) * F.col("p90_price")
+            ).alias("ok_p90"),
+        )
+    )
+
+
+ORACLE_APPROX_QUANTILE_VERDICT = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice,
+                                     l_orderkey * 10 + l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem),
+picked AS (
+  SELECT l_returnflag,
+         CAST(max(n) AS BIGINT) AS n_rows,
+         max(CASE WHEN rn = floor((n - 1) * CAST(0.5 AS DOUBLE)) + 1 THEN v END) AS lo50,
+         max(CASE WHEN rn = ceil((n - 1) * CAST(0.5 AS DOUBLE)) + 1 THEN v END) AS hi50,
+         max(CASE WHEN rn = floor((n - 1) * CAST(0.9 AS DOUBLE)) + 1 THEN v END) AS lo90,
+         max(CASE WHEN rn = ceil((n - 1) * CAST(0.9 AS DOUBLE)) + 1 THEN v END) AS hi90
+  FROM ranked GROUP BY l_returnflag)
+SELECT l_returnflag, n_rows,
+       lo50 + (hi50 - lo50) * ((n_rows - 1) * CAST(0.5 AS DOUBLE)
+                               - floor((n_rows - 1) * CAST(0.5 AS DOUBLE))) AS p50_price,
+       lo90 + (hi90 - lo90) * ((n_rows - 1) * CAST(0.9 AS DOUBLE)
+                               - floor((n_rows - 1) * CAST(0.9 AS DOUBLE))) AS p90_price,
+       TRUE AS ok_p50,
+       TRUE AS ok_p90
+FROM picked
+"""

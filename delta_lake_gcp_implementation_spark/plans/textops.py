@@ -1509,3 +1509,343 @@ FROM ex
 LEFT JOIN ap ON ap.query_id = ex.query_id
 LEFT JOIN hit ON hit.query_id = ex.query_id
 """
+
+
+# ------------------------------------------------- corpus quality / fingerprint extensions (round 5)
+
+_WIN_K = 8  # char-gram width (matches rolling_min_fingerprint)
+_WIN_W = 4  # winnowing window: grams per window
+_POS_BITS = 20  # position budget inside the packed (hash, pos) sort key
+_POS_MASK = (1 << _POS_BITS) - 1
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every char 8-gram, slide a 4-gram window
+    over the hash sequence, select each window's minimum hash
+    (ties -> rightmost position), emit the distinct selected
+    ``(fingerprint, position)`` set per document.  Guarantees a match
+    for any shared substring of length >= k + w - 1 = 11 chars while
+    storing ~2/(w+1) of the grams — the shift-resistant dedup index
+    :func:`q_doc_fingerprint`'s single global min cannot provide.
+
+    Scale shape: explode is linear in corpus chars; the only shuffle is
+    the per-doc window (partitioned by doc_id — matches the later
+    dedup-index groupBy).  The (hash, rightmost-pos) argmin is packed
+    into ONE bigint — ``hash40 * 2^20 + (2^20-1-pos)`` — so a plain
+    ``min`` window aggregate implements the 2-key ordering identically in
+    Spark and DuckDB (struct-min window frames don't exist in SQL).
+    Positions are capped at 2^20-1 chars/doc at test scale; production
+    docs beyond 1 MiB would widen the hash to fewer bits or chunk first.
+    """
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents")
+    grams = scale_out(d).select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("text") - (_WIN_K - 1), F.lit(1)),
+            )
+        ).alias("pos"),
+        "text",
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("text").substr(F.col("pos"), F.lit(_WIN_K))), 1, 10),
+                16,
+                10,
+            ).cast("bigint")
+            * (1 << _POS_BITS)
+            + (F.lit(_POS_MASK) - F.col("pos"))
+        ).alias("packed"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    sel = hashed.select(
+        "doc_id", F.min("packed").over(w).alias("s")
+    )
+    return sel.select(
+        "doc_id",
+        F.expr(f"s div {1 << _POS_BITS}").alias("fingerprint"),
+        (F.lit(_POS_MASK) - F.col("s") % (1 << _POS_BITS)).cast("bigint").alias("fp_pos"),
+    ).distinct()
+
+
+ORACLE_WINNOWING_FINGERPRINTS = f"""
+WITH g AS (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           ('0x' || substr(md5(substr(text, CAST(i AS INT), {_WIN_K})), 1, 10))::BIGINT
+               AS h40
+    FROM documents,
+         unnest(range(1, greatest(len(text) - {_WIN_K - 1}, 1) + 1)) AS t(i)
+),
+p AS (
+    SELECT doc_id, pos,
+           h40 * {1 << _POS_BITS} + ({_POS_MASK} - pos) AS packed
+    FROM g
+),
+sel AS (
+    SELECT doc_id,
+           min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS s
+    FROM p
+)
+SELECT DISTINCT doc_id,
+       CAST(s // {1 << _POS_BITS} AS BIGINT) AS fingerprint,
+       CAST({_POS_MASK} - (s % {1 << _POS_BITS}) AS BIGINT) AS fp_pos
+FROM sel
+"""
+
+
+_DNG_N = 3  # word n-gram width for the duplicate-fraction metric
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-n-gram fraction (the Gopher / RefinedWeb repetition-
+    across-documents quality signal): for each document, the fraction
+    of its DISTINCT word 3-grams that also occur in at least one other
+    document.  High values flag boilerplate and templated spam that
+    exact and MinHash dedup both miss (the documents differ, their
+    phrasing doesn't).
+
+    Scale shape: per-doc distinct grams are hashed to 60-bit ints
+    before the corpus-wide shuffle (fixed-width keys, not strings);
+    one groupBy counts gram document-frequency, one hash equi-join
+    carries it back, one per-doc agg folds the fraction.  Everything
+    is linear in total grams; no pair expansion anywhere.
+    """
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+    base = scale_out(d).select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= _DNG_N
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_DNG_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    gh = grams.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("gh"),
+    )
+    gdocs = gh.groupBy("gh").agg(F.count(F.lit(1)).alias("gdocs"))
+    return (
+        gh.join(gdocs, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("gdocs") > 1).cast("int")).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+ORACLE_DUP_NGRAM_FRACTION = f"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+b AS (SELECT doc_id, t FROM d WHERE len(t) >= {_DNG_N}),
+g AS (
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(t[i:i + {_DNG_N - 1}], ' ')
+                                 FOR i IN range(1, len(t) - {_DNG_N - 2})])) AS gram
+    FROM b
+),
+gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM g),
+c AS (SELECT gh, count(*) AS gdocs FROM gh GROUP BY gh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c.gdocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(sum(CASE WHEN c.gdocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM gh JOIN c USING (gh)
+GROUP BY doc_id
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model surprisal — the KenLM-style perplexity
+    quality filter reduced to exact integer arithmetic.  Token
+    surprisal is approximated as ``bits(corpus_total) - bits(count)``
+    (integer floor-log2 via binary-string length — bit-identical in
+    both engines, per the no-cross-engine-log() rule tfidf_topk and
+    bm25_topk already follow); a document's score is its mean token
+    surprisal.  Low-surprisal docs are stuffed with corpus-common
+    tokens (spam/templates); high-surprisal docs are heavy in rare
+    tokens (noise/garble) — both ends are what an LM-perplexity filter
+    trims.
+
+    Scale shape: one token explode feeds one (token) hash agg for the
+    vocabulary, a 1-row corpus total broadcast, a vocab join back
+    (broadcast here; hash equi-join at real vocab scale), and one
+    per-doc agg.  Linear in tokens, no windows.
+    """
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    tok = scale_out(d).select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+        ).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(total))
+        .withColumn(
+            "surprisal",
+            F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("surprisal").cast("bigint").alias("sum_surprisal"),
+        (
+            F.sum("surprisal").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_surprisal"),
+    )
+
+
+ORACLE_UNIGRAM_SURPRISAL = """
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT sum(cnt) AS total FROM vocab),
+scored AS (
+    SELECT tok.doc_id,
+           len(bin(tot.total)) - len(bin(vocab.cnt)) AS surprisal
+    FROM tok JOIN vocab USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(surprisal) AS BIGINT) AS sum_surprisal,
+       CAST(sum(surprisal) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_surprisal
+FROM scored
+GROUP BY doc_id
+"""
+
+
+_SQ8_K = 5  # neighbors per query
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force top-k over SCALAR-QUANTIZED (int8-style) embeddings —
+    the memory-side of the ANN trade-off space (IVF/LSH cut candidates;
+    SQ cuts bytes per vector 4x, and integer dot products replace float
+    ops).  The FAISS-SQ8 recipe for cosine: L2-normalize, quantize each
+    coordinate symmetrically — ``round((u + m) / (2m) * 254) - 127``
+    with corpus-wide ``m = max |u_i|`` — so the decoded vector is
+    exactly ``delta * code`` and the INTEGER code dot product is
+    proportional to the decoded cosine (an asymmetric-bias code dot,
+    by contrast, is dominated by the per-vector code sum and ranks
+    garbage).  Integer scoring means no ULP question anywhere — the
+    oracle replays the whole pipeline, quantization included (IEEE
+    sub/div/mul are exactly rounded, and round() ties-away == HALF_UP
+    for the non-negative arguments here).
+
+    Scale shape: the 1-row [m] frame broadcasts; queries broadcast
+    against the corpus scan (same as cosine_topk); per-query window
+    top-k.  At cluster scale the int codes column is what ships
+    through the exchange — a quarter of the float payload.
+    """
+    e = load_table(spark, sf, "embeddings")
+    v = e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    u = v.select(
+        "vec_id",
+        F.transform("v", lambda x: x / sim.norm(F.col("v"))).alias("u"),
+    )
+    stats = u.agg(
+        F.max(F.array_max(F.transform("u", lambda x: F.abs(x)))).alias("m")
+    )
+    coded = u.join(F.broadcast(stats)).select(
+        "vec_id",
+        F.transform(
+            "u",
+            lambda x: F.round((x + F.col("m")) / (F.lit(2.0) * F.col("m")) * 254, 0).cast(
+                "bigint"
+            )
+            - 127,
+        ).alias("q"),
+    )
+    qs = coded.filter(F.col("vec_id") < _Q_CUT).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    pairs = coded.join(F.broadcast(qs)).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("q", "qv", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= _SQ8_K)
+
+
+ORACLE_ANN_SQ8_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+    SELECT vec_id,
+           [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS u
+    FROM e
+),
+s AS (SELECT max(list_max([abs(x) FOR x IN u])) AS m FROM n),
+c AS (
+    SELECT vec_id,
+           [CAST(round((x + s.m) / (2.0 * s.m) * 254) AS BIGINT) - 127 FOR x IN u] AS q
+    FROM n, s
+),
+qs AS (SELECT vec_id AS query_id, q AS qv FROM c WHERE vec_id < {_Q_CUT}),
+pairs AS (
+    SELECT qs.query_id, c.vec_id AS neighbor_id,
+           CAST(list_dot_product(qs.qv, c.q) AS BIGINT) AS qdot
+    FROM c, qs WHERE qs.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, qdot,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= {_SQ8_K}
+"""

@@ -453,3 +453,101 @@ def test_tfidf_topk_ranks_and_monotonicity(spark, sf_dir):
         .count()
         / r0.df
     )
+
+
+# ------------------------------------------------- round-5 corpus quality / fingerprints
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Write crafted rows as a documents table the catalog queries can load."""
+    spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text").cast("bigint")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_winnowing_guarantee_shared_substring(spark, tmp_path):
+    # winnowing guarantee: docs sharing a substring of length >= k+w-1
+    # (= 11 here) share at least one selected fingerprint
+    common = "zqxjkvbwpmy ensures overlap"
+    rows = [
+        (1, "aaaa " + common + " tail one"),
+        (2, "completely different prefix " + common),
+        (3, "no shared content whatsoever here"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    fp = X.q_winnowing_fingerprints(spark, sf)
+    by_doc = {
+        d: {r.fingerprint for r in rows_}
+        for d, rows_ in (
+            (d, list(g))
+            for d, g in __import__("itertools").groupby(
+                sorted(fp.collect(), key=lambda r: r.doc_id), key=lambda r: r.doc_id
+            )
+        )
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) or len(by_doc[1] & by_doc[3]) < len(
+        by_doc[1] & by_doc[2]
+    )
+
+
+def test_winnowing_density_and_positions(spark, sf_dir):
+    # selected positions per doc: gaps between consecutive selections
+    # never exceed the window width (every window has a selection)
+    fp = X.q_winnowing_fingerprints(spark, sf_dir)
+    rows = fp.orderBy("doc_id", "fp_pos").collect()
+    from itertools import groupby
+
+    for doc_id, g in groupby(rows, key=lambda r: r.doc_id):
+        pos = [r.fp_pos for r in g]
+        assert all(p >= 1 for p in pos)
+        gaps = [b - a for a, b in zip(pos, pos[1:])]
+        assert all(gap <= X._WIN_W for gap in gaps), (doc_id, gaps)
+
+
+def test_dup_ngram_fraction_crafted(spark, tmp_path):
+    rows = [
+        (1, "the quick brown fox jumps"),     # shares 'the quick brown' family with 2
+        (2, "the quick brown fox sleeps"),
+        (3, "totally unique words only here"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in X.q_dup_ngram_fraction(spark, sf).collect()}
+    # docs 1 and 2 share 3-grams 'the quick brown' and 'quick brown fox'
+    assert out[1].n_grams == 3 and out[1].n_dup_grams == 2
+    assert abs(out[1].dup_frac - 2 / 3) < 1e-12
+    assert out[2].n_dup_grams == 2
+    assert out[3].n_dup_grams == 0 and out[3].dup_frac == 0.0
+
+
+def test_unigram_surprisal_manual(spark, tmp_path):
+    rows = [(1, "a a b"), (2, "a c")]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in X.q_unigram_surprisal(spark, sf).collect()}
+    # counts: a=3, b=1, c=1, total=5 -> bits: a: len(bin(5))-len(bin(3))=3-2=1,
+    # b,c: 3-1=2
+    assert out[1].n_tokens == 3 and out[1].sum_surprisal == 1 + 1 + 2
+    assert out[2].n_tokens == 2 and out[2].sum_surprisal == 1 + 2
+    assert abs(out[2].avg_surprisal - 1.5) < 1e-12
+
+
+def test_ann_sq8_topk_codes_and_recall(spark, sf_dir):
+    out = X.q_ann_sq8_topk(spark, sf_dir)
+    rows = out.collect()
+    n_queries = len({r.query_id for r in rows})
+    assert all(1 <= r.rank <= X._SQ8_K for r in rows)
+    assert len(rows) == n_queries * X._SQ8_K
+    # integer dot of 64 uint8 codes is bounded by 64 * 255^2
+    assert all(0 <= r.qdot <= 64 * 255 * 255 for r in rows)
+    # 8-bit quantization preserves neighborhoods on these vectors:
+    # top-5 overlap with the exact cosine arm should be substantial
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = sim.brute_force_topk(
+        e, e.filter(F.col("vec_id") < X._Q_CUT), "vec_id", "embedding", k=X._SQ8_K
+    )
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(ex & ap) / len(ex) >= 0.5
