@@ -77,6 +77,12 @@ HEADLINE = [
     "ann_recall_eval",
     # round-5 additions
     "corpus_ingest_verdict",
+    "winnowing_fingerprints",
+    "dup_ngram_fraction",
+    "unigram_surprisal",
+    "ann_sq8_topk",
+    "ann_pq_recall",
+    "approx_quantile_verdict",
 ]
 
 

@@ -93,6 +93,9 @@ _SPECS: dict[str, QuerySpec] = {
         X.q_unigram_surprisal, X.ORACLE_UNIGRAM_SURPRISAL
     ),
     "ann_sq8_topk": QuerySpec(X.q_ann_sq8_topk, X.ORACLE_ANN_SQ8_TOPK),
+    # PQ ANN: verdict query (exact companions + recall floor; trained
+    # codebook arm not SQL-replayable, same contract as ann_ivf_trained)
+    "ann_pq_recall": QuerySpec(X.q_ann_pq_recall, X.ORACLE_ANN_PQ_RECALL),
     "dim_date": QuerySpec(R.q_dim_date, R.ORACLE_DIM_DATE),
     "scd2_delta": QuerySpec(R.q_scd2_delta, R.ORACLE_SCD2_DELTA),
     "bigram_pmi_topk": QuerySpec(X.q_bigram_pmi_topk, X.ORACLE_BIGRAM_PMI_TOPK),

@@ -551,3 +551,65 @@ def test_ann_sq8_topk_codes_and_recall(spark, sf_dir):
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(ex & ap) / len(ex) >= 0.5
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = sim.pq_fit(e, "vec_id", "embedding", dim=64, m_sub=8, k=4, iters=1)
+    rows = books.collect()
+    assert {(r.sub_id, r.cent_id) for r in rows} == {
+        (s, c) for s in range(8) for c in range(4)
+    }
+    assert all(len(r.cv) == 8 for r in rows)
+    codes = sim.pq_encode(e, "vec_id", "embedding", rows, m_sub=8, d_sub=8)
+    crows = codes.collect()
+    assert all(len(r.codes) == 8 for r in crows)
+    assert all(0 <= c <= 3 for r in crows for c in r.codes)
+
+
+def test_pq_encode_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = sim.pq_fit(e, "vec_id", "embedding", dim=64, m_sub=8, k=4, iters=1)
+    rows = books.collect()
+    cb = np.zeros((8, 4, 8))
+    for r in rows:
+        cb[r.sub_id, r.cent_id] = r.cv
+    codes = {
+        r._id: list(r.codes)
+        for r in sim.pq_encode(e, "vec_id", "embedding", rows, m_sub=8, d_sub=8).collect()
+    }
+    for r in e.limit(20).collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        want = [
+            int(np.argmin(((cb[s] - v[s * 8:(s + 1) * 8]) ** 2).sum(axis=1)))
+            for s in range(8)
+        ]
+        assert codes[r.vec_id] == want, r.vec_id
+
+
+def test_pq_adc_vs_reconstructed_dot(spark, sf_dir):
+    import numpy as np
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 2)
+    books = sim.pq_fit(e, "vec_id", "embedding", dim=64, m_sub=8, k=4, iters=1)
+    rows = books.collect()
+    cb = np.zeros((8, 4, 8))
+    for r in rows:
+        cb[r.sub_id, r.cent_id] = r.cv
+    codes_df = sim.pq_encode(e, "vec_id", "embedding", rows, m_sub=8, d_sub=8)
+    out = sim.pq_adc_topk(codes_df, q, "vec_id", "embedding", rows, k=3).collect()
+    codes = {r._id: list(r.codes) for r in codes_df.collect()}
+    qv = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in q.collect()}
+    for r in out:
+        recon = np.concatenate([cb[s, codes[r.neighbor_id][s]] for s in range(8)])
+        assert abs(r.adc_ip - float(qv[r.query_id] @ recon)) < 1e-9
+
+
+def test_pq_rerank_recall_beats_floor(spark, sf_dir):
+    out = X.q_ann_pq_recall(spark, sf_dir).collect()
+    assert len(out) == 1
+    assert out[0].recall_ok, "PQ shortlist+rerank recall under structural floor"
+    assert out[0].n_exact_pairs == out[0].n_queries * X._RECALL_K
