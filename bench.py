@@ -78,6 +78,7 @@ HEADLINE = [
     # round-5 additions
     "corpus_ingest_verdict",
     "winnowing_fingerprints",
+    "winnowing_containment",
     "dup_ngram_fraction",
     "unigram_surprisal",
     "ann_sq8_topk",

@@ -86,6 +86,9 @@ _SPECS: dict[str, QuerySpec] = {
     "winnowing_fingerprints": QuerySpec(
         X.q_winnowing_fingerprints, X.ORACLE_WINNOWING_FINGERPRINTS
     ),
+    "winnowing_containment": QuerySpec(
+        X.q_winnowing_containment, X.ORACLE_WINNOWING_CONTAINMENT
+    ),
     "dup_ngram_fraction": QuerySpec(
         X.q_dup_ngram_fraction, X.ORACLE_DUP_NGRAM_FRACTION
     ),

@@ -1951,3 +1951,105 @@ SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
        TRUE AS recall_ok
 FROM exact_top
 """
+
+
+_CONT_CAP = 32  # skip fingerprints shared by more docs (boilerplate grams)
+_CONT_MIN = 0.5  # containment threshold: |fp(A) ∩ fp(B)| / |fp(A)|
+
+
+def q_winnowing_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection over the winnowing index: doc A is
+    (partially) CONTAINED in doc B when >= 50% of A's selected
+    fingerprints also occur in B.  This is the case symmetric-Jaccard
+    dedup (minhash / ngram_jaccard) structurally misses — a short doc
+    quoted whole inside a longer one has low Jaccard but containment
+    ~1.0.  Output is directional: (doc_a, doc_b) and (doc_b, doc_a)
+    score independently.
+
+    Scale shape: the fingerprint self-join is an equi-join on the
+    fingerprint value, fan-out bounded by dropping fingerprints shared
+    by more than 32 docs BEFORE the join (boilerplate grams — the same
+    hot-bucket cap as minhash_lsh_pairs_capped; docs made entirely of
+    boilerplate are the symmetric family's job); the per-pair count and
+    the per-doc fingerprint count are hash aggregations.  Everything is
+    linear in (capped) index size — no pair expansion beyond the cap.
+    """
+    fp = (
+        q_winnowing_fingerprints(spark, sf)
+        .select("doc_id", "fingerprint")
+        .distinct()
+        # consumed by three subtrees below (eligibility agg, both join
+        # sides, per-doc totals) — materialize once, same rule as the
+        # minhash signature table
+        .localCheckpoint()
+    )
+    eligible = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") <= _CONT_CAP)
+        .select("fingerprint")
+    )
+    slim = fp.join(eligible, "fingerprint")
+    matches = (
+        slim.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+        .join(
+            slim.select(F.col("doc_id").alias("doc_b"), "fingerprint"),
+            "fingerprint",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    n_fp = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp_a")
+    )
+    return (
+        matches.join(n_fp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("n_fp_a").cast("double"),
+        )
+        .filter(F.col("containment") >= _CONT_MIN)
+        .select("doc_a", "doc_b", "n_common", "n_fp_a", "containment")
+    )
+
+
+ORACLE_WINNOWING_CONTAINMENT = f"""
+WITH g AS (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           ('0x' || substr(md5(substr(text, CAST(i AS INT), {_WIN_K})), 1, 10))::BIGINT
+               AS h40
+    FROM documents,
+         unnest(range(1, greatest(len(text) - {_WIN_K - 1}, 1) + 1)) AS t(i)
+),
+p AS (
+    SELECT doc_id, pos,
+           h40 * {1 << _POS_BITS} + ({_POS_MASK} - pos) AS packed
+    FROM g
+),
+sel AS (
+    SELECT doc_id,
+           min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS s
+    FROM p
+),
+fp AS (SELECT DISTINCT doc_id, s // {1 << _POS_BITS} AS fingerprint FROM sel),
+eligible AS (
+    SELECT fingerprint FROM fp GROUP BY fingerprint
+    HAVING count(*) <= {_CONT_CAP}
+),
+slim AS (SELECT fp.* FROM fp JOIN eligible USING (fingerprint)),
+matches AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM slim a JOIN slim b
+      ON a.fingerprint = b.fingerprint AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+n_fp AS (SELECT doc_id AS doc_a, count(*) AS n_fp_a FROM fp GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_fp_a AS BIGINT) AS n_fp_a,
+       CAST(n_common AS DOUBLE) / CAST(n_fp_a AS DOUBLE) AS containment
+FROM matches JOIN n_fp USING (doc_a)
+WHERE CAST(n_common AS DOUBLE) / CAST(n_fp_a AS DOUBLE) >= {_CONT_MIN}
+"""

@@ -613,3 +613,20 @@ def test_pq_rerank_recall_beats_floor(spark, sf_dir):
     assert len(out) == 1
     assert out[0].recall_ok, "PQ shortlist+rerank recall under structural floor"
     assert out[0].n_exact_pairs == out[0].n_queries * X._RECALL_K
+
+
+def test_winnowing_containment_detects_subset(spark, tmp_path):
+    # doc 2 is doc 1's text embedded whole inside a longer doc:
+    # containment(1 -> 2) should be ~1.0 while Jaccard would be low
+    core = "winnowing containment target phrase with enough chars"
+    rows = [
+        (1, core),
+        (2, "long prefix padding words here " + core + " and a long suffix continues for a while longer"),
+        (3, "entirely unrelated content nothing shared at all"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {(r.doc_a, r.doc_b): r for r in X.q_winnowing_containment(spark, sf).collect()}
+    assert (1, 2) in out and out[(1, 2)].containment >= 0.9
+    assert (3, 1) not in out and (3, 2) not in out
+    # direction matters: 2 is NOT contained in 1 (2 is much longer)
+    assert (2, 1) not in out or out[(2, 1)].containment < out[(1, 2)].containment
