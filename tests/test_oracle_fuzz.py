@@ -289,3 +289,74 @@ def test_percentile_matches_duckdb_mirror_and_numpy(spark, values, p):
     ).fetchone()
     assert repr(got.pv) == repr(want[0]), f"ULP divergence at p={p}"
     assert abs(got.pv - float(np.percentile([float(v) for v in values], p * 100))) < 1e-9
+
+
+# ---------------------------------------------------------------- round-5 doc-query fuzz
+
+_DOC_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\x0b\x0c.-,"
+)
+
+
+def _fuzz_docs_compare(spark, texts, query_names):
+    """Run catalog doc queries via Spark AND their DuckDB oracle on the
+    same tiny parquet corpus; compare order-insensitively."""
+    import tempfile
+
+    from delta_lake_gcp_implementation_spark.plans import CATALOG
+
+    tmp = tempfile.mkdtemp(prefix="fuzzdocs_")
+    rows = [(i, t) for i, t in enumerate(texts)]
+    (
+        spark.createDataFrame(rows, ["doc_id", "text"])
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("t"))
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    for name in query_names:
+        spec = CATALOG[name]
+        got = spec.builder(spark, tmp).toPandas()
+        want = con.execute(spec.oracle_sql).df()
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        assert list(got.columns) == list(want.columns), name
+        gl = sorted(map(repr, got.itertuples(index=False, name=None)))
+        wl = sorted(map(repr, want.itertuples(index=False, name=None)))
+        assert gl == wl, f"{name} diverged on {texts!r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_DOC_ALPHABET, min_size=0, max_size=40),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_round5_doc_queries_match_duckdb_fuzz(spark, texts):
+    """Cross-engine parity for the round-5 document operators on
+    adversarial corpora: vertical tab / form feed whitespace, empty and
+    sub-k-gram docs, and a guaranteed duplicated document (texts[0]
+    appended twice) to force shared n-grams and containment hits."""
+    texts = list(texts) + [texts[0]]
+    _fuzz_docs_compare(
+        spark,
+        texts,
+        [
+            "winnowing_fingerprints",
+            "winnowing_containment",
+            "dup_ngram_fraction",
+            "unigram_surprisal",
+        ],
+    )
