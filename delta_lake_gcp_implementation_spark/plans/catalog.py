@@ -71,6 +71,10 @@ _SPECS: dict[str, QuerySpec] = {
     "minhash_lsh_pairs_capped": QuerySpec(
         X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED
     ),
+    # capped-candidate exact-Jaccard verify: the corpus-scale form
+    "ngram_jaccard_capped": QuerySpec(
+        X.q_ngram_jaccard_capped, X.ORACLE_NGRAM_JACCARD_CAPPED
+    ),
     # incremental corpus dedup pipeline: real two-batch ingest into a
     # throwaway store; oracle replays every drop decision in SQL
     "corpus_ingest_verdict": QuerySpec(

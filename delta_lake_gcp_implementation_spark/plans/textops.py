@@ -1648,7 +1648,10 @@ def q_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
     gh = grams.select(
         "doc_id",
         F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("gh"),
-    )
+    # feeds the document-frequency agg AND the join probe — materialize
+    # once so tokenize/explode/md5 doesn't run twice (the fixed-width
+    # (doc_id, gh) table is far smaller than the text it derives from)
+    ).localCheckpoint()
     gdocs = gh.groupBy("gh").agg(F.count(F.lit(1)).alias("gdocs"))
     return (
         gh.join(gdocs, "gh")
@@ -2053,3 +2056,68 @@ SELECT doc_a, doc_b,
 FROM matches JOIN n_fp USING (doc_a)
 WHERE CAST(n_common AS DOUBLE) / CAST(n_fp_a AS DOUBLE) >= {_CONT_MIN}
 """
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-scale form of :func:`q_ngram_jaccard`: identical
+    three-stage pipeline (LSH recall -> signature-agreement precision
+    -> exact hashed-shingle Jaccard) but fed from the CAPPED candidate
+    generator (`minhash_candidate_pairs(max_bucket=64)`), so the exact
+    verify's cost is bounded by bucket count, not bucket size — the
+    10x rehearsal measured the uncapped variant at 36x for 10x data
+    (inherited mega-bucket pair expansion) while capped generation
+    stays ~linear.  Mega-bucket content is near-identical by
+    construction and is resolved by the incidence-CC path
+    (``q_dup_clusters``) without any pair expansion."""
+    d = load_table(spark, sf, "documents")
+    sig = q_minhash_signatures(spark, sf).localCheckpoint()
+    cands = dedup_ops.minhash_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    filtered = dedup_ops.minhash_agreement_filter(
+        cands, sig, "doc_id", n_hashes=_MH_N, min_agree=_MH_MIN_AGREE
+    )
+    return dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_MH_K, threshold=0.5, candidates=filtered
+    )
+
+
+ORACLE_NGRAM_JACCARD_CAPPED = (
+    "WITH "
+    + _SQL_SHINGLES
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + f""",
+small AS (
+    SELECT band_idx, band_key FROM bands
+    GROUP BY band_idx, band_key
+    HAVING count(*) <= {_LSH_MAX_BUCKET}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN small s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+"""
+    + _sql_agree()
+    + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN filtered c ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+"""
+)

@@ -630,3 +630,16 @@ def test_winnowing_containment_detects_subset(spark, tmp_path):
     assert (3, 1) not in out and (3, 2) not in out
     # direction matters: 2 is NOT contained in 1 (2 is much longer)
     assert (2, 1) not in out or out[(2, 1)].containment < out[(1, 2)].containment
+
+
+def test_ngram_jaccard_capped_subset_of_uncapped(spark, sf_dir):
+    full = {
+        (r.id_a, r.id_b): r.jaccard for r in X.q_ngram_jaccard(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in X.q_ngram_jaccard_capped(spark, sf_dir).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k]
