@@ -304,10 +304,51 @@ class TableStore:
 
     # ---------------------------------------------------------------- sinks
 
-    def append(self, name: str, df: DataFrame) -> int:
-        """S5 INSERT INTO; returns the number of rows appended."""
+    def append(
+        self, name: str, df: DataFrame, allow_schema_evolution: bool = False
+    ) -> int:
+        """S5 INSERT INTO; returns the number of rows appended.
+
+        Schema handling (Delta ``mergeSchema`` parity): a batch whose
+        columns differ from the table is REFUSED unless
+        ``allow_schema_evolution=True`` — raw parquet happily appends
+        mismatched files and then silently drops the new columns at
+        read time, which is exactly the corruption Delta's check
+        exists to prevent.  With evolution on: a batch MISSING table
+        columns is aligned with typed nulls and appended normally
+        (O(batch)); a batch carrying NEW columns rewrites the table
+        once under the widened schema (Delta would only commit new
+        footers — without ``_delta_log`` a uniform-schema directory is
+        what keeps every later read exact)."""
         self._heal(name)
         existed = self.exists(name)
+        if existed:
+            target_schema = self.read(name).schema
+            tcols = {f.name for f in target_schema.fields}
+            dcols = set(df.columns)
+            if tcols != dcols:
+                if not allow_schema_evolution:
+                    raise ValueError(
+                        f"append to {name}: batch schema {sorted(dcols)} != "
+                        f"table schema {sorted(tcols)}; pass "
+                        "allow_schema_evolution=True to merge schemas"
+                    )
+                if dcols - tcols:
+                    # new columns: one-time rewrite under the union schema
+                    before = self.count(name)
+                    widened = self.read(name).unionByName(
+                        df, allowMissingColumns=True
+                    )
+                    after = self._replace(name, widened)
+                    return after - before
+                # batch only MISSING columns: align with typed nulls,
+                # stay on the cheap append path
+                for f in target_schema.fields:
+                    if f.name not in dcols:
+                        df = df.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                df = df.select(*[f.name for f in target_schema.fields])
         before = self.count(name) if existed else 0
         rows = self._write_counted(
             self._optimize_write(df), self.path(name), "append"
@@ -356,6 +397,7 @@ class TableStore:
         source: DataFrame,
         keys: list[str],
         require_unique_source: bool = False,
+        allow_schema_evolution: bool = False,
     ) -> int:
         """S7/S8 MERGE upsert on ``keys``.  Source keys MUST be unique
         (guaranteed by W1/W2 dedup upstream, as in the reference).
@@ -367,7 +409,15 @@ class TableStore:
         multi-match error: if two source rows share a key, raise
         instead of silently writing both (costs one extra aggregation
         over the source — off in the hot path, where dedup is already
-        proven upstream)."""
+        proven upstream).
+
+        ``allow_schema_evolution=True`` reproduces Delta MERGE with
+        ``spark.databricks.delta.schema.autoMerge``: source columns
+        missing from the target are added (existing rows read NULL),
+        target columns missing from the source survive (upserted rows
+        read NULL).  Off by default — a mismatched schema then raises,
+        as Delta does.  The MERGE rewrite already materializes the
+        whole table, so evolution costs nothing extra here."""
         if require_unique_source:
             dup = (
                 source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
@@ -384,6 +434,19 @@ class TableStore:
             self._register(name)
             return rows
         target = self.read(name)
+        if set(target.columns) != set(source.columns):
+            if not allow_schema_evolution:
+                raise ValueError(
+                    f"MERGE into {name}: source schema "
+                    f"{sorted(source.columns)} != target schema "
+                    f"{sorted(target.columns)}; pass "
+                    "allow_schema_evolution=True to merge schemas"
+                )
+            missing_keys = [k for k in keys if k not in source.columns]
+            if missing_keys:
+                raise ValueError(
+                    f"MERGE into {name}: source lacks key columns {missing_keys}"
+                )
         # target rows not matched by any source key, plus all source
         # rows.  The key set is broadcast only while Catalyst estimates
         # it under budget — a forced broadcast of a 9M-key batch is the
@@ -391,7 +454,10 @@ class TableStore:
         # a shuffled anti join.
         kept = target.join(maybe_broadcast(source.select(*keys).distinct()),
                            keys, "left_anti")
-        return self._replace(name, kept.unionByName(source))
+        return self._replace(
+            name,
+            kept.unionByName(source, allowMissingColumns=allow_schema_evolution),
+        )
 
     def delete_matched(self, name: str, ids: DataFrame, keys: list[str]) -> int:
         """S9 MERGE-DELETE: drop target rows whose key appears in ids.

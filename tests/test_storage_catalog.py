@@ -392,3 +392,67 @@ def test_crashed_swap_recovers_and_stays_readable(spark, tmp_path, monkeypatch):
     assert not [
         d for d in _os.listdir(store.root) if ".__stage__" in d
     ]
+
+
+# --------------------------------------------------------------- schema evolution (round 5)
+
+
+def test_append_refuses_schema_drift_by_default(spark, store):
+    store.append("db.t_evo", spark.createDataFrame([(1, "a")], ["id", "v"]))
+    drifted = spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"])
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        store.append("db.t_evo", drifted)
+    # table untouched by the refused write
+    assert store.count("db.t_evo") == 1
+
+
+def test_append_evolution_new_column_rewrites_widened(spark, store):
+    store.append("db.t_evo2", spark.createDataFrame([(1, "a")], ["id", "v"]))
+    n = store.append(
+        "db.t_evo2",
+        spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]),
+        allow_schema_evolution=True,
+    )
+    assert n == 1
+    rows = {r.id: r for r in store.read("db.t_evo2").collect()}
+    assert set(store.read("db.t_evo2").columns) == {"id", "v", "score"}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_append_evolution_missing_column_stays_append(spark, store):
+    store.append(
+        "db.t_evo3", spark.createDataFrame([(1, "a", 1.0)], ["id", "v", "score"])
+    )
+    files_before = set(__import__("os").listdir(store.path("db.t_evo3")))
+    n = store.append(
+        "db.t_evo3",
+        spark.createDataFrame([(2, "b")], ["id", "v"]),
+        allow_schema_evolution=True,
+    )
+    assert n == 1
+    # cheap path: prior files still present (appended, not rewritten)
+    files_after = set(__import__("os").listdir(store.path("db.t_evo3")))
+    assert files_before <= files_after
+    rows = {r.id: r for r in store.read("db.t_evo3").collect()}
+    assert rows[2].score is None and rows[1].score == 1.0
+
+
+def test_upsert_schema_evolution_both_directions(spark, store):
+    store.append("db.t_evo4", spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    src = spark.createDataFrame([(2, 7.5), (3, 8.5)], ["id", "score"])
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        store.upsert("db.t_evo4", src, ["id"])
+    after = store.upsert("db.t_evo4", src, ["id"], allow_schema_evolution=True)
+    assert after == 3
+    rows = {r.id: r for r in store.read("db.t_evo4").collect()}
+    # surviving row keeps v, gains NULL score; upserted rows lose v
+    assert rows[1].v == "a" and rows[1].score is None
+    assert rows[2].v is None and rows[2].score == 7.5
+    assert rows[3].score == 8.5
+
+
+def test_upsert_evolution_requires_keys_in_source(spark, store):
+    store.append("db.t_evo5", spark.createDataFrame([(1, "a")], ["id", "v"]))
+    src = spark.createDataFrame([("x",)], ["other"])
+    with pytest.raises(ValueError, match="key columns"):
+        store.upsert("db.t_evo5", src, ["id"], allow_schema_evolution=True)
