@@ -85,6 +85,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "ann_pq_recall",
     "approx_quantile_verdict",
+    "cluster_balanced_sample",
 ]
 
 

@@ -67,6 +67,10 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     "chunk_dedup": QuerySpec(C.q_chunk_dedup, C.ORACLE_CHUNK_DEDUP),
     "shuffle_shard": QuerySpec(C.q_shuffle_shard, C.ORACLE_SHUFFLE_SHARD),
+    # embedding-space counterpart of stratified sampling (round 5)
+    "cluster_balanced_sample": QuerySpec(
+        C.q_cluster_balanced_sample, C.ORACLE_CLUSTER_BALANCED_SAMPLE
+    ),
     # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
     "minhash_lsh_pairs_capped": QuerySpec(
         X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED

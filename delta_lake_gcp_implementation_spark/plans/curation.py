@@ -606,3 +606,91 @@ SELECT lang, source, n_docs, doc_share, temp_weight,
        CAST(wq AS DOUBLE) / CAST(wq_tot AS DOUBLE) AS norm_weight
 FROM w CROSS JOIN denom
 """
+
+
+# ------------------------------------------------- cluster-balanced sampling (round 5)
+
+_CBS_K = 16  # cells (centroids = first K corpus vectors, seeded)
+_CBS_PER_CELL = 8  # sample quota per cell
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity-aware corpus sampling: assign every embedding to its
+    nearest seeded centroid (same deterministic literal-codebook argmax
+    as ``textops.q_ann_ivf_topk``, so the whole pipeline replays in
+    SQL), then take a fixed per-cell quota in md5-order — a reproducible
+    pseudo-random pick, the same device as ``q_stratified_sample``.
+    This is the embedding-space counterpart of stratified sampling:
+    quotas are balanced across CONTENT clusters rather than metadata
+    strata, the standard counter to majority-topic domination when
+    subsampling a web corpus.
+
+    Scale shape: cell assignment is a map-only argmax over a K-row
+    literal (zero shuffle, no n*K blowup); the only shuffle is the
+    per-cell window — partitioned on K cells, each of which holds
+    corpus/K rows under the seeded quantizer.  At production scale the
+    seeded codebook swaps for a trained one (``sim.kmeans_fit``)
+    without changing the plan; seeding keeps the oracle exact here.
+    """
+    from ..functions import similarity as sim
+
+    e = load_table(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id", "label", sim.as_double(F.col("embedding")).alias("v")
+    )
+    cent_rows = sorted(
+        v.filter(F.col("vec_id") < _CBS_K).collect(), key=lambda r: r.vec_id
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+            )
+            for r in cent_rows
+        ]
+    )
+    scored_arr = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (-sim.dot(F.col("v"), c["cv"])).alias("neg_ip"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    assigned = v.select(
+        "vec_id", "label", F.array_min(scored_arr)["cid"].alias("cell")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick") <= _CBS_PER_CELL)
+        .select("cell", "pick", "vec_id", "label")
+    )
+
+
+ORACLE_CLUSTER_BALANCED_SAMPLE = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {_CBS_K}),
+scored AS (
+    SELECT e.vec_id, e.label, c.cent_id, list_dot_product(e.v, c.cv) AS ip
+    FROM e, cents c
+),
+assigned AS (
+    SELECT vec_id, label, cent_id AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ip DESC, cent_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+)
+SELECT cell,
+       CAST(row_number() OVER (PARTITION BY cell
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            AS BIGINT) AS pick,
+       vec_id, label
+FROM assigned
+QUALIFY pick <= {_CBS_PER_CELL}
+"""

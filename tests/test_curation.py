@@ -212,3 +212,24 @@ def test_shuffle_shard_reproducible_and_partitioned(spark, sf_dir):
     assert len(by_shard) == plans_cur.N_SHARDS
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_cluster_balanced_sample_quota_and_coverage(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import curation as C
+
+    out = C.q_cluster_balanced_sample(spark, sf_dir).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    # per-cell quota respected, picks dense from 1
+    for cell, rows in by_cell.items():
+        assert len(rows) <= C._CBS_PER_CELL
+        assert sorted(r.pick for r in rows) == list(range(1, len(rows) + 1))
+    # vec_ids unique across the sample (each vector lives in one cell)
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids))
+    # the sample spans many cells, not one dominant cluster
+    assert len(by_cell) >= C._CBS_K // 2
+    # reproducible: second run identical
+    again = C.q_cluster_balanced_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
