@@ -643,3 +643,37 @@ def test_ngram_jaccard_capped_subset_of_uncapped(spark, sf_dir):
     assert set(capped) <= set(full)
     for k, v in capped.items():
         assert v == full[k]
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Scale-critical plan assertions for the round-5 operators: no
+    cartesian products anywhere; winnowing's only shuffles are the
+    scale_out rebalance and the per-doc window; containment joins on
+    the fingerprint value (hash-partitionable), never nested-loop."""
+    p = (
+        X.q_winnowing_fingerprints(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("Exchange") <= 3  # scale_out + window partition (+AQE reuse)
+
+    p = (
+        X.q_winnowing_containment(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    p = (
+        X.q_dup_ngram_fraction(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    # the SQ8/brute-force pair scoring intentionally uses a broadcast
+    # nested loop (queries << corpus); the corpus side must NOT shuffle
+    p = (
+        X.q_ann_sq8_topk(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # tiny query side, by design
