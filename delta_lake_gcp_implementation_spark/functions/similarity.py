@@ -287,14 +287,21 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus scan, rank per query.  One shuffle (the per-query window);
-    the similarity compute itself is map-side."""
+    the similarity compute itself is map-side.
+
+    The corpus side is spread to cluster parallelism first: this plan
+    has NO shuffle before the window, so a one-file scan would pin the
+    O(corpus x queries) scoring to a single core (measured 17 s vs 2 s
+    at a 200k-vector rehearsal)."""
+    from ..tables import scale_out
+
     # norms precomputed per side (not per pair): same bit-exact value —
     # sqrt of the same dot product — at 1/|other side| of the cost
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
+    c = scale_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("cn", norm(F.col("cv")))

@@ -1784,12 +1784,22 @@ def q_ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     against the corpus scan (same as cosine_topk); per-query window
     top-k.  At cluster scale the int codes column is what ships
     through the exchange — a quarter of the float payload.
+    ``scale_out`` before the per-row quantize work (the one-file 100x
+    rehearsal scan pinned it to a single core: 192 s vs ~20 s spread);
+    the norm is computed once per row, outside the transform lambda
+    (inside it, the aggregate re-evaluates per element — 64x); the
+    coded table materializes once (it otherwise re-evaluates for the
+    [m] stats agg, the broadcast query side, and the probe side).
     """
+    from ..tables import scale_out
+
     e = load_table(spark, sf, "embeddings")
-    v = e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
-    u = v.select(
+    v = scale_out(e).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
+    u = v.withColumn("_n", sim.norm(F.col("v"))).select(
         "vec_id",
-        F.transform("v", lambda x: x / sim.norm(F.col("v"))).alias("u"),
+        F.transform("v", lambda x: x / F.col("_n")).alias("u"),
     )
     stats = u.agg(
         F.max(F.array_max(F.transform("u", lambda x: F.abs(x)))).alias("m")
@@ -1803,7 +1813,7 @@ def q_ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
             )
             - 127,
         ).alias("q"),
-    )
+    ).localCheckpoint()
     qs = coded.filter(F.col("vec_id") < _Q_CUT).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
     )
