@@ -79,6 +79,11 @@ _SPECS: dict[str, QuerySpec] = {
     "ngram_jaccard_capped": QuerySpec(
         X.q_ngram_jaccard_capped, X.ORACLE_NGRAM_JACCARD_CAPPED
     ),
+    # capped simhash near-dups: the corpus-scale form (100x: uncapped
+    # hung on mega-bucket stragglers, capped runs in seconds)
+    "simhash_near_dups_capped": QuerySpec(
+        X.q_simhash_near_dups_capped, X.ORACLE_SIMHASH_NEAR_DUPS_CAPPED
+    ),
     # incremental corpus dedup pipeline: real two-batch ingest into a
     # throwaway store; oracle replays every drop decision in SQL
     "corpus_ingest_verdict": QuerySpec(

@@ -573,6 +573,43 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXHAM}
 )
 
 
+def q_simhash_near_dups_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-shape SimHash near-dups: band buckets above
+    ``_LSH_MAX_BUCKET`` docs are skipped before the self-join — the
+    same hot-bucket guard as ``q_minhash_lsh_pairs_capped``.  The 100x
+    rehearsal (500k docs) confirmed the need: the uncapped variant hung
+    on two mega-bucket straggler tasks (>900 s, killed) while the cap
+    runs in 12 s; mega-bucket members are near-identical boilerplate
+    already resolved by the linear incidence-CC path."""
+    sig = q_simhash_signatures(spark, sf).localCheckpoint()
+    return dedup_ops.simhash_hamming_pairs(
+        sig, "doc_id", bits=_SH_BITS, n_bands=_SH_BANDS,
+        max_hamming=_SH_MAXHAM, max_bucket=_LSH_MAX_BUCKET,
+    )
+
+
+ORACLE_SIMHASH_NEAR_DUPS_CAPPED = (
+    "WITH "
+    + _sql_simhash_sig()
+    + ",\n"
+    + _sql_simhash_bands()
+    + f""",
+small AS (
+    SELECT band_idx, band_val FROM banded
+    GROUP BY band_idx, band_val
+    HAVING count(*) <= {_LSH_MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a
+JOIN small s ON a.band_idx = s.band_idx AND a.band_val = s.band_val
+JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXHAM}
+"""
+)
+
+
 # ---------------------------------------------------------------- similarity search
 
 _ANN_PLANES = 8

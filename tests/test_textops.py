@@ -677,3 +677,14 @@ def test_round5_plan_shapes(spark, sf_dir):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # tiny query side, by design
+
+
+def test_simhash_capped_subset_of_uncapped(spark, sf_dir):
+    full = {
+        (r.id_a, r.id_b) for r in X.q_simhash_near_dups(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in X.q_simhash_near_dups_capped(spark, sf_dir).collect()
+    }
+    assert capped <= full
