@@ -115,7 +115,9 @@ def kmeans_fit(
     ULPs, hence no SQL oracle — correctness is proven by numpy-parity
     and monotone-WCSS tests instead.
     """
-    v = vectors.select(
+    from ..tables import scale_out
+
+    v = scale_out(vectors).select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
     )
     w_init = Window.orderBy("_id")  # k rows only — single partition is fine
@@ -230,8 +232,10 @@ def ivf_topk(
     id that hash-partitions over the cluster — no cross join at any
     size.  Recall is tuned by nprobe; cost scales ~ nprobe/k of
     brute force."""
+    from ..tables import scale_out
+
     c = (
-        corpus.select(
+        scale_out(corpus).select(
             F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
         )
         .transform(lambda d: _assign_cells(d, centroids))
@@ -337,6 +341,8 @@ def lsh_topk(
     bucket.  The bucket equi-join hash-partitions (no cross join), so
     the plan scales to a billion-vector corpus; recall is tuned by
     n_planes (fewer planes = bigger buckets = higher recall/cost)."""
+    from ..tables import scale_out
+
     planes = hyperplanes(n_planes, dim)
     q = (
         queries.select(
@@ -346,8 +352,10 @@ def lsh_topk(
         .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
         .withColumn("qn", norm(F.col("qv")))
     )
+    # the query side broadcasts, so nothing downstream re-partitions
+    # the corpus: spread the scan before the per-row bucket/score work
     c = (
-        corpus.select(
+        scale_out(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
         )
@@ -405,7 +413,9 @@ def pq_fit(
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     d_sub = dim // m_sub
-    v = vectors.select(
+    from ..tables import scale_out
+
+    v = scale_out(vectors).select(
         F.col(id_col).alias("_pid"), as_double(F.col(vec_col)).alias("_pv")
     ).localCheckpoint()
     w_init = Window.orderBy("_pid")  # k rows only — single partition is fine

@@ -721,8 +721,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     to the oracle's join, so the IP values match exactly."""
     from pyspark.sql import Window
 
+    from ..tables import scale_out
+
     e = load_table(spark, sf, "embeddings")
-    v = e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    # the query side broadcasts, so the scan's partitioning carries all
+    # per-row assignment + scoring work: spread a one-file scan first
+    v = scale_out(e).select(
+        "vec_id", sim.as_double(F.col("embedding")).alias("v")
+    )
     cent_rows = sorted(
         v.filter(F.col("vec_id") < _IVF_K).collect(), key=lambda r: r.vec_id
     )
@@ -878,11 +884,17 @@ _NEAR_DUP_COS = 0.35  # cosine threshold (driver embeddings are near-random;
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup detection: LSH bucket the whole corpus
     (8 hyperplanes), compare only within-bucket pairs, keep high-cosine pairs.  The semantic-dedup stage of a training-data pipeline: the
-    bucket equi-join replaces the quadratic all-pairs compare."""
+    bucket equi-join replaces the quadratic all-pairs compare.  The
+    scan is spread to cluster parallelism before the per-row bucket
+    hashing (8 plane dots/row would otherwise run on a one-file scan's
+    single partition); the pair join itself shuffles on bucket."""
+    from ..tables import scale_out
+
     e = load_table(spark, sf, "embeddings")
     planes = sim.hyperplanes(_ANN_PLANES, _ANN_DIM)
     c = (
-        e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+        scale_out(e)
+        .select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
         .withColumn("bucket", sim.lsh_bucket(F.col("v"), planes))
         .withColumn("nrm", sim.norm(F.col("v")))
     )
