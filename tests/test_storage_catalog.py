@@ -456,3 +456,19 @@ def test_upsert_evolution_requires_keys_in_source(spark, store):
     src = spark.createDataFrame([("x",)], ["other"])
     with pytest.raises(ValueError, match="key columns"):
         store.upsert("db.t_evo5", src, ["id"], allow_schema_evolution=True)
+
+
+def test_read_version_preserves_pre_evolution_schema(spark, store):
+    store.append("db.t_evo6", spark.createDataFrame([(1, "a")], ["id", "v"]))
+    store.upsert(
+        "db.t_evo6",
+        spark.createDataFrame([(2, 9.5)], ["id", "score"]),
+        ["id"],
+        allow_schema_evolution=True,
+    )
+    # live table has the widened schema
+    assert set(store.read("db.t_evo6").columns) == {"id", "v", "score"}
+    # time travel to v1 reads the ORIGINAL schema and rows
+    v1 = store.read_version("db.t_evo6", 1)
+    assert set(v1.columns) == {"id", "v"}
+    assert [(r.id, r.v) for r in v1.collect()] == [(1, "a")]
