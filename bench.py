@@ -87,6 +87,8 @@ HEADLINE = [
     "ann_pq_recall",
     "approx_quantile_verdict",
     "cluster_balanced_sample",
+    "ols_trend",
+    "dq_expectations",
 ]
 
 

@@ -95,6 +95,10 @@ _SPECS: dict[str, QuerySpec] = {
     "approx_quantile_verdict": QuerySpec(
         R.q_approx_quantile_verdict, R.ORACLE_APPROX_QUANTILE_VERDICT
     ),
+    # regression aggregates in exact integer-cents closed form
+    "ols_trend": QuerySpec(R.q_ols_trend, R.ORACLE_OLS_TREND),
+    # dbt-style data-quality expectation suite
+    "dq_expectations": QuerySpec(R.q_dq_expectations, R.ORACLE_DQ_EXPECTATIONS),
     # corpus quality / fingerprint extensions (round 5)
     "winnowing_fingerprints": QuerySpec(
         X.q_winnowing_fingerprints, X.ORACLE_WINNOWING_FINGERPRINTS

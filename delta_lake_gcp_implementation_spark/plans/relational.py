@@ -2194,3 +2194,211 @@ SELECT l_returnflag, n_rows,
        TRUE AS ok_p90
 FROM picked
 """
+
+
+# ------------------------------------------------- exact grouped OLS regression (round 5)
+
+_OLS_ANCHOR = "2024-01-01"  # x = days since anchor (small, exact ints)
+
+
+def q_ols_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (value vs event day) in
+    closed form — the regression/corr aggregate family (REGR_SLOPE /
+    REGR_INTERCEPT / R2) built from plain sums, the way a distributed
+    engine should: ONE hash aggregation over exact integers, no second
+    pass, no collect.
+
+    Cross-engine determinism (rule (1)/(3) of the module header taken
+    further): y is 2dp-exact so it sums as INTEGER CENTS, x is integer
+    days since a fixed anchor — n, Σx, Σy, Σxy, Σx², Σy² are all exact
+    BIGINTs; slope/intercept/r² then evaluate in IDENTICAL double
+    expression trees on identical operands in both engines.  Overflow
+    headroom: n·Σy² stays under 2^63 through ~1e5 rows/group at these
+    value magnitudes; at corpus scale widen the sums to DECIMAL(38,0)
+    (same plan, same tree).
+    """
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(_OLS_ANCHOR).cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("yc"),
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("syc"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("syc")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("syc") * F.col("syc")).cast("double")
+    slope = F.when(den_x != 0.0, num / den_x / F.lit(100.0))
+    intercept = F.when(
+        den_x != 0.0,
+        F.col("syc").cast("double") / (F.lit(100.0) * F.col("n").cast("double"))
+        - (num / den_x / F.lit(100.0))
+        * (F.col("sx").cast("double") / F.col("n").cast("double")),
+    )
+    r2 = F.when(
+        (den_x != 0.0) & (den_y != 0.0), num * num / (den_x * den_y)
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+ORACLE_OLS_TREND = f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '{_OLS_ANCHOR}',
+                          CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS BIGINT) AS x,
+           CAST(round(value * 100) AS BIGINT) AS yc
+    FROM events
+),
+sums AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(yc) AS syc,
+           sum(x * yc) AS sxy, sum(x * x) AS sxx, sum(yc * yc) AS syy
+    FROM ev GROUP BY event_type
+)
+SELECT event_type,
+       n AS n_events,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+            CAST(n * sxy - sx * syc AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END AS slope_per_day,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 THEN
+            CAST(syc AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))
+            - (CAST(n * sxy - sx * syc AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) END AS intercept,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+             AND CAST(n * syy - syc * syc AS DOUBLE) <> 0.0 THEN
+            CAST(n * sxy - sx * syc AS DOUBLE) * CAST(n * sxy - sx * syc AS DOUBLE)
+              / (CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - syc * syc AS DOUBLE)) END AS r2
+FROM sums
+"""
+
+
+# ------------------------------------------------- data-quality expectation suite (round 5)
+
+_DQ_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """dbt-test-style data-quality expectation suite over the star
+    schema, ONE row per expectation: primary-key uniqueness,
+    referential integrity, accepted-values, not-null, and range checks
+    — the pre-publish gate every warehouse load runs (the reference's
+    tier-1 validation generalized to declarative expectations).
+
+    Scale shape: each expectation is one aggregation or one anti-join
+    count; the suite unions 1-row frames (driver-side cheap, no data
+    movement between checks).  Violations counted, not materialized —
+    the quarantine path (`validation_quarantine`) is the row-level
+    twin.
+    """
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+
+    def row(name: str, checked, violations):
+        return (
+            checked.crossJoin(violations)
+            .select(
+                F.lit(name).alias("expectation"),
+                F.col("checked").cast("bigint").alias("checked"),
+                F.col("violations").cast("bigint").alias("violations"),
+                (F.col("violations") == 0).alias("passed"),
+            )
+        )
+
+    pk = row(
+        "orders_pk_unique",
+        o.agg(F.count(F.lit(1)).alias("checked")),
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("violations")),
+    )
+    fk = row(
+        "lineitem_fk_orders",
+        li.agg(F.count(F.lit(1)).alias("checked")),
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations")),
+    )
+    seg = row(
+        "customer_segment_accepted",
+        c.agg(F.count(F.lit(1)).alias("checked")),
+        c.filter(~F.col("c_mktsegment").isin(*_DQ_SEGMENTS)).agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+    )
+    nn = row(
+        "orders_status_not_null",
+        o.agg(F.count(F.lit(1)).alias("checked")),
+        o.filter(F.col("o_orderstatus").isNull()).agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+    )
+    rng = row(
+        "lineitem_quantity_range",
+        li.agg(F.count(F.lit(1)).alias("checked")),
+        li.filter(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    out = pk
+    for nxt in (fk, seg, nn, rng):
+        out = out.unionByName(nxt)
+    return out
+
+
+_DQ_SEG_IN = ", ".join(f"'{s}'" for s in _DQ_SEGMENTS)
+
+ORACLE_DQ_EXPECTATIONS = f"""
+SELECT 'orders_pk_unique' AS expectation,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS checked,
+       CAST(COALESCE((SELECT sum(n) FROM (
+            SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) AS BIGINT)
+           AS violations,
+       COALESCE((SELECT sum(n) FROM (
+            SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)), 0) = 0
+           AS passed
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'customer_segment_accepted',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer
+             WHERE c_mktsegment NOT IN ({_DQ_SEG_IN})) AS BIGINT),
+       (SELECT count(*) FROM customer WHERE c_mktsegment NOT IN ({_DQ_SEG_IN})) = 0
+UNION ALL
+SELECT 'orders_status_not_null',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NULL) AS BIGINT),
+       (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL) = 0
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0
+"""

@@ -167,3 +167,49 @@ def test_order_histogram_partitions_all_orders(spark):
     assert sum(r.n_orders for r in rows) == n_orders
     assert abs(sum(r.order_share for r in rows) - 1.0) < 1e-9
     assert all(r.bucket_lo == r.bucket * 50_000 for r in rows)
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    out = {r.event_type: r for r in R.q_ols_trend(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["x"] = (ev["ts"].dt.normalize() - __import__("pandas").Timestamp("2024-01-01")).dt.days
+    for et, g in ev.groupby("event_type"):
+        got = out[et]
+        assert got.n_events == len(g)
+        if g["x"].nunique() < 2:
+            continue
+        slope, intercept = np.polyfit(g["x"].to_numpy(float), g["value"].to_numpy(float), 1)
+        assert abs(got.slope_per_day - slope) < 1e-6 * max(1, abs(slope)), et
+        assert abs(got.intercept - intercept) < 1e-6 * max(1, abs(intercept)), et
+        r = np.corrcoef(g["x"].to_numpy(float), g["value"].to_numpy(float))[0, 1]
+        assert abs(got.r2 - r * r) < 1e-9, et
+
+
+def test_dq_expectations_flag_crafted_violations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    spark.createDataFrame(
+        [(1, "O", "1-URGENT", "2024-01-01"), (1, "F", "2-HIGH", "2024-01-02"),
+         (2, None, "3-MEDIUM", "2024-01-03")],
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 1, 5.0), (99, 1, 10.0), (2, 1, 99.0)],
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "MACHINERY"), (2, "SPACESHIPS")], ["c_custkey", "c_mktsegment"]
+    ).coalesce(1).write.parquet(f"{tmp_path}/customer.parquet")
+    out = {r.expectation: r for r in R.q_dq_expectations(spark, str(tmp_path)).collect()}
+    assert out["orders_pk_unique"].violations == 2 and not out["orders_pk_unique"].passed
+    assert out["lineitem_fk_orders"].violations == 1
+    assert out["customer_segment_accepted"].violations == 1
+    assert out["orders_status_not_null"].violations == 1
+    assert out["lineitem_quantity_range"].violations == 1
+    assert all(r.checked > 0 for r in out.values())
