@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_latest_version",
     "best_record",
     "tumbling_window",
+    "sliding_window",
     "session_window",
     "point_in_time",
     "summary_stats",

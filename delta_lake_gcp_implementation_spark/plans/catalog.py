@@ -182,6 +182,7 @@ _SPECS: dict[str, QuerySpec] = {
     "table_profile": QuerySpec(R.q_table_profile, R.ORACLE_TABLE_PROFILE),
     # time windows / json
     "tumbling_window": QuerySpec(R.q_tumbling_window, R.ORACLE_TUMBLING_WINDOW),
+    "sliding_window": QuerySpec(R.q_sliding_window, R.ORACLE_SLIDING_WINDOW),
     "session_window": QuerySpec(R.q_session_window, R.ORACLE_SESSION_WINDOW),
     "json_extract": QuerySpec(R.q_json_extract, R.ORACLE_JSON_EXTRACT),
     # hierarchy / top-k / percentile / as-of extensions

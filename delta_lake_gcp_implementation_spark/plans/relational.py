@@ -2402,3 +2402,48 @@ SELECT 'lineitem_quantity_range',
        (SELECT count(*) FROM lineitem
         WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0
 """
+
+
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) event-time window — 1-hour width, 30-minute
+    slide, so every event lands in exactly two windows.  Completes the
+    window family next to tumbling (`q_tumbling_window`) and session
+    (`q_session_window`); the Structured Streaming twin is the same
+    expression with a watermark.  Value sums go through exact integer
+    cents (module header rule (1)); the oracle replays Spark's
+    epoch-aligned window grid with integer epoch arithmetic."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("_c").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_SLIDING_WINDOW = EV + """
+, grid AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS yc,
+           make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s0
+    FROM ev
+),
+hops AS (
+    SELECT event_type, yc, s0 AS window_start FROM grid
+    UNION ALL
+    SELECT event_type, yc, s0 - INTERVAL 30 MINUTE FROM grid
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(yc) AS DOUBLE) / 100.0 AS sum_value
+FROM hops
+GROUP BY window_start, event_type
+"""

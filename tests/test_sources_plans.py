@@ -213,3 +213,15 @@ def test_dq_expectations_flag_crafted_violations(spark, tmp_path):
     assert out["orders_status_not_null"].violations == 1
     assert out["lineitem_quantity_range"].violations == 1
     assert all(r.checked > 0 for r in out.values())
+
+
+def test_sliding_window_covers_each_event_twice(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+    from delta_lake_gcp_implementation_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = R.q_sliding_window(spark, sf_dir)
+    total_assigned = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    # width 1h / slide 30min: every event lands in exactly two windows
+    assert total_assigned == 2 * n_events
