@@ -106,3 +106,53 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def refresh_agg_incremental(
+    store: TableStore,
+    agg_name: str,
+    delta_df,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> int:
+    """Incremental materialized-aggregate maintenance (the Delta Live
+    Tables / Materialize pattern): fold an APPEND-ONLY delta batch into
+    a stored SUM/COUNT rollup without rescanning the base table.
+
+    Plan: aggregate ONLY the delta (one hash agg over the batch), join
+    the touched keys against the stored rollup (size-gated broadcast of
+    the delta-key set inside ``upsert``), and write back additive sums.
+    Cost is O(delta + touched keys), not O(base) — at a 100 TB fact
+    table the full-recompute alternative is the difference between
+    seconds and hours.  Equivalence with full recompute is
+    property-tested (``test_refresh_agg_incremental_*``).
+
+    Additive folding is exact for SUM/COUNT of exact types (bigint /
+    decimal); for floats the fold order differs from a recompute in the
+    last ULPs, and AVG/MIN/MAX need retraction logs — out of scope, as
+    in every incremental-view engine's additive tier.
+    """
+    partial = delta_df.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).cast("bigint").alias(count_col),
+    )
+    if not store.exists(agg_name):
+        rows = store.append(agg_name, partial)
+        return rows
+    current = store.read(agg_name)
+    touched = current.join(
+        partial.select(*keys).distinct(), keys, "left_semi"
+    )
+    merged = (
+        touched.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).cast("bigint").alias(count_col),
+        )
+    )
+    # upsert's write-observed count is the post-fold answer; counting
+    # ``merged`` AFTER the swap would read the replaced lineage (the
+    # stale-file-listing trap the storage layer docs call out)
+    return store.upsert(agg_name, merged, keys)

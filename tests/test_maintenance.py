@@ -147,3 +147,59 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bck_clicks")
         spark.sql("DROP TABLE IF EXISTS bck_purchases")
+
+
+def test_refresh_agg_incremental_equals_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_lake_gcp_implementation_spark.pipeline import maintenance
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_mv"))
+    batches = [
+        [(1, 10), (2, 20), (1, 5)],
+        [(2, 7), (3, 100)],
+        [(1, 1), (3, 1), (4, 9)],
+    ]
+    all_rows = []
+    for b in batches:
+        df = spark.createDataFrame(b, ["customer_id", "amount_cents"])
+        n = maintenance.refresh_agg_incremental(
+            store, "gold.customer_totals", df, ["customer_id"], ["amount_cents"]
+        )
+        assert n > 0
+        all_rows += b
+        # equivalence with full recompute after every batch
+        full = (
+            spark.createDataFrame(all_rows, ["customer_id", "amount_cents"])
+            .groupBy("customer_id")
+            .agg(
+                F.sum("amount_cents").alias("amount_cents"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            )
+        )
+        got = {
+            r.customer_id: (r.amount_cents, r.n_rows)
+            for r in store.read("gold.customer_totals").collect()
+        }
+        want = {
+            r.customer_id: (r.amount_cents, r.n_rows) for r in full.collect()
+        }
+        assert got == want
+
+
+def test_refresh_agg_incremental_touches_only_delta_keys(spark, tmp_path):
+    from delta_lake_gcp_implementation_spark.pipeline import maintenance
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_mv2"))
+    maintenance.refresh_agg_incremental(
+        store, "gold.t", spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]),
+        ["k"], ["v"],
+    )
+    # second batch touches only k=2; k=1 row must survive untouched
+    maintenance.refresh_agg_incremental(
+        store, "gold.t", spark.createDataFrame([(2, 5)], ["k", "v"]), ["k"], ["v"]
+    )
+    got = {r.k: (r.v, r.n_rows) for r in store.read("gold.t").collect()}
+    assert got == {1: (10, 1), 2: (25, 2)}
