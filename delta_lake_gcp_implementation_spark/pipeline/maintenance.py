@@ -156,3 +156,57 @@ def refresh_agg_incremental(
     # ``merged`` AFTER the swap would read the replaced lineage (the
     # stale-file-listing trap the storage layer docs call out)
     return store.upsert(agg_name, merged, keys)
+
+
+def file_stats(store: TableStore, name: str, column: str) -> list[dict]:
+    """Per-file [min, max] for ``column`` read from parquet FOOTERS —
+    the statistics Delta keeps in its commit log.  Local metadata reads
+    (no data pages touched); at cluster scale this listing itself lives
+    in the manifest, written once per commit."""
+    import pyarrow.parquet as pq
+
+    out = []
+    root = store.path(name)
+    for fname in sorted(os.listdir(root)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(root, fname)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[column]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append({"file": fname, "min": lo, "max": hi})
+    return out
+
+
+def scan_pruned(store: TableStore, name: str, column: str, lo, hi):
+    """Data skipping (Delta file-pruning parity): read only the files
+    whose footer [min, max] for ``column`` overlaps [lo, hi] — on a
+    ``cluster_by``-laid-out table a narrow range scan touches one file
+    instead of all of them, the difference between reading 100 TB and
+    reading one range's worth.  Files with missing stats are kept
+    (never prune on absence).  The returned DataFrame still carries the
+    predicate, so correctness never depends on the stats: pruning is an
+    IO optimization, the filter is the contract.  Returns ``(df,
+    files_read, files_total)``."""
+    stats = file_stats(store, name, column)
+    root = store.path(name)
+    keep = [
+        s["file"]
+        for s in stats
+        if s["min"] is None or not (s["max"] < lo or s["min"] > hi)
+    ]
+    if not keep:
+        return store.read(name).limit(0), 0, len(stats)
+    pruned = store.spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, f) for f in keep]
+    )
+    df = pruned.filter((F.col(column) >= lo) & (F.col(column) <= hi))
+    return df, len(keep), len(stats)

@@ -203,3 +203,35 @@ def test_refresh_agg_incremental_touches_only_delta_keys(spark, tmp_path):
     )
     got = {r.k: (r.v, r.n_rows) for r in store.read("gold.t").collect()}
     assert got == {1: (10, 1), 2: (25, 2)}
+
+
+def test_scan_pruned_skips_files_and_matches_full_filter(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_lake_gcp_implementation_spark.pipeline import maintenance
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh_skip"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    store.append("db.skiptest", df)
+    maintenance.cluster_by(store, "db.skiptest", ["k"], n_files=8)
+    stats = maintenance.file_stats(store, "db.skiptest", "k")
+    assert len(stats) == 8 and all(s["min"] is not None for s in stats)
+    # narrow range: must touch a strict subset of files
+    got, n_read, n_total = maintenance.scan_pruned(
+        store, "db.skiptest", "k", 2_000, 2_500
+    )
+    assert n_total == 8 and 1 <= n_read < n_total
+    want = store.read("db.skiptest").filter(
+        (F.col("k") >= 2_000) & (F.col("k") <= 2_500)
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect()
+    )
+    # out-of-range scan reads zero files and returns zero rows
+    empty, n_read0, _ = maintenance.scan_pruned(
+        store, "db.skiptest", "k", 50_000, 60_000
+    )
+    assert n_read0 == 0 and empty.count() == 0
