@@ -113,6 +113,7 @@ _SPECS: dict[str, QuerySpec] = {
         X.q_unigram_surprisal, X.ORACLE_UNIGRAM_SURPRISAL
     ),
     "ann_sq8_topk": QuerySpec(X.q_ann_sq8_topk, X.ORACLE_ANN_SQ8_TOPK),
+    "lang_confusion": QuerySpec(X.q_lang_confusion, X.ORACLE_LANG_CONFUSION),
     # PQ ANN: verdict query (exact companions + recall floor; trained
     # codebook arm not SQL-replayable, same contract as ann_ivf_trained)
     "ann_pq_recall": QuerySpec(X.q_ann_pq_recall, X.ORACLE_ANN_PQ_RECALL),

@@ -2180,3 +2180,49 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
 """
 )
+
+
+def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix for the language-ID
+    heuristic against the labeled ``lang`` column — the eval-harness
+    shape every heuristic quality/language filter ships with (per-cell
+    counts + row-normalized rate).  One hash aggregation; the rate is
+    an exact integer division per module determinism rules."""
+    d = load_table(spark, sf, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("lang_labeled"),
+            T.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_labeled", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    totals = cells.groupBy("lang_labeled").agg(
+        F.sum("n_docs").cast("bigint").alias("_t")
+    )
+    return cells.join(totals, "lang_labeled").select(
+        "lang_labeled",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("_t").cast("double")).alias(
+            "rate_within_label"
+        ),
+    )
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH cells AS (
+    SELECT lang AS lang_labeled,
+           {_lang_ladder_sql()} AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, 2
+),
+totals AS (
+    SELECT lang_labeled, CAST(sum(n_docs) AS BIGINT) AS t
+    FROM cells GROUP BY lang_labeled
+)
+SELECT c.lang_labeled, c.lang_pred, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE) AS rate_within_label
+FROM cells c JOIN totals t USING (lang_labeled)
+"""
