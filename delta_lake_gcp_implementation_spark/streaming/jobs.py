@@ -204,3 +204,64 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_streaming_agg_maintenance(
+    stream_df: DataFrame,
+    store,
+    agg_name: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of ``maintenance.refresh_agg_incremental``: each
+    micro-batch folds into the stored SUM/COUNT rollup — a continuously
+    maintained materialized view (the Delta Live Tables streaming-table
+    shape).  The fold is O(batch + touched keys), so the maintained
+    view never rescans its history.
+
+    Replay safety: an ADDITIVE fold is not idempotent, so checkpointed
+    offsets alone (at-least-once into foreachBatch) are not enough — a
+    processed-``batch_id`` marker table skips batches that already
+    folded, the local analog of Delta MERGE's ``txnAppId/txnVersion``
+    dedup.  Residual window: a crash BETWEEN the fold commit and the
+    marker append still double-folds that one batch on replay — closing
+    it needs fold+marker in one atomic commit (multi-table
+    transactions), which the parquet store cannot express; Delta closes
+    it by writing both in one log entry.  Batch/stream parity and
+    replay-skip are asserted in ``test_streaming.py``."""
+    from pyspark.sql import functions as F
+
+    from ..pipeline import maintenance
+
+    marker = f"{agg_name}_batches"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if (
+            store.exists(marker)
+            and store.read(marker)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return  # replayed batch: already folded
+        maintenance.refresh_agg_incremental(
+            store, agg_name, batch_df, keys, sum_cols
+        )
+        store.append(
+            marker,
+            batch_df.sparkSession.createDataFrame(
+                [(int(batch_id),)], ["batch_id"]
+            ),
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -205,3 +205,68 @@ def test_stream_stream_interval_join_matches_batch(spark, event_dir):
         for r in clicks.join(purchases, cond, "inner").collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_streaming_agg_maintenance_matches_batch(spark, event_dir, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_mv_stream"))
+    stream = jobs.read_event_stream(spark, event_dir).select(
+        "user_id", (F.round(F.col("value") * 100, 0).cast("bigint")).alias("vc")
+    )
+    ckpt = str(tmp_path / "ckpt_mv")
+    jobs.run_streaming_agg_maintenance(
+        stream, store, "gold.user_totals", ["user_id"], ["vc"], ckpt
+    )
+    got = {
+        r.user_id: (r.vc, r.n_rows)
+        for r in store.read("gold.user_totals").collect()
+    }
+    batch = _batch_events(spark, event_dir).select(
+        "user_id", (F.round(F.col("value") * 100, 0).cast("bigint")).alias("vc")
+    )
+    want = {
+        r.user_id: (r.vc, r.n)
+        for r in batch.groupBy("user_id")
+        .agg(F.sum("vc").alias("vc"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # restart the SAME stream over the SAME checkpoint: no new input ->
+    # no re-fold, totals unchanged (offset + marker replay safety)
+    jobs.run_streaming_agg_maintenance(
+        jobs.read_event_stream(spark, event_dir).select(
+            "user_id",
+            (F.round(F.col("value") * 100, 0).cast("bigint")).alias("vc"),
+        ),
+        store, "gold.user_totals", ["user_id"], ["vc"], ckpt,
+    )
+    again = {
+        r.user_id: (r.vc, r.n_rows)
+        for r in store.read("gold.user_totals").collect()
+    }
+    assert again == want
+
+
+def test_streaming_agg_maintenance_marker_skips_replayed_batch(spark, event_dir, tmp_path):
+    store = TableStore(spark, str(tmp_path / "wh_mv_replay"))
+    stream = jobs.read_event_stream(spark, event_dir).select(
+        "user_id", F.lit(1).cast("bigint").alias("one")
+    )
+    jobs.run_streaming_agg_maintenance(
+        stream, store, "gold.t", ["user_id"], ["one"], str(tmp_path / "ck1")
+    )
+    before = {
+        r.user_id: r.one for r in store.read("gold.t").collect()
+    }
+    # a FRESH checkpoint replays batch_id 0 over the same store: the
+    # marker table must turn the re-fold into a no-op (this is the
+    # at-least-once window the txnAppId-style guard exists for)
+    marker_ids = {r.batch_id for r in store.read("gold.t_batches").collect()}
+    assert marker_ids == {0}
+    jobs.run_streaming_agg_maintenance(
+        jobs.read_event_stream(spark, event_dir).select(
+            "user_id", F.lit(1).cast("bigint").alias("one")
+        ),
+        store, "gold.t", ["user_id"], ["one"], str(tmp_path / "ck2"),
+    )
+    after = {r.user_id: r.one for r in store.read("gold.t").collect()}
+    assert after == before, "replayed batch_id must not double-fold"
