@@ -328,6 +328,53 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-misses that make the best negatives.  Same plan as
+    ``brute_force_topk`` (broadcast queries, map-side scoring, one
+    per-query window) with the label-mismatch predicate applied before
+    scoring, so excluded same-label pairs never cost a dot product."""
+    from ..tables import scale_out
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = scale_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_label") != F.col("neighbor_label")
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

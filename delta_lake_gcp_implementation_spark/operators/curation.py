@@ -74,6 +74,28 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def rate_sample(
+    df: DataFrame,
+    id_col: str,
+    rates_df: DataFrame,
+    join_cols: list[str],
+    buckets_col: str,
+) -> DataFrame:
+    """Apply COMPUTED per-group keep rates: keep a row iff its md5
+    bucket falls under the bucket threshold its group carries in
+    ``rates_df`` — the apply-step that turns mixture weights (e.g.
+    temperature-scaled domain weights) into an actual sampled corpus,
+    where ``stratified_sample`` applies hand-set literal rates.
+
+    Scale shape: ``rates_df`` has one row per domain (bounded), so the
+    join broadcasts and the whole operator stays a map-side filter on
+    the corpus scan — no shuffle, no RNG state, reproducible.
+    """
+    return df.join(F.broadcast(rates_df), join_cols).filter(
+        hash_bucket(F.col(id_col)) < F.col(buckets_col)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     part_col: str,

@@ -71,6 +71,18 @@ _SPECS: dict[str, QuerySpec] = {
     "cluster_balanced_sample": QuerySpec(
         C.q_cluster_balanced_sample, C.ORACLE_CLUSTER_BALANCED_SAMPLE
     ),
+    # computed-weight importance sampling (apply-step of mix weights)
+    "weighted_sample": QuerySpec(C.q_weighted_sample, C.ORACLE_WEIGHTED_SAMPLE),
+    # contrastive hard-negative mining over embeddings
+    "hard_negatives": QuerySpec(X.q_hard_negatives, X.ORACLE_HARD_NEGATIVES),
+    # best-record survivor per duplicate cluster (the shipped dedup output)
+    "cluster_best_doc": QuerySpec(
+        X.q_cluster_best_doc, X.ORACLE_CLUSTER_BEST_DOC
+    ),
+    # bloom-filter membership verdict (mergeable bitset sketch)
+    "bloom_membership": QuerySpec(
+        X.q_bloom_membership, X.ORACLE_BLOOM_MEMBERSHIP
+    ),
     # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
     "minhash_lsh_pairs_capped": QuerySpec(
         X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED

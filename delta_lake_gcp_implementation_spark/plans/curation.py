@@ -694,3 +694,82 @@ SELECT cell,
 FROM assigned
 QUALIFY pick <= {_CBS_PER_CELL}
 """
+
+
+# ------------------------------------------------- weighted sampling (round 5)
+
+#: target sample size the computed mixture weights are scaled to.
+_WS_TARGET = 250
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance sampling under COMPUTED mixture weights — the
+    apply-step completing ``q_mix_weights_temperature``: per-domain
+    keep rates are derived from temperature-scaled (alpha = 0.5) domain
+    weights and a target sample size, then applied as a deterministic
+    md5-bucket filter.  ``stratified_sample`` with literal rates is the
+    hand-tuned form; this is the computed form a production mixer runs.
+
+    All thresholds stay in exact integer arithmetic (the triple product
+    exceeds 2^53, so the division is BIGINT ``DIV``, never a double).
+
+    Plan shape: two bounded-domain aggregations, then ONE corpus scan
+    with a broadcast join of the per-domain thresholds and a map-side
+    filter — nothing single-partition, no second scan, no RNG.
+    """
+    d = load_table(spark, sf, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = F.broadcast(per.agg(F.sum("n_docs").cast("bigint").alias("n_tot")))
+    share = F.col("n_docs").cast("double") / F.col("n_tot").cast("double")
+    w = per.crossJoin(tot).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(share) * F.lit(float(_MIX_SCALE)))
+        .cast("bigint")
+        .alias("wq"),
+    )
+    denom = F.broadcast(w.agg(F.sum("wq").cast("bigint").alias("wq_tot")))
+    rates = w.crossJoin(denom).select(
+        "lang",
+        "source",
+        F.least(
+            F.lit(cur_ops.SAMPLE_BUCKETS).cast("bigint"),
+            F.expr(
+                f"(CAST({_WS_TARGET} AS BIGINT) * wq "
+                f"* {cur_ops.SAMPLE_BUCKETS}) DIV (wq_tot * n_docs)"
+            ),
+        ).alias("keep_buckets"),
+    )
+    return cur_ops.rate_sample(
+        d, "doc_id", rates, ["lang", "source"], "keep_buckets"
+    ).select("doc_id", "lang", "source", "keep_buckets")
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH per AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM per),
+w AS (
+    SELECT lang, source, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      * CAST({_MIX_SCALE} AS DOUBLE)) AS BIGINT) AS wq
+    FROM per CROSS JOIN tot
+),
+denom AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_tot FROM w),
+rates AS (
+    SELECT lang, source,
+           least(CAST({{bkts}} AS BIGINT),
+                 (CAST({_WS_TARGET} AS BIGINT) * wq * {{bkts}})
+                   // (wq_tot * n_docs)) AS keep_buckets
+    FROM w CROSS JOIN denom
+)
+SELECT d.doc_id, d.lang, d.source, r.keep_buckets
+FROM documents d JOIN rates r ON d.lang = r.lang AND d.source = r.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+      < r.keep_buckets
+""".replace("{bkts}", str(65536))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as sim
 from ..functions import text as T
+from ..operators import bloom as bloom_ops
 from ..operators import dedup as dedup_ops
 from ..tables import load_table
 
@@ -2225,4 +2226,201 @@ totals AS (
 SELECT c.lang_labeled, c.lang_pred, c.n_docs,
        CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE) AS rate_within_label
 FROM cells c JOIN totals t USING (lang_labeled)
+"""
+
+
+# ------------------------------------------------- hard negatives (round 5)
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query embedding, the
+    top-3 most-cosine-similar corpus vectors whose label DIFFERS — the
+    standard near-miss negatives for embedding-model training.  Exact
+    arm (``sim.hard_negative_topk``); at corpus scale the same label
+    filter composes with the LSH/IVF/PQ candidate generators."""
+    e = load_table(spark, sf, "embeddings")
+    return sim.hard_negative_topk(
+        e,
+        e.filter(F.col("vec_id") < _Q_CUT),
+        "vec_id",
+        "embedding",
+        "label",
+        k=3,
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < {_Q_CUT}),
+pairs AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           e.vec_id AS neighbor_id, e.label AS neighbor_label,
+           list_dot_product(q.v, e.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+               AS cosine
+    FROM e, q WHERE q.label <> e.label
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM pairs
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+# ------------------------------------------------- cluster survivor (round 5)
+
+
+def q_cluster_best_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pass's SHIPPED output: for every document, its
+    duplicate cluster, the cluster size, and whether it is the kept
+    survivor — the best record (longest text, doc_id tiebreak) rather
+    than ``q_dup_clusters``'s min-id canonical.  This is what a corpus
+    pipeline actually writes: keep one high-quality exemplar per
+    near-dup cluster, drop the rest.
+
+    Scale shape: adds exactly one bounded window (partitioned on
+    cluster_id) and one broadcast-size join on top of the linear
+    incidence-CC plan; no pair expansion anywhere."""
+    d = load_table(spark, sf, "documents")
+    clusters = q_dup_clusters(spark, sf).select("doc_id", "cluster_id")
+    sized = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    pick = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("pick", F.row_number().over(pick))
+        .withColumn("kept_doc_id", F.first("doc_id").over(pick))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("pick") == 1).alias("keep"),
+            "kept_doc_id",
+        )
+    )
+
+
+ORACLE_CLUSTER_BEST_DOC = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES.lstrip()
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+),
+sized AS (
+    SELECT c.doc_id, c.cluster_id, d.n_chars
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) = 1) AS keep,
+       first_value(doc_id) OVER (PARTITION BY cluster_id
+                                 ORDER BY n_chars DESC, doc_id) AS kept_doc_id
+FROM sized
+"""
+)
+
+
+# ------------------------------------------------- bloom membership (round 5)
+
+
+def _sql_bloom_pos(fp_expr: str, i: int) -> str:
+    return (
+        f"('0x' || substr(md5({fp_expr} || ':{i}'), 1, 15))::BIGINT"
+        f" % {bloom_ops.M_BITS}"
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership verdict — the "might this new document
+    collide with the corpus?" pre-filter of incremental dedup, as a
+    checkable query: build a bloom over the EXISTING corpus's content
+    fingerprints (doc_id % 3 != 0), probe the NEW batch (doc_id % 3 ==
+    0), and emit per probe doc the bloom answer, the exact answer, and
+    the no-false-negative invariant the sketch guarantees.
+
+    Scale shape: the build is one map-side-combined bit_or aggregation
+    (<= m/64 shuffled rows); the probe is a pure projection against the
+    literal word array — probing 100 TB costs one scan.  The exact
+    companion join exists for the oracle; production callers skip it
+    (that's the sketch's point)."""
+    d = load_table(spark, sf, "documents")
+    fp = d.select("doc_id", F.md5("text").alias("fp"))
+    build = fp.filter(F.col("doc_id") % 3 != 0).select("fp").distinct()
+    words = bloom_ops.bloom_build(build, "fp")
+    probe = fp.filter(F.col("doc_id") % 3 == 0)
+    hit = bloom_ops.bloom_probe_expr(F.col("fp"), words)
+    exact = (
+        probe.join(
+            build.withColumnRenamed("fp", "bfp"),
+            probe["fp"] == F.col("bfp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            hit.alias("bloom_hit"),
+            F.col("bfp").isNotNull().alias("exact_hit"),
+        )
+    )
+    return exact.select(
+        "doc_id",
+        "bloom_hit",
+        "exact_hit",
+        (F.col("bloom_hit") | ~F.col("exact_hit")).alias("no_false_negative"),
+    )
+
+
+ORACLE_BLOOM_MEMBERSHIP = f"""
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+build AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
+probes(i) AS (VALUES (0), (1), (2)),
+bpos AS (
+    SELECT DISTINCT
+        CASE i {" ".join(f"WHEN {i} THEN {_sql_bloom_pos('fp', i)}" for i in range(3))} END AS pos
+    FROM build CROSS JOIN probes
+),
+probe AS (SELECT doc_id, fp FROM fp WHERE doc_id % 3 = 0),
+ppos AS (
+    SELECT doc_id, fp,
+        CASE i {" ".join(f"WHEN {i} THEN {_sql_bloom_pos('fp', i)}" for i in range(3))} END AS pos
+    FROM probe CROSS JOIN probes
+),
+bh AS (
+    SELECT p.doc_id, bool_and(b.pos IS NOT NULL) AS bloom_hit
+    FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos
+    GROUP BY p.doc_id
+)
+SELECT p.doc_id, bh.bloom_hit,
+       (p.fp IN (SELECT fp FROM build)) AS exact_hit,
+       (bh.bloom_hit OR NOT (p.fp IN (SELECT fp FROM build)))
+           AS no_false_negative
+FROM probe p JOIN bh ON p.doc_id = bh.doc_id
 """

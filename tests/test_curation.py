@@ -233,3 +233,23 @@ def test_cluster_balanced_sample_quota_and_coverage(spark, sf_dir):
     # reproducible: second run identical
     again = C.q_cluster_balanced_sample(spark, sf_dir).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_hits_target_and_broadcasts(spark, sf_dir):
+    """Computed-weight sampling: kept size lands near the target, every
+    kept row obeys its domain threshold, and the apply-join broadcasts
+    (map-side filter — no shuffled corpus join, no cartesian)."""
+    out = plans_cur.q_weighted_sample(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    assert 0 < n <= 1.3 * plans_cur._WS_TARGET
+    # deterministic: identical result on re-run
+    assert n == plans_cur.q_weighted_sample(spark, sf_dir).count()
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in p and "CartesianProduct" not in p
+    # every kept doc respects its domain's bucket threshold
+    import hashlib
+
+    for r in rows[:50]:
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16)
+        assert bucket < r.keep_buckets

@@ -688,3 +688,83 @@ def test_simhash_capped_subset_of_uncapped(spark, sf_dir):
         for r in X.q_simhash_near_dups_capped(spark, sf_dir).collect()
     }
     assert capped <= full
+
+
+def test_hard_negatives_excludes_same_label(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    rows = X.q_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r.query_label != r.neighbor_label
+        assert -1.0 <= r.cosine <= 1.0
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rs in per_query.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
+        # ranks ordered by descending cosine
+        by_rank = sorted(rs, key=lambda x: x.rank)
+        cos = [x.cosine for x in by_rank]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_cluster_best_doc_one_survivor_per_cluster(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    rows = X.q_cluster_best_doc(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rs in by_cluster.items():
+        keeps = [r for r in rs if r.keep]
+        assert len(keeps) == 1
+        kept = keeps[0]
+        assert all(r.kept_doc_id == kept.doc_id for r in rs)
+        assert all(r.cluster_size == len(rs) for r in rs)
+
+
+def test_bloom_filter_invariants(spark):
+    from delta_lake_gcp_implementation_spark.operators import bloom
+
+    keys = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], ["k"]
+    )
+    words = bloom.bloom_build(keys, "k")
+    # no false negatives: every built key probes True
+    hits = keys.select(bloom.bloom_probe_expr(F.col("k"), words).alias("h"))
+    assert hits.filter(~F.col("h")).count() == 0
+    # probe is a pure projection: no shuffle in the probe plan
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # absent keys: overwhelmingly definitely-absent (FPR ~0.4% at this fill)
+    absent = spark.createDataFrame(
+        [(f"other{i}",) for i in range(500)], ["k"]
+    )
+    fp = absent.select(
+        bloom.bloom_probe_expr(F.col("k"), words).alias("h")
+    ).filter(F.col("h")).count()
+    assert fp <= 10
+    # merge = union of key sets
+    more = spark.createDataFrame([(f"extra{i}",) for i in range(50)], ["k"])
+    merged = bloom.bloom_merge(words, bloom.bloom_build(more, "k"))
+    both = keys.union(more)
+    assert (
+        both.select(bloom.bloom_probe_expr(F.col("k"), merged).alias("h"))
+        .filter(~F.col("h"))
+        .count()
+        == 0
+    )
+
+
+def test_bloom_membership_query_verdict(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    rows = X.q_bloom_membership(spark, sf_dir).collect()
+    assert rows
+    assert all(r.no_false_negative for r in rows)
+    # every exact hit is also a bloom hit (vacuously true if the tiny
+    # sf has no dup crossing the build/probe split; sf0.01 does and the
+    # oracle gate checks it there)
+    assert all(r.bloom_hit for r in rows if r.exact_hit)
