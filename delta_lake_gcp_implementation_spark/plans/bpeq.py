@@ -1,0 +1,121 @@
+"""BPE tokenizer-training catalog query: the learned merge table,
+oracle-replayed round by round in DuckDB.
+
+The Spark side (``operators.bpe``) is the production path: per-round
+distributed pair counts + a JVM-side fold, only the winning pair
+collected.  The oracle replays every round in pure SQL — the greedy
+left-to-right merge is expressed positionally (candidate positions ->
+gaps-and-islands -> every-other-within-island), which is closed-form
+equivalent to the sequential fold: overlapping candidates only occur
+for left == right runs, where greedy merging takes exactly the odd
+occurrences of each maximal run.
+
+This makes the full ITERATIVE trainer oracle-checkable — the same
+treatment ``dup_clusters`` gives iterative connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as sqltypes
+
+from ..operators import bpe as bpe_ops
+from ..tables import load_table
+
+#: merge rounds learned by the catalog query (shared with the oracle).
+N_MERGES = 6
+
+# DuckDB mirror of functions.text.tokens (explicit class, no \s —
+# Java \s includes \x0B, RE2's does not).
+_SQL_WORDS = (
+    "SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))"
+    " AS word FROM documents"
+)
+
+_MERGES_SCHEMA = sqltypes.StructType(
+    [
+        sqltypes.StructField("merge_rank", sqltypes.LongType()),
+        sqltypes.StructField("left_sym", sqltypes.StringType()),
+        sqltypes.StructField("right_sym", sqltypes.StringType()),
+        sqltypes.StructField("merged_sym", sqltypes.StringType()),
+        sqltypes.StructField("pair_count", sqltypes.LongType()),
+    ]
+)
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Train ``N_MERGES`` BPE merges on the documents corpus and return
+    the merge table — rank, pair, merged symbol, and the
+    frequency-weighted pair count that won the round."""
+    d = load_table(spark, sf, "documents")
+    vocab = bpe_ops.word_freqs(d, "text")
+    merges, _ = bpe_ops.bpe_train(vocab, N_MERGES)
+    return spark.createDataFrame(
+        [(m.rank, m.left, m.right, m.merged, m.count) for m in merges],
+        _MERGES_SCHEMA,
+    )
+
+
+def _round_ctes(r: int) -> str:
+    """One merge round: weighted pair counts, the winner, candidate
+    positions, islands, merged marks, next state."""
+    return f"""
+pair{r} AS MATERIALIZED (
+    SELECT s.syms[i] AS a, s.syms[i + 1] AS b,
+           CAST(sum(s.freq) AS BIGINT) AS cnt
+    FROM state{r} s, unnest(range(1, len(s.syms))) AS t(i)
+    GROUP BY 1, 2
+),
+top{r} AS MATERIALIZED (SELECT a, b, cnt FROM pair{r} ORDER BY cnt DESC, a, b LIMIT 1),
+pos{r} AS MATERIALIZED (
+    SELECT s.word, s.freq, i, s.syms[i] AS sym,
+           coalesce(s.syms[i] = t.a AND s.syms[i + 1] = t.b, false) AS cand
+    FROM state{r} s CROSS JOIN top{r} t,
+         unnest(range(1, len(s.syms) + 1)) AS u(i)
+),
+isl{r} AS MATERIALIZED (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+    FROM pos{r} WHERE cand
+),
+mrk{r} AS MATERIALIZED (
+    SELECT word, i FROM (
+        SELECT word, i,
+               row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+        FROM isl{r})
+    WHERE rn % 2 = 1
+),
+state{r + 1} AS MATERIALIZED (
+    SELECT p.word, p.freq,
+           list(CASE WHEN m.i IS NOT NULL THEN t.a || t.b ELSE p.sym END
+                ORDER BY p.i) AS syms
+    FROM pos{r} p
+    CROSS JOIN top{r} t
+    LEFT JOIN mrk{r} m ON p.word = m.word AND p.i = m.i
+    LEFT JOIN mrk{r} sk ON p.word = sk.word AND p.i = sk.i + 1
+    WHERE sk.i IS NULL
+    GROUP BY p.word, p.freq
+)"""
+
+
+def _oracle_bpe_merges() -> str:
+    rounds = ",\n".join(_round_ctes(r) for r in range(N_MERGES))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, a || b AS merged_sym, cnt AS pair_count FROM top{r}"
+        for r in range(N_MERGES)
+    )
+    return f"""
+WITH state0 AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           list_append(string_split(word, ''), '{bpe_ops.EOW}') AS syms
+    FROM ({_SQL_WORDS})
+    WHERE word <> ''
+    GROUP BY word
+),
+{rounds}
+{finals}
+"""
+
+
+ORACLE_BPE_MERGES = _oracle_bpe_merges()

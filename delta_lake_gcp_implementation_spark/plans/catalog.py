@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .driver_rows import LAST_GREEN
+from . import bpeq as B
 from . import corpusq as CQ
 from . import curation as C
 from . import relational as R
@@ -83,6 +84,8 @@ _SPECS: dict[str, QuerySpec] = {
     "bloom_membership": QuerySpec(
         X.q_bloom_membership, X.ORACLE_BLOOM_MEMBERSHIP
     ),
+    # iterative BPE tokenizer training, oracle-replayed round by round
+    "bpe_merges": QuerySpec(B.q_bpe_merges, B.ORACLE_BPE_MERGES),
     # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
     "minhash_lsh_pairs_capped": QuerySpec(
         X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED
