@@ -86,6 +86,16 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # iterative BPE tokenizer training, oracle-replayed round by round
     "bpe_merges": QuerySpec(B.q_bpe_merges, B.ORACLE_BPE_MERGES),
+    # count-min sketch heavy hitters, oracle-replayed cell-for-cell
+    "count_min_verdict": QuerySpec(
+        R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT
+    ),
+    # source-vs-corpus KL divergence in integer bits
+    "domain_kl": QuerySpec(X.q_domain_kl, X.ORACLE_DOMAIN_KL),
+    # inverted-index sparse cosine similarity join
+    "sparse_cosine_pairs": QuerySpec(
+        X.q_sparse_cosine_pairs, X.ORACLE_SPARSE_COSINE_PAIRS
+    ),
     # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
     "minhash_lsh_pairs_capped": QuerySpec(
         X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED

@@ -2424,3 +2424,230 @@ SELECT p.doc_id, bh.bloom_hit,
            AS no_false_negative
 FROM probe p JOIN bh ON p.doc_id = bh.doc_id
 """
+
+
+# ------------------------------------------------- domain divergence (round 5)
+
+
+def q_domain_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-vs-corpus distribution divergence — the signal behind
+    domain filtering/reweighting decisions ("how unlike the corpus is
+    this source?").  KL(P_source || P_corpus) in integer bits: token
+    surprisal under the corpus model minus under the source's own
+    model, summed with exact integer weights (the floor-log2
+    bit-length device of ``q_unigram_surprisal`` — no cross-engine
+    transcendentals, no float accumulation order).
+
+    Scale shape: both distributions come from the same single token
+    explode; everything after is map-side-combined hash aggs over
+    (token) and (source, token) plus broadcast joins of the bounded
+    vocab/totals — linear in tokens, no windows, no pair expansion."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    tok = scale_out(d).select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+        ).alias("token"),
+    )
+    per_src = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_sw")
+    )
+    vocab = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_w")
+    )
+    total = F.broadcast(
+        vocab.agg(F.sum("cnt_w").cast("bigint").alias("n_tot"))
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("cnt_sw").cast("bigint").alias("n_src")
+    )
+
+    def bits(c):
+        return F.length(F.bin(c))
+
+    scored = (
+        per_src.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(total)
+        .select(
+            "source",
+            "cnt_sw",
+            (F.col("cnt_sw") * (bits(F.col("n_tot")) - bits(F.col("cnt_w"))))
+            .cast("bigint")
+            .alias("g_bits"),
+            (F.col("cnt_sw") * (bits(F.col("n_src")) - bits(F.col("cnt_sw"))))
+            .cast("bigint")
+            .alias("l_bits"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.sum("cnt_sw").cast("bigint").alias("n_tokens"),
+        F.sum("g_bits").cast("bigint").alias("sum_corpus_bits"),
+        F.sum("l_bits").cast("bigint").alias("sum_source_bits"),
+        (
+            (F.sum("g_bits") - F.sum("l_bits")).cast("double")
+            / F.sum("cnt_sw").cast("double")
+        ).alias("kl_bits_avg"),
+    )
+
+
+ORACLE_DOMAIN_KL = """
+WITH d AS (
+    SELECT source,
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT source, unnest(t) AS token FROM d),
+per_src AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS cnt_sw
+    FROM tok GROUP BY source, token
+),
+vocab AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt_w FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(sum(cnt_w) AS BIGINT) AS n_tot FROM vocab),
+src_tot AS (
+    SELECT source, CAST(sum(cnt_sw) AS BIGINT) AS n_src
+    FROM per_src GROUP BY source
+),
+scored AS (
+    SELECT p.source, p.cnt_sw,
+           p.cnt_sw * (len(bin(t.n_tot)) - len(bin(v.cnt_w))) AS g_bits,
+           p.cnt_sw * (len(bin(s.n_src)) - len(bin(p.cnt_sw))) AS l_bits
+    FROM per_src p
+    JOIN vocab v USING (token)
+    JOIN src_tot s USING (source)
+    CROSS JOIN tot t
+)
+SELECT source,
+       CAST(sum(cnt_sw) AS BIGINT) AS n_tokens,
+       CAST(sum(g_bits) AS BIGINT) AS sum_corpus_bits,
+       CAST(sum(l_bits) AS BIGINT) AS sum_source_bits,
+       CAST(sum(g_bits) - sum(l_bits) AS DOUBLE)
+         / CAST(sum(cnt_sw) AS DOUBLE) AS kl_bits_avg
+FROM scored
+GROUP BY source
+"""
+
+
+# --------------------------------------- sparse cosine similarity (round 5)
+
+_SC_DF_CAP = 40  # drop terms appearing in more docs (stop-term/skew cap)
+_SC_THRESHOLD = 0.5
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index document similarity: cosine over sparse bigram
+    term-frequency vectors via a postings self-join — the lexical
+    counterpart of ``embedding_near_dups``, and the classic IR join
+    (documents become candidates only through shared terms, never
+    all-pairs).
+
+    Exactness device: tf weights are integers, so the dot product and
+    both norms-squared are exact BIGINTs; cosine is a single final
+    float expression from exact operands (the PMI rule — no float
+    accumulation order to diverge on).
+
+    Scale shape: the candidate generator is the term equi-join, and its
+    cost is sum(df^2) over terms — bounded by dropping terms with df >
+    {cap} (stop-term removal IS the skew control, same role as the LSH
+    bucket cap).  Aggregations are map-side combined; norms attach via
+    broadcast-size joins."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    toks = scale_out(d).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    terms = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "tok", "nxt").alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_tbl = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    kept = terms.join(
+        F.broadcast(df_tbl.filter(F.col("df") <= _SC_DF_CAP)), "term"
+    ).select("doc_id", "term", "tf")
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("norm_sq")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("nsq_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("nsq_b"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double")))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", "dot", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(_SC_THRESHOLD))
+    )
+
+
+ORACLE_SPARSE_COSINE_PAIRS = f"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, i, t[i] AS tok, t[i + 1] AS nxt
+        FROM d, unnest(range(1, len(t))) AS u(i)),
+terms AS (
+    SELECT doc_id, tok || ' ' || nxt AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY term),
+kept AS (
+    SELECT t.doc_id, t.term, t.tf
+    FROM terms t JOIN dfreq f USING (term) WHERE f.df <= {_SC_DF_CAP}
+),
+norms AS (
+    SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm_sq
+    FROM kept GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+    FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared, dot,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+           AS cosine
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+      >= {_SC_THRESHOLD}
+"""

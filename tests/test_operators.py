@@ -243,3 +243,39 @@ def test_minhash_pairs_bucket_cap(spark):
     )
     labels = {r.id: r.component for r in comp.collect()}
     assert len({labels[i] for i in range(100)}) == 1
+
+
+def test_count_min_never_undercounts(spark):
+    from delta_lake_gcp_implementation_spark.operators import cms
+
+    rows = [(f"u{i % 40}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = cms.build_count_min(df, "k", width=64, depth=3)
+    # sketch is bounded by depth*width cells
+    assert sketch.count() <= 3 * 64
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms.estimate_counts(exact, sketch, "k", width=64, depth=3)
+    got = est.collect()
+    assert got
+    for r in got:
+        assert r.cms_est >= r.exact  # the CMS one-sided guarantee
+    # heavy hitter estimated closely (min-of-rows beats worst bucket)
+    hot = [r for r in got if r.k == "hot"][0]
+    assert hot.cms_est <= hot.exact + 2 * 2500 // 64
+
+
+def test_count_min_merge_is_cellwise_sum(spark):
+    from delta_lake_gcp_implementation_spark.operators import cms
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(f"y{i}",) for i in range(100)], ["k"])
+    both = cms.build_count_min(a.union(b), "k", width=32, depth=2)
+    merged = (
+        cms.build_count_min(a, "k", width=32, depth=2)
+        .union(cms.build_count_min(b, "k", width=32, depth=2))
+        .groupBy("d", "bucket")
+        .agg(F.sum("total").cast("bigint").alias("total"))
+    )
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, merged.collect())
+    )

@@ -768,3 +768,48 @@ def test_bloom_membership_query_verdict(spark, sf_dir):
     # sf has no dup crossing the build/probe split; sf0.01 does and the
     # oracle gate checks it there)
     assert all(r.bloom_hit for r in rows if r.exact_hit)
+
+
+def test_domain_kl_zero_for_corpus_like_source(spark, tmp_path):
+    """A source distributed exactly like the corpus has divergence 0;
+    a skewed source diverges positively."""
+    rows = []
+    # two balanced sources with identical distributions, one skewed
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta", "s_same1"))
+        rows.append((100 + i, "alpha beta gamma delta", "s_same2"))
+    for i in range(40):
+        rows.append((200 + i, "alpha alpha alpha alpha", "s_skew"))
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    out = {r.source: r for r in X.q_domain_kl(spark, str(tmp_path)).collect()}
+    # the skewed source concentrates on the corpus-commonest token, so
+    # its own model assigns LESS surprisal than the corpus model
+    assert out["s_skew"].kl_bits_avg > 0
+    assert out["s_same1"].kl_bits_avg <= out["s_skew"].kl_bits_avg
+
+
+def test_sparse_cosine_finds_planted_near_dup(spark, tmp_path):
+    import pandas as pd
+
+    base = "quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base + " extra tail words here"),  # near-dup of 1
+        (3, "completely different content about spark shuffles and joins"),
+        (4, "another unrelated doc on parquet footer statistics pruning"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    pairs = {(r.doc_a, r.doc_b): r for r in
+             X.q_sparse_cosine_pairs(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)].cosine > 0.7
+    assert all(a == 1 and b == 2 for (a, b) in pairs)
