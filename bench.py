@@ -90,6 +90,15 @@ HEADLINE = [
     "cluster_balanced_sample",
     "ols_trend",
     "dq_expectations",
+    # round-5 second wave
+    "weighted_sample",
+    "hard_negatives",
+    "cluster_best_doc",
+    "bloom_membership",
+    "bpe_merges",
+    "count_min_verdict",
+    "domain_kl",
+    "sparse_cosine_pairs",
 ]
 
 

@@ -96,6 +96,8 @@ _SPECS: dict[str, QuerySpec] = {
     "sparse_cosine_pairs": QuerySpec(
         X.q_sparse_cosine_pairs, X.ORACLE_SPARSE_COSINE_PAIRS
     ),
+    # content-defined (shift-resistant) chunking with corpus dedup
+    "cdc_chunks": QuerySpec(X.q_cdc_chunks, X.ORACLE_CDC_CHUNKS),
     # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
     "minhash_lsh_pairs_capped": QuerySpec(
         X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED

@@ -2651,3 +2651,106 @@ WHERE CAST(dot AS DOUBLE)
         / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
       >= {_SC_THRESHOLD}
 """
+
+
+# --------------------------------------- content-defined chunking (round 5)
+
+_CDC_K = 8  # gram width driving boundary decisions
+_CDC_DIV = 32  # boundary probability 1/DIV -> ~32-char expected chunks
+
+
+def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync-style): chunk boundaries
+    fall where the k-gram hash ends in a zero residue, so an insertion
+    near the front MOVES no later boundary — the shift-resistant
+    counterpart of ``q_doc_chunking``'s fixed stride, and the basis of
+    delta-style storage dedup.  Emits each chunk with its content hash
+    and corpus-wide copy count (cross-document chunk dedup).
+
+    Scale shape: one position explode (linear in chars — the same cost
+    class as winnowing), per-doc windows for boundary ordering, one
+    hash-partitioned window for the corpus copy count.  No pair joins:
+    dedup is an equi-group on chunk_hash."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    base = scale_out(d).select("doc_id", "text", F.length("text").alias("n"))
+    # candidate boundary = end position of a zero-residue k-gram; the
+    # document end is always a boundary (sentinel)
+    pos = base.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(
+            F.when(
+                F.col("n") >= _CDC_K, F.sequence(F.lit(_CDC_K), F.col("n"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    gram_hash = F.conv(
+        F.substring(
+            F.md5(F.substring("text", F.col("i") - F.lit(_CDC_K - 1), _CDC_K)),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bounds = pos.filter(gram_hash % _CDC_DIV == 0).select("doc_id", "i")
+    sentinel = base.select("doc_id", F.col("n").cast("int").alias("i"))
+    all_bounds = bounds.union(sentinel).distinct()
+    w = Window.partitionBy("doc_id").orderBy("i")
+    chunks = (
+        all_bounds.withColumn("start", F.coalesce(F.lag("i").over(w) + 1, F.lit(1)))
+        .withColumn("chunk_idx", (F.row_number().over(w) - 1).cast("bigint"))
+        .join(base.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("start").cast("bigint").alias("start"),
+            (F.col("i") - F.col("start") + 1).cast("bigint").alias("chunk_len"),
+            F.md5(
+                F.substring("text", F.col("start"), F.col("i") - F.col("start") + 1)
+            ).alias("chunk_hash"),
+        )
+    )
+    cw = Window.partitionBy("chunk_hash")
+    return chunks.withColumn(
+        "n_copies", F.count(F.lit(1)).over(cw).cast("bigint")
+    )
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH d AS (
+    SELECT doc_id, text, len(text) AS n FROM documents WHERE trim(text) <> ''
+),
+pos AS (
+    SELECT doc_id, text, n, CAST(i AS INT) AS i
+    FROM d, unnest(range({_CDC_K}, n + 1)) AS t(i)
+),
+bounds AS (
+    SELECT doc_id, i FROM pos
+    WHERE ('0x' || substr(md5(substr(text, i - {_CDC_K - 1}, {_CDC_K})), 1, 15))::BIGINT
+          % {_CDC_DIV} = 0
+    UNION
+    SELECT doc_id, CAST(n AS INT) AS i FROM d
+),
+chunks AS (
+    SELECT b.doc_id,
+           CAST(row_number() OVER (PARTITION BY b.doc_id ORDER BY b.i) - 1
+                AS BIGINT) AS chunk_idx,
+           CAST(coalesce(lag(b.i) OVER (PARTITION BY b.doc_id ORDER BY b.i) + 1,
+                         1) AS BIGINT) AS start,
+           b.i AS fin
+    FROM bounds b
+)
+SELECT c.doc_id, c.chunk_idx, c.start,
+       CAST(c.fin - c.start + 1 AS BIGINT) AS chunk_len,
+       md5(substr(d.text, CAST(c.start AS INT), CAST(c.fin - c.start + 1 AS INT)))
+           AS chunk_hash,
+       CAST(count(*) OVER (
+           PARTITION BY md5(substr(d.text, CAST(c.start AS INT),
+                                   CAST(c.fin - c.start + 1 AS INT)))
+       ) AS BIGINT) AS n_copies
+FROM chunks c JOIN d ON c.doc_id = d.doc_id
+"""

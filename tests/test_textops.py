@@ -813,3 +813,39 @@ def test_sparse_cosine_finds_planted_near_dup(spark, tmp_path):
              X.q_sparse_cosine_pairs(spark, str(tmp_path)).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)].cosine > 0.7
     assert all(a == 1 and b == 2 for (a, b) in pairs)
+
+
+def test_cdc_chunks_shift_resistant(spark, tmp_path):
+    """Content-defined boundaries don't move under a front insertion:
+    the shifted doc shares almost all chunk hashes with the original
+    (fixed-stride chunking would share none)."""
+    import pandas as pd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls on the quiet town and the river bends past the old mill "
+        "where children play games until the evening light fades away"
+    )
+    rows = [(1, base), (2, "INSERTED PREFIX " + base)]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    out = X.q_cdc_chunks(spark, str(tmp_path)).collect()
+    h1 = {r.chunk_hash for r in out if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in out if r.doc_id == 2}
+    shared = h1 & h2
+    # everything after the first boundary re-synchronizes
+    assert len(shared) >= len(h1) - 2
+    # shared chunks carry n_copies >= 2
+    for r in out:
+        if r.chunk_hash in shared:
+            assert r.n_copies >= 2
+    # chunks tile each document exactly
+    for doc, text in rows:
+        cs = sorted((r for r in out if r.doc_id == doc), key=lambda r: r.chunk_idx)
+        assert cs[0].start == 1
+        for a, b in zip(cs, cs[1:]):
+            assert b.start == a.start + a.chunk_len
+        assert cs[-1].start + cs[-1].chunk_len - 1 == len(text)
