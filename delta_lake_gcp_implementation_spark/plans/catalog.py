@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .driver_rows import LAST_GREEN
 from . import bpeq as B
 from . import corpusq as CQ
+from . import mmr as M
 from . import curation as C
 from . import relational as R
 from . import textops as X
@@ -98,6 +99,12 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # content-defined (shift-resistant) chunking with corpus dedup
     "cdc_chunks": QuerySpec(X.q_cdc_chunks, X.ORACLE_CDC_CHUNKS),
+    # MMR diverse top-k re-ranking, oracle-replayed greedy round by round
+    "mmr_select": QuerySpec(M.q_mmr_select, M.ORACLE_MMR_SELECT),
+    # TPC-H Q20-shape correlated aggregate, decorrelated explicitly
+    "dominant_suppliers": QuerySpec(
+        R.q_dominant_suppliers, R.ORACLE_DOMINANT_SUPPLIERS
+    ),
     # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
     "minhash_lsh_pairs_capped": QuerySpec(
         X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED

@@ -2522,3 +2522,73 @@ SELECT user_id, exact_cnt, cms_est,
        cms_est <= exact_cnt + (2 * n_tot) // {cms_ops.WIDTH} AS bound_ok
 FROM est CROSS JOIN n
 """
+
+
+# ------------------------------------- correlated-agg subquery (round 5)
+
+
+def q_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20-shape correlated aggregate subquery, decorrelated the
+    Spark-first way: "suppliers shipping more than 30% of a part's
+    total volume" — the correlated `WHERE qty > 0.3 * (SELECT sum(..)
+    WHERE partkey = outer.partkey)` becomes two shared-scan hash aggs
+    and an equi-join (what Catalyst's decorrelation produces for the
+    SQL form, written explicitly so the plan is guaranteed).
+
+    Exactness: quantities are integral doubles -> BIGINT sums; the 30%
+    test cross-multiplies integers (qty*10 > tot*3) so no float
+    threshold; share is a single final division.
+
+    Scale shape: both aggs shuffle on (partkey[, suppkey]) — map-side
+    combined; the parts total re-joins on its agg key (no re-shuffle
+    under AQE same-key partitioning); supplier names broadcast."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("qty_sup")
+    )
+    tot = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("qty_part")
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.join(tot, "l_partkey")
+        .filter(
+            (F.col("qty_sup") * 10 > F.col("qty_part") * 3)
+            & (F.col("qty_part") >= 50)
+        )
+        .join(F.broadcast(s), per["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "qty_sup",
+            "qty_part",
+            (F.col("qty_sup").cast("double") / F.col("qty_part").cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+WITH li AS (
+    SELECT * FROM lineitem WHERE year(l_shipdate) = 1996
+),
+per AS (
+    SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty_sup
+    FROM li GROUP BY 1, 2
+),
+tot AS (
+    SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty_part
+    FROM li GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, per.l_partkey AS p_partkey,
+       per.qty_sup, tot.qty_part,
+       CAST(per.qty_sup AS DOUBLE) / CAST(tot.qty_part AS DOUBLE) AS share
+FROM per
+JOIN tot USING (l_partkey)
+JOIN supplier s ON per.l_suppkey = s.s_suppkey
+WHERE per.qty_sup * 10 > tot.qty_part * 3 AND tot.qty_part >= 50
+"""

@@ -132,6 +132,32 @@ def click_purchase_join(
     )
 
 
+def enrich_with_users(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the
+    static user dimension (broadcast — dims are bounded; the static
+    side is re-resolved per batch, so a dim refresh is picked up
+    without restarting the query).  The streaming twin of the C9
+    static-dim enrichment and the standard shape for attaching customer
+    tier/segment to a clickstream.  Stateless: no watermark needed —
+    stream-static joins buffer nothing."""
+    dim = F.broadcast(
+        user_dim.select(
+            F.col("user_key").alias("u_key"),
+            "user_tier",
+        )
+    )
+    return stream.join(
+        dim, stream["user_id"] == dim["u_key"], "left"
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce("user_tier", F.lit("UNKNOWN")).alias("user_tier"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> None:
     """Drain all available input into an in-memory table (test sink)."""

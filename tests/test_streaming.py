@@ -270,3 +270,19 @@ def test_streaming_agg_maintenance_marker_skips_replayed_batch(spark, event_dir,
     )
     after = {r.user_id: r.one for r in store.read("gold.t").collect()}
     assert after == before, "replayed batch_id must not double-fold"
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_dir):
+    """Stream-static broadcast join parity: availableNow over the same
+    files equals the batch join; unmatched users fall back to UNKNOWN."""
+    dim = spark.createDataFrame(
+        [(i, "gold" if i % 3 == 0 else "basic") for i in range(0, 900, 2)],
+        ["user_key", "user_tier"],
+    )
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_to_memory(jobs.enrich_with_users(stream, dim), "enrich_test")
+    batch = jobs.enrich_with_users(_batch_events(spark, event_dir), dim)
+    got = {tuple(r) for r in spark.table("enrich_test").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and got
+    assert any(r[-1] == "UNKNOWN" for r in got)  # left-join fallback hit

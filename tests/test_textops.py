@@ -849,3 +849,36 @@ def test_cdc_chunks_shift_resistant(spark, tmp_path):
         for a, b in zip(cs, cs[1:]):
             assert b.start == a.start + a.chunk_len
         assert cs[-1].start + cs[-1].chunk_len - 1 == len(text)
+
+
+def test_mmr_skips_near_duplicate_of_top_pick(spark, tmp_path):
+    """Pool contains an exact duplicate of the most relevant vector:
+    plain top-k would rank it second; MMR must defer it."""
+    import pandas as pd
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    top = [0.9, 0.1, 0.0, 0.0]
+    rows = [(0, q, 0), (1, top, 0), (2, top, 0),  # 2 duplicates 1
+            (3, [0.5, 0.5, 0.0, 0.0], 1),
+            (4, [0.4, 0.0, 0.6, 0.0], 1),
+            (5, [0.3, 0.0, 0.0, 0.7], 2),
+            (6, [0.2, 0.5, 0.5, 0.0], 2),
+            (7, [0.1, 0.2, 0.3, 0.4], 3)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    spark.createDataFrame(pdf).selectExpr(
+        "vec_id", "cast(embedding as array<float>) as embedding", "label"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    from delta_lake_gcp_implementation_spark.plans import mmr
+
+    out = sorted(mmr.q_mmr_select(spark, str(tmp_path)).collect(),
+                 key=lambda r: r.sel_rank)
+    assert out[0].vec_id in (1, 2)  # most relevant first (tie -> min id)
+    assert out[0].vec_id == 1
+    assert out[1].vec_id != 2  # the duplicate is NOT the second pick
+    # the duplicate's eventual max_sim_selected is ~1 when it appears
+    dup = [r for r in out if r.vec_id == 2]
+    if dup:
+        assert dup[0].max_sim_selected > 0.99
+    # ranks dense, scores finite
+    assert [r.sel_rank for r in out] == list(range(1, len(out) + 1))
