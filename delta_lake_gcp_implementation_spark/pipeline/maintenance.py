@@ -210,3 +210,88 @@ def scan_pruned(store: TableStore, name: str, column: str, lo, hi):
     )
     df = pruned.filter((F.col(column) >= lo) & (F.col(column) <= hi))
     return df, len(keep), len(stats)
+
+
+def build_file_bloom(
+    store: TableStore, name: str, column: str,
+    m_bits: int = 8192, k_hash: int = 3,
+) -> dict[str, list[int]]:
+    """Per-FILE bloom filters over ``column`` (Delta's bloom-filter
+    index parity): one pass over the table tagged with
+    ``input_file_name()``, bit positions folded per (file, word) with a
+    map-side-combined ``bit_or`` — at most files * m/64 shuffled rows.
+    Returns {file: words}; pair with ``scan_bloom_pruned`` for
+    point-lookup file skipping where min/max stats can't help (high
+    cardinality, unsorted layout)."""
+    from ..operators import bloom as bloom_ops
+
+    df = store.read(name).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__file"),
+        F.col(column).cast("string").alias("__key"),
+    )
+    pos = df.select(
+        "__file",
+        F.explode(
+            F.array(
+                *[
+                    bloom_ops._position(F.col("__key"), i, m_bits)
+                    for i in range(k_hash)
+                ]
+            )
+        ).alias("pos"),
+    )
+    words = (
+        pos.select(
+            "__file",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.element_at(
+                bloom_ops._pow2_array(), (F.col("pos") % 64).cast("int") + F.lit(1)
+            ).alias("bit"),
+        )
+        .groupBy("__file", "w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    out: dict[str, list[int]] = {}
+    for r in words:
+        out.setdefault(r["__file"], [0] * (m_bits // 64))[r["w"]] = int(
+            r["word"]
+        )
+    return out
+
+
+def _py_bloom_hit(key: str, words: list[int], m_bits: int, k_hash: int) -> bool:
+    import hashlib
+
+    for i in range(k_hash):
+        h = int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:15], 16)
+        p = h % m_bits
+        if not (words[p // 64] >> (p % 64)) & 1:
+            return False
+    return True
+
+
+def scan_bloom_pruned(
+    store: TableStore, name: str, column: str, value,
+    index: dict[str, list[int]], m_bits: int = 8192, k_hash: int = 3,
+):
+    """Equality-probe file skipping via the bloom index: read only
+    files whose filter says "maybe present".  False means DEFINITELY
+    absent (no false negatives), so skipped files cannot lose rows; the
+    returned frame still carries the predicate — pruning is IO-only.
+    Files missing from the index are kept (never prune on absence).
+    Returns ``(df, files_read, files_total)``."""
+    root = store.path(name)
+    files = [f for f in sorted(os.listdir(root)) if f.endswith(".parquet")]
+    keep = [
+        f
+        for f in files
+        if f not in index
+        or _py_bloom_hit(str(value), index[f], m_bits, k_hash)
+    ]
+    if not keep:
+        return store.read(name).limit(0), 0, len(files)
+    df = store.spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, f) for f in keep]
+    )
+    return df.filter(F.col(column) == value), len(keep), len(files)

@@ -235,3 +235,55 @@ def test_scan_pruned_skips_files_and_matches_full_filter(spark, tmp_path):
         store, "db.skiptest", "k", 50_000, 60_000
     )
     assert n_read0 == 0 and empty.count() == 0
+
+
+def test_read_changes_cdf_between_versions(spark, tmp_path):
+    """Change data feed: snapshot diff tags inserts / deletes / update
+    pre+post images, unchanged rows emit nothing."""
+    store = TableStore(spark, str(tmp_path))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "name", "val"]
+    )
+    store.overwrite("db.t", v0)
+    upd = spark.createDataFrame([(2, "b", 99), (4, "d", 40)], ["id", "name", "val"])
+    store.upsert("db.t", upd, keys=["id"])
+    store.delete_matched(
+        "db.t", spark.createDataFrame([(3,)], ["id"]), keys=["id"]
+    )
+    vs = [v["version"] for v in store.versions("db.t")]
+    changes = store.read_changes("db.t", vs[0], vs[-1], keys=["id"]).collect()
+    by_type = {}
+    for r in changes:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert [r.id for r in by_type["insert"]] == [4]
+    assert [r.id for r in by_type["delete"]] == [3]
+    assert [r.id for r in by_type["update_preimage"]] == [2]
+    assert by_type["update_preimage"][0].val == 20
+    assert by_type["update_postimage"][0].val == 99
+    assert all(r._commit_version == vs[-1] for r in changes)
+    # unchanged row 1 emits nothing
+    assert all(r.id != 1 for r in changes)
+    # adjacent-version feed: the delete commit alone
+    last = store.read_changes("db.t", vs[-2], vs[-1], keys=["id"]).collect()
+    assert {(r.id, r._change_type) for r in last} == {(3, "delete")}
+
+
+def test_bloom_file_index_prunes_point_lookups(spark, tmp_path):
+    """Per-file blooms skip files for equality probes with zero false
+    negatives; result equals the full-scan filter."""
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(0, 20_000).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+    )
+    # key-clustered layout: each file holds a disjoint key range
+    store.overwrite("db.c", df)
+    mt.cluster_by(store, "db.c", ["id"], n_files=8)
+    idx = mt.build_file_bloom(store, "db.c", "k")
+    assert len(idx) == 8
+    hit_df, nread, ntot = mt.scan_bloom_pruned(store, "db.c", "k", "key12345", idx)
+    assert ntot == 8 and nread <= 3  # typically 1 file (+ rare FPs)
+    assert [r.id for r in hit_df.collect()] == [12345]
+    # absent key: overwhelmingly zero files read, never a wrong row
+    miss_df, nread2, _ = mt.scan_bloom_pruned(store, "db.c", "k", "nope", idx)
+    assert nread2 <= 2 and miss_df.count() == 0
