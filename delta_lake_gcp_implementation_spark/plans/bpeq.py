@@ -119,3 +119,67 @@ WITH state0 AS MATERIALIZED (
 
 
 ORACLE_BPE_MERGES = _oracle_bpe_merges()
+
+
+def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the trained tokenizer to the corpus: per document, the
+    BPE token count after ``N_MERGES`` merges vs the raw character
+    count — the compression-ratio signal a tokenizer sweep optimizes.
+
+    Spark-first shape: the merge list is learned once (bounded vocab
+    iterations), then ENCODING is a broadcast join of the final
+    word -> n_subwords table onto the exploded corpus — the token
+    stream is never folded per-merge (words repeat; the vocab table
+    already carries each word's final segmentation)."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf, "documents")
+    vocab = bpe_ops.word_freqs(d, "text")
+    _, state = bpe_ops.bpe_train(vocab, N_MERGES)
+    seg = state.select(
+        "word", F.size("syms").cast("bigint").alias("n_subwords")
+    )
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    rounds = ",\n".join(_round_ctes(r) for r in range(N_MERGES))
+    return f"""
+WITH state0 AS MATERIALIZED (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           list_append(string_split(word, ''), '{bpe_ops.EOW}') AS syms
+    FROM ({_SQL_WORDS})
+    WHERE word <> ''
+    GROUP BY word
+),
+{rounds},
+seg AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_subwords FROM state{N_MERGES}),
+words AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS word
+        FROM documents)
+    WHERE word <> ''
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.n_subwords) AS BIGINT) AS n_bpe_tokens
+FROM words w JOIN seg s USING (word)
+GROUP BY w.doc_id
+"""
+
+
+ORACLE_BPE_ENCODE_TOKENS = _oracle_bpe_encode()

@@ -87,6 +87,14 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # iterative BPE tokenizer training, oracle-replayed round by round
     "bpe_merges": QuerySpec(B.q_bpe_merges, B.ORACLE_BPE_MERGES),
+    # corpus encoding with the trained tokenizer (compression ratio)
+    "bpe_encode_tokens": QuerySpec(
+        B.q_bpe_encode_tokens, B.ORACLE_BPE_ENCODE_TOKENS
+    ),
+    # fixed-point integer PageRank (TextRank keywords), 5 exact rounds
+    "token_pagerank": QuerySpec(
+        X.q_token_pagerank, X.ORACLE_TOKEN_PAGERANK
+    ),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

@@ -2754,3 +2754,137 @@ SELECT c.doc_id, c.chunk_idx, c.start,
        ) AS BIGINT) AS n_copies
 FROM chunks c JOIN d ON c.doc_id = d.doc_id
 """
+
+
+# --------------------------------------- token PageRank (round 5)
+
+_PR_SCALE = 1_000_000  # fixed-point micro-units
+_PR_ITERS = 5
+
+
+def _pr_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric weighted co-occurrence edges between adjacent tokens
+    (self-loops dropped), from the same LEAD-window bigram machinery as
+    PMI."""
+    from ..tables import scale_out
+
+    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    toks = scale_out(d).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    directed = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    rev = directed.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), "w"
+    )
+    return (
+        directed.union(rev)
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+
+
+def q_token_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the token co-occurrence graph — the
+    TextRank keyword-extraction primitive, and the engine's iterative
+    graph-algorithm exemplar beyond connected components.
+
+    Exactness device: FIXED-POINT INTEGER power iteration.  Ranks live
+    in micro-units; each edge's contribution is floored integer
+    division (pr*w DIV strength), so per-iteration sums are exact
+    BIGINTs with no accumulation-order sensitivity, and the DuckDB
+    oracle replays all {iters} iterations bit-for-bit (floats would
+    diverge in the last ULP under different reduce orders).
+
+    Scale shape: per iteration one (edge join + hash agg) shuffled on
+    token keys — the standard Pregel-style message pass expressed
+    relationally; localCheckpoint keeps the plan flat.  The vocab is
+    bounded; the corpus-sized work (edge building) happens once."""
+    edges = _pr_edges(spark, sf).localCheckpoint(eager=True)
+    strength = edges.groupBy("a").agg(
+        F.sum("w").cast("bigint").alias("str")
+    )
+    e = edges.join(strength, "a")
+    pr = strength.select(
+        F.col("a").alias("token"), F.lit(_PR_SCALE).cast("bigint").alias("pr")
+    )
+    base = (15 * _PR_SCALE) // 100
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(pr, e["a"] == pr["token"])
+            .select(
+                F.col("b"),
+                F.expr("(pr * w) DIV str").alias("c"),
+            )
+            .groupBy("b")
+            .agg(F.sum("c").cast("bigint").alias("contrib"))
+        )
+        pr = (
+            pr.select("token")
+            .join(contrib, pr["token"] == contrib["b"], "left")
+            .select(
+                "token",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr("(85 * coalesce(contrib, 0)) DIV 100")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def _oracle_token_pagerank() -> str:
+    rounds = []
+    for r in range(_PR_ITERS):
+        rounds.append(f"""
+contrib{r} AS MATERIALIZED (
+    SELECT e.b AS token, CAST(sum((p.pr * e.w) // e.str) AS BIGINT) AS c
+    FROM es e JOIN pr{r} p ON e.a = p.token
+    GROUP BY e.b
+),
+pr{r + 1} AS MATERIALIZED (
+    SELECT p.token,
+           CAST({(15 * _PR_SCALE) // 100} + (85 * coalesce(c.c, 0)) // 100
+                AS BIGINT) AS pr
+    FROM pr{r} p LEFT JOIN contrib{r} c USING (token)
+)""")
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+    FROM documents WHERE trim(text) <> ''
+),
+tok AS (SELECT doc_id, i, t[i] AS a, t[i + 1] AS b
+        FROM d, unnest(range(1, len(t))) AS u(i)),
+directed AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS w
+    FROM tok WHERE a <> b GROUP BY a, b
+),
+edges AS (
+    SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT a, b, w FROM directed
+        UNION ALL SELECT b AS a, a AS b, w FROM directed
+    ) GROUP BY a, b
+),
+strength AS (SELECT a, CAST(sum(w) AS BIGINT) AS str FROM edges GROUP BY a),
+es AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, s.str FROM edges e JOIN strength s USING (a)
+),
+pr0 AS MATERIALIZED (
+    SELECT a AS token, CAST({_PR_SCALE} AS BIGINT) AS pr FROM strength
+),
+{",".join(rounds)}
+SELECT token, pr FROM pr{_PR_ITERS}
+"""
+
+
+ORACLE_TOKEN_PAGERANK = _oracle_token_pagerank()

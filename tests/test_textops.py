@@ -882,3 +882,45 @@ def test_mmr_skips_near_duplicate_of_top_pick(spark, tmp_path):
         assert dup[0].max_sim_selected > 0.99
     # ranks dense, scores finite
     assert [r.sel_rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_token_pagerank_hub_ranks_highest(spark, tmp_path):
+    """A star graph: the hub token adjacent to every spoke must out-rank
+    all spokes."""
+    import pandas as pd
+
+    rows = [(i, f"hub spoke{i}") for i in range(10)]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    pr = {r.token: r.pr for r in X.q_token_pagerank(spark, str(tmp_path)).collect()}
+    assert pr["hub"] > max(v for k, v in pr.items() if k != "hub")
+    # every spoke gets the same rank (symmetric positions)
+    spokes = {v for k, v in pr.items() if k != "hub"}
+    assert len(spokes) == 1
+    assert all(v > 0 for v in pr.values())
+
+
+def test_bpe_encode_compresses_vs_chars(spark, sf_dir):
+    """BPE token count per doc is between n_words (full merges would
+    collapse each word to one symbol) and per-word char count + 1."""
+    from delta_lake_gcp_implementation_spark.plans import bpeq
+
+    rows = bpeq.q_bpe_encode_tokens(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bpe_tokens >= r.n_words  # >= one token per word
+    # merges actually fire: total tokens < chars+eow upper bound
+    total_tokens = sum(r.n_bpe_tokens for r in rows)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    upper = (
+        d.select(
+            F.sum(
+                F.length(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", ""))
+            ).alias("chars")
+        ).collect()[0].chars
+        + sum(r.n_words for r in rows)
+    )
+    assert total_tokens < upper
