@@ -95,6 +95,16 @@ _SPECS: dict[str, QuerySpec] = {
     "token_pagerank": QuerySpec(
         X.q_token_pagerank, X.ORACLE_TOKEN_PAGERANK
     ),
+    # hybrid-search reciprocal-rank fusion of exact + LSH arms
+    "hybrid_rrf_topk": QuerySpec(
+        X.q_hybrid_rrf_topk, X.ORACLE_HYBRID_RRF_TOPK
+    ),
+    # exact equi-depth quantile binning (feature discretizer)
+    "equi_depth_bins": QuerySpec(
+        R.q_equi_depth_bins, R.ORACLE_EQUI_DEPTH_BINS
+    ),
+    # 2D skyline via one sort + running min (no quadratic dominance join)
+    "pareto_parts": QuerySpec(R.q_pareto_parts, R.ORACLE_PARETO_PARTS),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

@@ -2592,3 +2592,109 @@ JOIN tot USING (l_partkey)
 JOIN supplier s ON per.l_suppkey = s.s_suppkey
 WHERE per.qty_sup * 10 > tot.qty_part * 3 AND tot.qty_part >= 50
 """
+
+
+# ------------------------------------------------- equi-depth bins (round 5)
+
+_EDB_BINS = 8
+
+
+def q_equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (quantile) binning of order totals — the feature-
+    engineering discretizer (each bin holds ~the same row count, so
+    skewed value distributions don't starve bins).  ``ntile`` over a
+    DETERMINISTIC order (value, then key — ties must not depend on
+    partitioning) + per-bin stats in exact cents.
+
+    Scale shape: ntile is one global sort — the honest cost of exact
+    equi-depth; the approximate path at 100 TB is percentile_approx
+    cut points (``q_approx_quantile_verdict``), this operator is the
+    exact twin."""
+    o = load_table(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    w = Window.orderBy(F.col("cents"), F.col("o_orderkey"))
+    binned = o.select(
+        "o_orderkey", cents.alias("cents")
+    ).withColumn("bin", F.ntile(_EDB_BINS).over(w).cast("bigint"))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.min("cents").cast("double") / 100).alias("lo_price"),
+        (F.max("cents").cast("double") / 100).alias("hi_price"),
+        (F.sum("cents").cast("double") / 100).alias("sum_price"),
+    )
+
+
+ORACLE_EQUI_DEPTH_BINS = f"""
+WITH binned AS (
+    SELECT o_orderkey,
+           CAST(o_totalprice * 100 AS BIGINT) AS cents,
+           CAST(ntile({_EDB_BINS}) OVER (
+               ORDER BY CAST(o_totalprice * 100 AS BIGINT), o_orderkey)
+             AS BIGINT) AS bin
+    FROM orders
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(cents) AS DOUBLE) / 100 AS lo_price,
+       CAST(max(cents) AS DOUBLE) / 100 AS hi_price,
+       CAST(sum(cents) AS DOUBLE) / 100 AS sum_price
+FROM binned GROUP BY bin
+"""
+
+
+# ------------------------------------------------- 2D skyline (round 5)
+
+
+def q_pareto_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """2D skyline (Pareto front): parts where no other part is both
+    cheaper AND smaller (strictly better on one axis, no worse on the
+    other).  The naive formulation is a quadratic dominance self-join;
+    expressed as ONE sort + a running minimum it is O(n log n): after
+    ordering by (price asc, size asc), a part is dominated iff some
+    EARLIER part has strictly smaller size — i.e. the exclusive
+    running-min of size undercuts it — plus the duplicate-point case
+    (an identical (price, size) seen earlier dominates by key order).
+
+    Exactness: prices compared in integer cents; window frame is
+    rows-between so ties are handled by the explicit key order."""
+    p = load_table(spark, sf, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    base = p.select(
+        "p_partkey", cents.alias("price_cents"), F.col("p_size").cast("bigint").alias("size")
+    )
+    w = (
+        Window.orderBy("price_cents", "size", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.withColumn("prev_min_size", F.min("size").over(w))
+    dominated = F.col("prev_min_size").isNotNull() & (
+        F.col("prev_min_size") <= F.col("size")
+    )
+    return flagged.filter(~dominated).select(
+        "p_partkey",
+        (F.col("price_cents").cast("double") / 100).alias("p_retailprice"),
+        F.col("size").alias("p_size"),
+    )
+
+
+ORACLE_PARETO_PARTS = """
+WITH base AS (
+    SELECT p_partkey,
+           CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+           CAST(p_size AS BIGINT) AS size
+    FROM part
+),
+flagged AS (
+    SELECT *,
+           min(size) OVER (
+               ORDER BY price_cents, size, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_min_size
+    FROM base
+)
+SELECT p_partkey,
+       CAST(price_cents AS DOUBLE) / 100 AS p_retailprice,
+       size AS p_size
+FROM flagged
+WHERE prev_min_size IS NULL OR prev_min_size > size
+"""

@@ -2888,3 +2888,111 @@ SELECT token, pr FROM pr{_PR_ITERS}
 
 
 ORACLE_TOKEN_PAGERANK = _oracle_token_pagerank()
+
+
+# --------------------------------------- hybrid rank fusion (round 5)
+
+_RRF_K = 60  # the standard RRF dampening constant
+_RRF_ARM_K = 10  # depth of each retrieval arm
+_RRF_OUT_K = 5
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval arms — the standard
+    hybrid-search combiner (Cormack et al.): an exact cosine arm and an
+    LSH-bucketed arm, fused by summed reciprocal ranks.  A neighbor
+    missing from one arm simply contributes nothing (the RRF
+    convention).
+
+    Exactness: the fused score is the SUM OF EXACTLY TWO single
+    divisions from integer ranks — written as an explicit two-term
+    addition, not an aggregation, so there is no accumulation order to
+    diverge on.
+
+    Scale shape: both arms are existing bounded plans (broadcast
+    queries / bucket equi-join); fusion is one (query, neighbor) full
+    outer join + the per-query top-k window."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _Q_CUT)
+    exact = sim.brute_force_topk(e, q, "vec_id", "embedding", k=_RRF_ARM_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_exact")
+    )
+    lsh = sim.lsh_topk(
+        e, q, "vec_id", "embedding", k=_RRF_ARM_K,
+        n_planes=_ANN_PLANES, dim=_ANN_DIM,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("rank_lsh"))
+    fused = exact.join(lsh, ["query_id", "neighbor_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_exact").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_lsh").cast("double")),
+        F.lit(0.0),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.select("query_id", "neighbor_id", "rank_exact", "rank_lsh",
+                     score.alias("rrf_score"))
+        .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= _RRF_OUT_K)
+    )
+
+
+ORACLE_HYBRID_RRF_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {_Q_CUT}),
+exact_pairs AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.v, e.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+               AS cosine
+    FROM e, q WHERE q.vec_id <> e.vec_id
+),
+exact_arm AS (
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank_exact FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM exact_pairs)
+    WHERE rn <= {_RRF_ARM_K}
+),
+c AS (SELECT vec_id, v, {{bucket}} AS bucket FROM e),
+qb AS (SELECT * FROM c WHERE vec_id < {_Q_CUT}),
+lsh_pairs AS (
+    SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(qb.v, c.v)
+             / (sqrt(list_dot_product(qb.v, qb.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cosine
+    FROM c JOIN qb ON c.bucket = qb.bucket
+    WHERE qb.vec_id <> c.vec_id
+),
+lsh_arm AS (
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank_lsh FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM lsh_pairs)
+    WHERE rn <= {_RRF_ARM_K}
+),
+fused AS (
+    SELECT coalesce(a.query_id, b.query_id) AS query_id,
+           coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+           a.rank_exact, b.rank_lsh,
+           coalesce(1.0 / ({_RRF_K}.0 + CAST(a.rank_exact AS DOUBLE)), 0.0)
+             + coalesce(1.0 / ({_RRF_K}.0 + CAST(b.rank_lsh AS DOUBLE)), 0.0)
+               AS rrf_score
+    FROM exact_arm a
+    FULL OUTER JOIN lsh_arm b
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id, rank_exact, rank_lsh, rrf_score,
+       CAST(rn AS BIGINT) AS fused_rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, neighbor_id) AS rn
+    FROM fused)
+WHERE rn <= {_RRF_OUT_K}
+"""
+ORACLE_HYBRID_RRF_TOPK = ORACLE_HYBRID_RRF_TOPK.replace(
+    "{bucket}", _sql_bucket_expr("v")
+)

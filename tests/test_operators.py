@@ -279,3 +279,57 @@ def test_count_min_merge_is_cellwise_sum(spark):
     assert sorted(map(tuple, both.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_pareto_parts_matches_bruteforce(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    got = {r.p_partkey for r in R.q_pareto_parts(spark, sf_dir).collect()}
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    pts = [(r.p_partkey, round(r.p_retailprice * 100), r.p_size) for r in parts]
+    want = set()
+    for k, pc, sz in pts:
+        dominated = any(
+            (pc2 <= pc and sz2 <= sz)
+            and ((pc2, sz2) != (pc, sz) or k2 < k)
+            for k2, pc2, sz2 in pts
+            if k2 != k
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want and got
+
+
+def test_equi_depth_bins_balanced(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    rows = sorted(R.q_equi_depth_bins(spark, sf_dir).collect(),
+                  key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(1, 9))
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile guarantee
+    # bins are ordered, non-overlapping ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_price <= b.lo_price
+
+
+def test_hybrid_rrf_prefers_double_ranked_neighbors(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    rows = X.q_hybrid_rrf_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rank_exact is not None or r.rank_lsh is not None
+        want = 0.0
+        if r.rank_exact is not None:
+            want += 1.0 / (60.0 + r.rank_exact)
+        if r.rank_lsh is not None:
+            want += 1.0 / (60.0 + r.rank_lsh)
+        assert abs(r.rrf_score - want) < 1e-12
+    for q in {r.query_id for r in rows}:
+        rs = sorted((r for r in rows if r.query_id == q),
+                    key=lambda r: r.fused_rank)
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
