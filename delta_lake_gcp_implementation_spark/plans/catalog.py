@@ -105,6 +105,16 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # 2D skyline via one sort + running min (no quadratic dominance join)
     "pareto_parts": QuerySpec(R.q_pareto_parts, R.ORACLE_PARETO_PARTS),
+    # Fellegi-Sunter record linkage with nation blocking
+    "record_linkage": QuerySpec(
+        R.q_record_linkage, R.ORACLE_RECORD_LINKAGE
+    ),
+    # dense-grid resample with exact linear interpolation
+    "linear_interpolate": QuerySpec(
+        R.q_linear_interpolate, R.ORACLE_LINEAR_INTERPOLATE
+    ),
+    # event-level sessionization (gaps-and-islands session ids)
+    "session_ids": QuerySpec(R.q_session_ids, R.ORACLE_SESSION_IDS),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

@@ -2698,3 +2698,284 @@ SELECT p_partkey,
 FROM flagged
 WHERE prev_min_size IS NULL OR prev_min_size > size
 """
+
+
+# ------------------------------------------------- record linkage (round 5)
+
+_RL_MATCH = 14  # score >= -> match
+_RL_POSSIBLE = 8  # score >= -> possible (clerical review)
+
+
+def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter-shape record linkage between the customer and
+    supplier registries: candidate pairs via BLOCKING (same nation —
+    never the cross product), then per-field agreement weights in
+    integer "bits" summed into a link score and classified
+    match / possible / non-match.  The entity-resolution workload:
+    blocking bounds the pair space, weights make agreement evidence
+    additive.
+
+    Fields: entity-number edit distance (levenshtein over the numeric
+    suffix), account-balance proximity (exact cents), plus the
+    blocking field itself.  All-integer scoring — exact cross-engine.
+
+    Scale shape: block sizes are the quadratic knob (same role as the
+    LSH bucket cap); production blocks on finer keys (nation x name
+    prefix).  Pairs below the possible threshold are dropped early."""
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("c_num"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("c_bal"),
+    )
+    s = load_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nation"),
+        F.regexp_extract("s_name", r"(\d+)$", 1).alias("s_num"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("s_bal"),
+    )
+    pairs = c.join(F.broadcast(s), "nation")
+    lev = F.levenshtein("c_num", "s_num")
+    w_num = (
+        F.when(lev == 0, F.lit(12))
+        .when(lev == 1, F.lit(6))
+        .otherwise(F.lit(0))
+    )
+    bal_close = F.abs(F.col("c_bal") - F.col("s_bal")) <= F.lit(50_000)
+    w_bal = F.when(bal_close, F.lit(4)).otherwise(F.lit(0))
+    score = (w_num + w_bal + F.lit(2)).cast("bigint")  # +2: blocking field
+    out = pairs.select(
+        "c_custkey",
+        "s_suppkey",
+        lev.cast("bigint").alias("num_distance"),
+        bal_close.alias("bal_close"),
+        score.alias("link_score"),
+        F.when(score >= _RL_MATCH, F.lit("match"))
+        .when(score >= _RL_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("link_class"),
+    )
+    return out.filter(F.col("link_score") >= _RL_POSSIBLE)
+
+
+ORACLE_RECORD_LINKAGE = f"""
+WITH c AS (
+    SELECT c_custkey, c_nationkey AS nation,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS c_num,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS c_bal
+    FROM customer
+),
+s AS (
+    SELECT s_suppkey, s_nationkey AS nation,
+           regexp_extract(s_name, '([0-9]+)$', 1) AS s_num,
+           CAST(round(s_acctbal * 100, 0) AS BIGINT) AS s_bal
+    FROM supplier
+),
+pairs AS (
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(levenshtein(c.c_num, s.s_num) AS BIGINT) AS num_distance,
+           abs(c.c_bal - s.s_bal) <= 50000 AS bal_close
+    FROM c JOIN s USING (nation)
+),
+scored AS (
+    SELECT *,
+           CAST(CASE WHEN num_distance = 0 THEN 12
+                     WHEN num_distance = 1 THEN 6 ELSE 0 END
+                + CASE WHEN bal_close THEN 4 ELSE 0 END + 2 AS BIGINT)
+             AS link_score
+    FROM pairs
+)
+SELECT c_custkey, s_suppkey, num_distance, bal_close, link_score,
+       CASE WHEN link_score >= {_RL_MATCH} THEN 'match'
+            WHEN link_score >= {_RL_POSSIBLE} THEN 'possible'
+            ELSE 'non_match' END AS link_class
+FROM scored
+WHERE link_score >= {_RL_POSSIBLE}
+"""
+
+
+# --------------------------------------------- linear interpolation (round 5)
+
+_LI_USERS = 40  # bounded user subset for the catalog query
+
+
+def q_linear_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling with LINEAR interpolation: per user, a
+    dense daily grid over their active range; missing days interpolate
+    between the surrounding observed daily totals (floor-integer cents,
+    so the ramp is exact).  ``dense_grid_fill`` fills with zeros/nulls;
+    this is the resample-and-interpolate twin every metrics pipeline
+    needs.
+
+    Exactness: interpolation is prev + (delta * offset) DIV span on
+    integer cents — no float ramps.  Edge days outside the observed
+    range stay NULL (no extrapolation).
+
+    Scale shape: one grouped agg, a per-user sequence explode (bounded
+    by the date span), and two per-user ordered windows (forward +
+    backward IGNORE NULLS carry) — all partitioned on user_id."""
+    ev = load_table(spark, sf, "events").filter(F.col("user_id") < _LI_USERS)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    g = grid.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    prev_c = F.last("cents", ignorenulls=True).over(wb)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wb)
+    next_c = F.first("cents", ignorenulls=True).over(wf)
+    next_d = F.first(obs_day, ignorenulls=True).over(wf)
+    off = F.datediff(F.col("day"), prev_d).cast("bigint")
+    span_d = F.datediff(next_d, prev_d).cast("bigint")
+    staged = g.select(
+        "user_id",
+        "day",
+        "cents",
+        prev_c.alias("__pc"),
+        next_c.alias("__nc"),
+        off.alias("__off"),
+        span_d.alias("__span"),
+    )
+    fill = F.when(F.col("cents").isNotNull(), F.col("cents")).otherwise(
+        F.when(
+            F.col("__pc").isNotNull() & F.col("__nc").isNotNull(),
+            # floor (not truncate-toward-zero) so falling ramps round
+            # the same way as the oracle's // on negative deltas
+            F.col("__pc")
+            + F.floor(
+                ((F.col("__nc") - F.col("__pc")) * F.col("__off")).cast("double")
+                / F.col("__span").cast("double")
+            ).cast("bigint"),
+        )
+    )
+    return staged.select(
+        "user_id",
+        "day",
+        F.col("cents").isNotNull().alias("observed"),
+        fill.cast("bigint").alias("value_cents"),
+    )
+
+
+ORACLE_LINEAR_INTERPOLATE = f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE user_id < {_LI_USERS}
+    GROUP BY 1, 2
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+    SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+),
+g AS (
+    SELECT grid.user_id, grid.day, daily.cents
+    FROM grid LEFT JOIN daily USING (user_id, day)
+),
+carried AS (
+    SELECT *,
+           last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+           last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           first_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+           first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+    FROM g
+)
+SELECT user_id, day,
+       cents IS NOT NULL AS observed,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 WHEN pc IS NOT NULL AND nc IS NOT NULL
+                 THEN pc + CAST(floor(
+                           CAST((nc - pc) * date_diff('day', pd, day) AS DOUBLE)
+                           / CAST(date_diff('day', pd, nd) AS DOUBLE)) AS BIGINT)
+            END AS BIGINT) AS value_cents
+FROM carried
+"""
+
+
+# ------------------------------------------------- sessionization (round 5)
+
+_SESS_GAP_MIN = 30
+
+
+def q_session_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-ID assignment (the event-level twin of the aggregated
+    ``session_window``): an event starts a new session when it follows
+    the user's previous event by more than {gap} minutes; the running
+    sum of session starts numbers each user's sessions and tags EVERY
+    event — what attribution/journey analyses join against.
+
+    Plan shape: two stacked windows over the same (user_id, ts)
+    ordering — one pass after one shuffle."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = _SESS_GAP_MIN * 60
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_s)
+    ).cast("bigint")
+    return (
+        ev.select("event_id", "user_id", "ts", is_new.alias("is_new"))
+        .withColumn(
+            "session_idx",
+            F.sum("is_new")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("bigint"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("is_new") == 1).alias("session_start"),
+            "session_idx",
+        )
+    )
+
+
+ORACLE_SESSION_IDS = f"""
+WITH marked AS (
+    SELECT event_id, user_id, ts,
+           CAST(CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > {_SESS_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       is_new = 1 AS session_start,
+       CAST(sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS session_idx
+FROM marked
+"""

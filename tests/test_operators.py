@@ -333,3 +333,73 @@ def test_hybrid_rrf_prefers_double_ranked_neighbors(spark, sf_dir):
                     key=lambda r: r.fused_rank)
         scores = [r.rrf_score for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_linear_interpolate_exact_ramp(spark, tmp_path):
+    """A gap between two observed days fills with an exact integer
+    ramp; edges never extrapolate."""
+    import pandas as pd
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9), "click", 10.0),
+        (1, datetime(2024, 1, 5, 9), "click", 50.0),
+        (2, datetime(2024, 1, 1, 9), "click", 7.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    out = {(r.user_id, str(r.day)): r for r in
+           R.q_linear_interpolate(spark, str(tmp_path)).collect()}
+    # user 1: 1000 .. 5000 cents over 4 days -> +1000/day
+    for i, want in enumerate([1000, 2000, 3000, 4000, 5000]):
+        r = out[(1, f"2024-01-0{i + 1}")]
+        assert r.value_cents == want
+        assert r.observed == (i in (0, 4))
+    # user 2: single observed day, no grid beyond it
+    assert out[(2, "2024-01-01")].value_cents == 700
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_session_ids_gap_rule(spark, tmp_path):
+    import pandas as pd
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0)),
+        (1, datetime(2024, 1, 1, 9, 20)),   # same session (20 min)
+        (1, datetime(2024, 1, 1, 10, 0)),   # new session (40 min gap)
+        (2, datetime(2024, 1, 1, 9, 0)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "click"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    out = {r.event_id: r for r in R.q_session_ids(spark, str(tmp_path)).collect()}
+    assert [out[i].session_idx for i in range(3)] == [1, 1, 2]
+    assert out[3].session_idx == 1
+    assert out[0].session_start and not out[1].session_start
+
+
+def test_record_linkage_classes(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    rows = R.q_record_linkage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.link_score >= 8
+        want = (12 if r.num_distance == 0 else 6 if r.num_distance == 1 else 0)
+        want += (4 if r.bal_close else 0) + 2
+        assert r.link_score == want
+        assert r.link_class in ("match", "possible")
