@@ -99,6 +99,17 @@ HEADLINE = [
     "count_min_verdict",
     "domain_kl",
     "sparse_cosine_pairs",
+    "cdc_chunks",
+    "mmr_select",
+    "dominant_suppliers",
+    "bpe_encode_tokens",
+    "token_pagerank",
+    "hybrid_rrf_topk",
+    "equi_depth_bins",
+    "pareto_parts",
+    "record_linkage",
+    "linear_interpolate",
+    "session_ids",
 ]
 
 
