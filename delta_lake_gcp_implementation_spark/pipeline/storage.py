@@ -76,6 +76,12 @@ from pyspark.sql import functions as F
 from ..operators.sizing import maybe_broadcast
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a commit loses the optimistic-concurrency race:
+    either its version slot was claimed by another writer, or a commit
+    landed after the caller's ``expected_version`` read."""
+
+
 class TableStore:
     """Maps logical ``db.table`` names to parquet dirs under ``root``.
 
@@ -237,19 +243,34 @@ class TableStore:
         return self._load_manifest(name, max(nums)) if nums else None
 
     def _commit(
-        self, name: str, op: str, rows: int, new_lineage: bool
+        self, name: str, op: str, rows: int, new_lineage: bool,
+        expected_version: int | None = None,
     ) -> int:
-        """Append one manifest version (atomic tmp+rename within the
-        log dir).  ``lineage`` identifies which physical directory a
-        version's files live in: it changes on every replace (the old
-        dir is archived under that lineage id) and is inherited by
-        appends.  At 100 TB this exact bookkeeping is Delta's JSON
-        commit log; the semantics here are the same, the file listing
-        is a local ``os.walk``."""
+        """Append one manifest version.  ``lineage`` identifies which
+        physical directory a version's files live in: it changes on
+        every replace (the old dir is archived under that lineage id)
+        and is inherited by appends.  At 100 TB this exact bookkeeping
+        is Delta's JSON commit log; the semantics here are the same,
+        the file listing is a local ``os.walk``.
+
+        Optimistic concurrency (Delta's commit protocol): the version
+        slot is CLAIMED with ``os.link`` — which, unlike ``os.rename``,
+        fails if the target exists — so of two racing writers exactly
+        one wins and the loser gets ``ConcurrentWriteError`` instead of
+        silently clobbering the other's manifest.  Pass
+        ``expected_version`` (from ``current_version`` read before
+        computing) to ALSO fail if any commit landed since the read —
+        the read-modify-write conflict check."""
         log = self._log_dir(name)
         os.makedirs(log, exist_ok=True)
         latest = self._latest_manifest(name)
-        version = (latest["version"] + 1) if latest else 1
+        latest_v = latest["version"] if latest else 0
+        if expected_version is not None and latest_v != expected_version:
+            raise ConcurrentWriteError(
+                f"{name}: expected version {expected_version}, "
+                f"found {latest_v} — a concurrent commit landed"
+            )
+        version = latest_v + 1
         lineage = (
             version if (new_lineage or latest is None) else latest["lineage"]
         )
@@ -263,8 +284,23 @@ class TableStore:
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(name, version))
+        try:
+            os.link(tmp, self._manifest_path(name, version))
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{name}: version {version} was claimed by a concurrent "
+                "writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
+
+    def current_version(self, name: str) -> int:
+        """Latest committed version (0 for a table with no commits) —
+        read this before a read-modify-write and pass it to the
+        mutation's ``expected_version`` for full OCC."""
+        latest = self._latest_manifest(name)
+        return latest["version"] if latest else 0
 
     def versions(self, name: str) -> list[dict]:
         """Commit history, oldest first: version / op / row_count."""

@@ -472,3 +472,57 @@ def test_read_version_preserves_pre_evolution_schema(spark, store):
     v1 = store.read_version("db.t_evo6", 1)
     assert set(v1.columns) == {"id", "v"}
     assert [(r.id, r.v) for r in v1.collect()] == [(1, "a")]
+
+
+def test_concurrent_commit_exactly_one_winner(spark, tmp_path):
+    """Two writers racing for the same version slot: os.link claims it
+    atomically — one wins, the loser raises instead of clobbering."""
+    import json
+    import os
+
+    from delta_lake_gcp_implementation_spark.pipeline.storage import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("db.occ", spark.range(10).selectExpr("id", "id * 2 AS v"))
+    v = store.current_version("db.occ")
+
+    # writer A lands version v+1 out from under writer B's read
+    store._commit("db.occ", "append", 10, new_lineage=False)
+    try:
+        store._commit(
+            "db.occ", "append", 99, new_lineage=False, expected_version=v
+        )
+        assert False, "expected ConcurrentWriteError"
+    except ConcurrentWriteError:
+        pass
+    # version history is intact: A's manifest was not clobbered
+    ops = [m["op"] for m in store.versions("db.occ")]
+    assert ops.count("append") == 1
+    counts = [m["row_count"] for m in store.versions("db.occ")]
+    assert 99 not in counts
+
+    # slot-claim race: writer B read the manifest log BEFORE writer A
+    # landed (freeze B's view with a patch), so both compute the same
+    # next version — the os.link claim must fail B, not clobber A
+    from unittest import mock
+
+    stale = store._latest_manifest("db.occ")
+    with mock.patch.object(
+        TableStore, "_latest_manifest", return_value=stale
+    ):
+        rival = json.loads(json.dumps(stale))  # A lands stale.version+1
+        path = store._manifest_path("db.occ", stale["version"] + 1)
+        rival["version"] = stale["version"] + 1
+        with open(path, "w") as f:
+            json.dump(rival, f)
+        try:
+            store._commit("db.occ", "append", 5, new_lineage=False)
+            assert False, "expected ConcurrentWriteError"
+        except ConcurrentWriteError:
+            pass
+    # A's manifest survived untouched
+    assert store._load_manifest("db.occ", rival["version"]) == rival
+    os.unlink(path)
