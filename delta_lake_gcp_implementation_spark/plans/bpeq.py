@@ -68,9 +68,12 @@ pair{r} AS MATERIALIZED (
 ),
 top{r} AS MATERIALIZED (SELECT a, b, cnt FROM pair{r} ORDER BY cnt DESC, a, b LIMIT 1),
 pos{r} AS MATERIALIZED (
+    -- LEFT JOIN ON true, not CROSS JOIN: when a round finds no pairs
+    -- (fully merged words / degenerate corpora) top{r} is EMPTY and a
+    -- cross join would collapse the state instead of carrying it
     SELECT s.word, s.freq, i, s.syms[i] AS sym,
            coalesce(s.syms[i] = t.a AND s.syms[i + 1] = t.b, false) AS cand
-    FROM state{r} s CROSS JOIN top{r} t,
+    FROM state{r} s LEFT JOIN top{r} t ON true,
          unnest(range(1, len(s.syms) + 1)) AS u(i)
 ),
 isl{r} AS MATERIALIZED (
@@ -90,7 +93,7 @@ state{r + 1} AS MATERIALIZED (
            list(CASE WHEN m.i IS NOT NULL THEN t.a || t.b ELSE p.sym END
                 ORDER BY p.i) AS syms
     FROM pos{r} p
-    CROSS JOIN top{r} t
+    LEFT JOIN top{r} t ON true
     LEFT JOIN mrk{r} m ON p.word = m.word AND p.i = m.i
     LEFT JOIN mrk{r} sk ON p.word = sk.word AND p.i = sk.i + 1
     WHERE sk.i IS NULL

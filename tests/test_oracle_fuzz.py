@@ -360,3 +360,35 @@ def test_round5_doc_queries_match_duckdb_fuzz(spark, texts):
             "unigram_surprisal",
         ],
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_DOC_ALPHABET, min_size=0, max_size=40),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_second_wave_doc_queries_match_duckdb_fuzz(spark, texts):
+    """Cross-engine parity on adversarial corpora for the round-5
+    second wave: degenerate BPE rounds (corpora that run out of pairs
+    mid-loop), sub-k-gram docs for CDC, single-token docs for the
+    bigram operators, and a guaranteed duplicate for chunk dedup."""
+    texts = list(texts) + [texts[0]]
+    _fuzz_docs_compare(
+        spark,
+        texts,
+        [
+            "bpe_merges",
+            "bpe_encode_tokens",
+            "cdc_chunks",
+            "domain_kl",
+            "sparse_cosine_pairs",
+            "token_pagerank",
+        ],
+    )
