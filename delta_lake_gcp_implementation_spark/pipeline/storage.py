@@ -601,6 +601,42 @@ class TableStore:
         self._replace(name, updated.drop("__upd__"))
         return int(matched.get["matched"])
 
+    def overwrite_where(self, name: str, cond, df: DataFrame) -> int:
+        """Delta ``replaceWhere`` parity (selective overwrite): rows
+        matching ``cond`` are replaced by ``df``; everything else is
+        untouched.  The standard idempotent daily-partition reload —
+        re-running a day replaces exactly that day.
+
+        Like Delta, rows in ``df`` that VIOLATE the predicate are a
+        constraint error (raised before any mutation, counted with
+        ``observe`` during the staging write — no extra scan): silently
+        inserting them would make the operation non-idempotent.
+        Returns the number of rows inserted."""
+        viol = Observation()
+        staged = df.observe(
+            viol,
+            F.coalesce(
+                F.sum((~cond).cast("bigint")), F.lit(0).cast("bigint")
+            ).alias("bad"),
+        )
+        staged = staged.localCheckpoint(eager=True)  # force observation
+        bad = int(viol.get["bad"])
+        if bad:
+            raise ValueError(
+                f"overwrite_where: {bad} incoming rows violate the "
+                "replace predicate — refusing a non-idempotent write"
+            )
+        kept = self.read(name).filter(~cond)
+        inserted = Observation()
+        out = kept.unionByName(
+            staged.observe(
+                inserted,
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        self._replace(name, out)
+        return int(inserted.get["n"])
+
     def update_matched(
         self,
         name: str,

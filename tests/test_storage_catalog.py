@@ -526,3 +526,47 @@ def test_concurrent_commit_exactly_one_winner(spark, tmp_path):
     # A's manifest survived untouched
     assert store._load_manifest("db.occ", rival["version"]) == rival
     os.unlink(path)
+
+
+def test_overwrite_where_replaces_exactly_the_predicate_slice(spark, tmp_path):
+    """replaceWhere parity: re-loading one day replaces that day only,
+    is idempotent, and rows violating the predicate are refused before
+    any mutation."""
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, "2024-01-01" if i < 5 else "2024-01-02", i * 10) for i in range(10)],
+        ["id", "day", "v"],
+    )
+    store.overwrite("db.daily", base)
+
+    reload_day1 = spark.createDataFrame(
+        [(i, "2024-01-01", i * 100) for i in range(3)], ["id", "day", "v"]
+    )
+    n = store.overwrite_where(
+        "db.daily", F.col("day") == "2024-01-01", reload_day1
+    )
+    assert n == 3
+    rows = {r.id: r for r in store.read("db.daily").collect()}
+    assert len(rows) == 8  # 3 reloaded + 5 untouched day-2 rows
+    assert all(rows[i].v == i * 100 for i in range(3))
+    assert all(rows[i].day == "2024-01-02" and rows[i].v == i * 10
+               for i in range(5, 10))
+
+    # idempotent: running the same reload again changes nothing
+    store.overwrite_where("db.daily", F.col("day") == "2024-01-01", reload_day1)
+    again = {r.id: (r.day, r.v) for r in store.read("db.daily").collect()}
+    assert again == {k: (r.day, r.v) for k, r in rows.items()}
+
+    # predicate violation refused BEFORE mutation
+    bad = spark.createDataFrame(
+        [(99, "2024-02-15", 1)], ["id", "day", "v"]
+    )
+    before = store.count("db.daily")
+    try:
+        store.overwrite_where("db.daily", F.col("day") == "2024-01-01", bad)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    assert store.count("db.daily") == before
