@@ -158,6 +158,40 @@ def enrich_with_users(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join_outer(
+    stream: DataFrame, lateness: str = "2 hours", lookback_minutes: int = 60
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like ``click_purchase_join`` but
+    unmatched clicks are EMITTED WITH NULLS once the watermark proves
+    no matching purchase can still arrive — the attribution
+    completeness case (every click accounted for, matched or not).
+    Outer results are inherently watermark-delayed: a null row can only
+    be produced when the join state for its time range expires."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", lateness)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", lateness)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") <= F.col("ts"))
+        & (F.col("p_ts") >= F.col("ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "event_id", "user_id", "ts", "p_event_id", "p_ts", "p_value"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "append") -> None:
     """Drain all available input into an in-memory table (test sink)."""

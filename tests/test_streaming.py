@@ -334,3 +334,46 @@ def test_session_close_events_matches_batch_sessionization(spark, event_dir):
     for r in got:
         assert r.session_start <= r.session_end
         assert r.n_events >= 1
+
+
+def test_stream_stream_outer_join_emits_unmatched_clicks(spark, event_dir):
+    """LEFT OUTER stream-stream join: matched pairs equal the inner
+    join; every unmatched click is emitted exactly once with nulls."""
+    stream = jobs.read_event_stream(spark, event_dir)
+    jobs.run_to_memory(
+        jobs.click_purchase_join_outer(stream), "outer_join_out"
+    )
+    rows = spark.table("outer_join_out").collect()
+    matched = {(r.event_id, r.p_event_id) for r in rows if r.p_event_id is not None}
+    unmatched = [r for r in rows if r.p_event_id is None]
+
+    ev = _batch_events(spark, event_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["p_ts"] <= clicks["ts"])
+        & (purchases["p_ts"] >= clicks["ts"] - F.expr("INTERVAL 60 MINUTES"))
+    )
+    batch = clicks.join(purchases, cond, "left_outer")
+    want_matched = {
+        (r.event_id, r.p_event_id)
+        for r in batch.collect() if r.p_event_id is not None
+    }
+    want_unmatched = {
+        r.event_id for r in batch.collect() if r.p_event_id is None
+    }
+    assert matched == want_matched
+    # outer emission happens only after the watermark passes; with
+    # availableNow the final watermark covers all but the stream tail
+    got_unmatched = {r.event_id for r in unmatched}
+    assert got_unmatched <= want_unmatched
+    assert len(got_unmatched) >= 0.6 * len(want_unmatched)
+    # no click is double-reported as both matched and unmatched-null
+    assert not (got_unmatched & {e for e, _ in matched})
