@@ -300,9 +300,13 @@ _SPECS: dict[str, QuerySpec] = {
 }
 
 
-# Stalest-first: never-driver-verified entries (LAST_GREEN missing -> 0)
-# lead, then ascending by last fully-green round; insertion order breaks
-# ties, so thematic grouping above is preserved within a round cohort.
+# Stalest-first with one refinement: entries whose code CHANGED after
+# their last green row (the oldest LAST_GREEN cohort) outrank
+# never-verified NEW entries — a new query losing the ~50-entry driver
+# window waits one round, while a stale-row query staying out repeats
+# the round-4 verdict's exact criticism.  Never-verified entries slot
+# between the round-1 cohort and everything newer (default 1.5); ties
+# keep insertion order, preserving the thematic grouping above.
 CATALOG: dict[str, QuerySpec] = dict(
-    sorted(_SPECS.items(), key=lambda kv: LAST_GREEN.get(kv[0], 0))
+    sorted(_SPECS.items(), key=lambda kv: LAST_GREEN.get(kv[0], 1.5))
 )
