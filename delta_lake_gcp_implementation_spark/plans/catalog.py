@@ -115,6 +115,8 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # event-level sessionization (gaps-and-islands session ids)
     "session_ids": QuerySpec(R.q_session_ids, R.ORACLE_SESSION_IDS),
+    # per-key exponential smoothing as an exact integer array fold
+    "ses_forecast": QuerySpec(R.q_ses_forecast, R.ORACLE_SES_FORECAST),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

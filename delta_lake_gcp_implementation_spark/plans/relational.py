@@ -2979,3 +2979,69 @@ SELECT event_id, user_id,
          AS session_idx
 FROM marked
 """
+
+
+# --------------------------------------------- exponential smoothing (round 5)
+
+
+def q_ses_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user simple exponential smoothing (alpha = 1/4) over the
+    daily spend series — the one-number-per-key forecasting baseline
+    every metrics warehouse ships.  The recurrence
+    ``s_t = (x_t + 3 s_{t-1}) DIV 4`` runs in FIXED-POINT INTEGER
+    arithmetic as a JVM-side fold over each user's ordered daily
+    array, so this inherently sequential computation is exact,
+    engine-reproducible, and fully SQL-replayable (DuckDB
+    ``list_reduce`` — same seed-with-first-element convention as
+    ``F.aggregate``).
+
+    Scale shape: one grouped agg to daily cents, one per-user ordered
+    collect (bounded by each user's day count), one fold — linear, no
+    iteration-per-round jobs because the recurrence lives INSIDE the
+    row as an array fold, unlike pagerank's cross-row message passing.
+
+    Precondition: series values are non-negative (spend totals), so
+    Spark ``DIV`` (truncating) and DuckDB ``//`` (flooring) agree; a
+    signed series would need the explicit-floor device of
+    ``q_linear_interpolate``."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"],
+        ).alias("xs")
+    )
+    # integer recurrence via expr: (x + 3*acc) DIV 4 — a Column lambda's
+    # `/` would lift to doubles
+    ses_int = F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)), xs[0], "
+        "(acc, x) -> (x + 3L * acc) DIV 4L)"
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.element_at("xs", -1).cast("bigint").alias("last_cents"),
+        ses_int.cast("bigint").alias("ses_cents"),
+    )
+
+
+ORACLE_SES_FORECAST = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+),
+series AS (
+    SELECT user_id, list(cents ORDER BY day) AS xs
+    FROM daily GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS BIGINT) AS n_days,
+       CAST(xs[-1] AS BIGINT) AS last_cents,
+       CAST(list_reduce(xs, (acc, x) -> (x + 3 * acc) // 4) AS BIGINT)
+           AS ses_cents
+FROM series
+"""

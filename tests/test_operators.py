@@ -403,3 +403,25 @@ def test_record_linkage_classes(spark, sf_dir):
         want += (4 if r.bal_close else 0) + 2
         assert r.link_score == want
         assert r.link_class in ("match", "possible")
+
+
+def test_ses_forecast_matches_python_recurrence(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    rows = {r.user_id: r for r in R.q_ses_forecast(spark, sf_dir).collect()}
+    assert rows
+    # replay the integer recurrence in python for every user
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    ).groupBy("user_id", "day").agg(F.sum("cents").alias("c")).collect()
+    series: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.day)):
+        series.setdefault(r.user_id, []).append(r.c)
+    for uid, xs in series.items():
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = (x + 3 * acc) // 4
+        assert rows[uid].ses_cents == acc
+        assert rows[uid].n_days == len(xs)
+        assert rows[uid].last_cents == xs[-1]
