@@ -8,8 +8,9 @@ Ordering note: the driver's correctness gate windows the FIRST ~50
 entries in dict order.  ``CATALOG`` therefore orders itself
 STALEST-FIRST from ``driver_rows.LAST_GREEN`` (generated from the
 driver's own CORRECTNESS_r*.json by ``tools/update_driver_rows.py``):
-never-verified queries first, then ascending by last fully-green round.
-Run the regen tool after each round; no hand-rotation needed.
+oldest-green-round first, with never-verified NEW entries slotted
+just after the oldest cohort (see the sort at the bottom of this
+file).  Run the regen tool after each round; no hand-rotation needed.
 """
 
 from __future__ import annotations
@@ -117,6 +118,8 @@ _SPECS: dict[str, QuerySpec] = {
     "session_ids": QuerySpec(R.q_session_ids, R.ORACLE_SESSION_IDS),
     # per-key exponential smoothing as an exact integer array fold
     "ses_forecast": QuerySpec(R.q_ses_forecast, R.ORACLE_SES_FORECAST),
+    # integer z-score anomaly flags (squared-comparison device)
+    "outlier_days": QuerySpec(R.q_outlier_days, R.ORACLE_OUTLIER_DAYS),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

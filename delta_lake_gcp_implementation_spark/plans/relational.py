@@ -3045,3 +3045,64 @@ SELECT user_id,
            AS ses_cents
 FROM series
 """
+
+
+# ------------------------------------------------- outlier days (round 5)
+
+
+def q_outlier_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user spend-anomaly detection: days whose daily total sits
+    more than 3 population standard deviations from that user's mean —
+    the monitoring/data-quality staple — computed ENTIRELY in integer
+    arithmetic: |x - mean| > 3*sigma is squared into
+    ``(n*x - sum)^2 > 9 * (n*sumsq - sum^2)`` (both sides exact
+    BIGINTs), so no float mean/stddev ever enters the comparison and
+    the oracle matches bit-for-bit.
+
+    Overflow headroom: daily cents < ~2^20, n_days < 2^10, so
+    ``(n*x - sum)^2`` stays far under 2^63.
+
+    Scale shape: one daily agg, one per-user moment agg joined back
+    broadcast-size, one map-side filter — no windows."""
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("x")
+    )
+    mom = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sq"),
+    )
+    j = daily.join(F.broadcast(mom), "user_id")
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_n2 = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    return (
+        j.filter(F.col("n") >= 3)
+        .filter(dev * dev > 9 * var_n2)
+        .select(
+            "user_id",
+            "day",
+            F.col("x").alias("day_cents"),
+            "n",
+            F.col("s").alias("sum_cents"),
+        )
+    )
+
+
+ORACLE_OUTLIER_DAYS = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+mom AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS sq
+    FROM daily GROUP BY user_id
+)
+SELECT d.user_id, d.day, d.x AS day_cents, m.n, m.s AS sum_cents
+FROM daily d JOIN mom m USING (user_id)
+WHERE m.n >= 3
+  AND (m.n * d.x - m.s) * (m.n * d.x - m.s) > 9 * (m.n * m.sq - m.s * m.s)
+"""

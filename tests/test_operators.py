@@ -425,3 +425,37 @@ def test_ses_forecast_matches_python_recurrence(spark, sf_dir):
         assert rows[uid].ses_cents == acc
         assert rows[uid].n_days == len(xs)
         assert rows[uid].last_cents == xs[-1]
+
+
+def test_outlier_days_integer_zscore(spark, tmp_path):
+    """A planted spike is flagged; steady days are not; the squared
+    comparison equals the float z-score rule."""
+    import pandas as pd
+    from datetime import datetime
+
+    # a single spike among n constant days has |z| = sqrt(n-1) at most,
+    # so n must exceed 10 for the 3-sigma rule to fire
+    rows = []
+    for d in range(1, 21):
+        rows.append((1, datetime(2024, 1, d, 9), "click",
+                     10.0 if d != 7 else 500.0))
+        rows.append((2, datetime(2024, 1, d, 9), "click", 10.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    out = R.q_outlier_days(spark, str(tmp_path)).collect()
+    assert {(r.user_id, r.day.day) for r in out} == {(1, 7)}
+    r = out[0]
+    # cross-check against the float rule
+    import math
+
+    mean = r.sum_cents / r.n
+    # recompute sumsq from the planted series
+    xs = [1000] * 19 + [50000]
+    var = sum((x - mean) ** 2 for x in xs) / r.n
+    assert abs(r.day_cents - mean) > 3 * math.sqrt(var)
