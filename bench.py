@@ -110,6 +110,8 @@ HEADLINE = [
     "record_linkage",
     "linear_interpolate",
     "session_ids",
+    "ses_forecast",
+    "outlier_days",
 ]
 
 
