@@ -120,6 +120,8 @@ _SPECS: dict[str, QuerySpec] = {
     "ses_forecast": QuerySpec(R.q_ses_forecast, R.ORACLE_SES_FORECAST),
     # integer z-score anomaly flags (squared-comparison device)
     "outlier_days": QuerySpec(R.q_outlier_days, R.ORACLE_OUTLIER_DAYS),
+    # multimodal frame-sampling index through real mapInPandas plumbing
+    "media_frames": QuerySpec(X.q_media_frames, X.ORACLE_MEDIA_FRAMES),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

@@ -2996,3 +2996,51 @@ WHERE rn <= {_RRF_OUT_K}
 ORACLE_HYBRID_RRF_TOPK = ORACLE_HYBRID_RRF_TOPK.replace(
     "{bucket}", _sql_bucket_expr("v")
 )
+
+
+# --------------------------------------- multimodal frame index (round 5)
+
+_MF_N = 4  # frames sampled per media blob
+
+
+def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame-sampling INDEX, end-to-end through the real
+    Arrow-batched ``mapInPandas`` plumbing: documents wrapped as media
+    blobs, each blob split into {n} frames, each frame fingerprinted —
+    the (media_id, frame_idx, digest) index a video/audio dedup or
+    caption pipeline joins against.  The deterministic fake sampler
+    slices raw bytes (ascii corpus: byte slice == char substr), so the
+    whole 1->N Python stage is replayed in SQL — the one catalog entry
+    that oracle-checks a Pandas-UDF operator rather than a JVM plan.
+
+    Scale shape: mapInPandas streams Arrow batches (never per-row
+    Python); downstream hashing/aggregation is JVM-side; output is
+    n_frames rows per blob — linear fan-out."""
+    from ..operators import multimodal as mm
+
+    d = load_table(spark, sf, "documents")
+    media = mm.text_as_media(d, "doc_id", "text", source="docs")
+    frames = mm.sample_frames(media, n_frames=_MF_N, fake=True)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+ORACLE_MEDIA_FRAMES = f"""
+WITH m AS (
+    SELECT doc_id AS media_id, text,
+           greatest(len(text) // {_MF_N}, 1) AS step
+    FROM documents
+),
+idx(i) AS (VALUES (0), (1), (2), (3))
+SELECT media_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(len(substr(text, CAST(i * step + 1 AS INT), CAST(step AS INT)))
+            AS BIGINT) AS frame_len,
+       md5(substr(text, CAST(i * step + 1 AS INT), CAST(step AS INT)))
+           AS frame_md5
+FROM m CROSS JOIN idx
+"""

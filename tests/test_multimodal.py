@@ -196,3 +196,27 @@ def test_real_decode_unknown_format_raises(spark):
     )
     with pytest.raises(Exception, match="no codec|NotImplemented"):
         mm.decode_media(df, fake=False).collect()
+
+
+def test_media_frames_index_tiles_and_digests(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    rows = X.q_media_frames(spark, sf_dir).collect()
+    assert rows
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    import hashlib
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for mid, rs in by_media.items():
+        assert sorted(r.frame_idx for r in rs) == [0, 1, 2, 3]
+        blob = docs[mid].encode()
+        step = max(len(blob) // 4, 1)
+        for r in rs:
+            frame = blob[r.frame_idx * step : (r.frame_idx + 1) * step]
+            assert r.frame_len == len(frame)
+            assert r.frame_md5 == hashlib.md5(frame).hexdigest()
