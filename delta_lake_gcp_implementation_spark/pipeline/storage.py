@@ -678,6 +678,19 @@ class TableStore:
         )
         return int(matched.get["matched"])
 
+    def restore(self, name: str, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION`` parity: make the
+        table's live state equal commit ``version`` again, AS A NEW
+        COMMIT — history is append-only (the restore itself is
+        time-travelable and undoable), exactly Delta's semantics.
+        Returns the new version number."""
+        snap = self.read_version(name, version)
+        # materialize before _replace swaps the live dir out from under
+        # the snapshot's file listing (the TableStore lineage rule)
+        snap = snap.localCheckpoint(eager=True)
+        self._replace(name, snap)
+        return self.current_version(name)
+
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Delta-VACUUM analog: remove orphaned artifacts under the
         store root — staging dirs left by a crashed ``_replace`` (the

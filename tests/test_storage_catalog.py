@@ -570,3 +570,27 @@ def test_overwrite_where_replaces_exactly_the_predicate_slice(spark, tmp_path):
     except ValueError:
         pass
     assert store.count("db.daily") == before
+
+
+def test_restore_to_version_is_a_new_undoable_commit(spark, tmp_path):
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    store.overwrite("db.r", spark.createDataFrame([(1, "a")], ["k", "v"]))
+    v1 = store.current_version("db.r")
+    store.upsert("db.r", spark.createDataFrame([(1, "B"), (2, "c")], ["k", "v"]),
+                 keys=["k"])
+    v2 = store.current_version("db.r")
+
+    v3 = store.restore("db.r", v1)
+    assert v3 > v2
+    assert {(r.k, r.v) for r in store.read("db.r").collect()} == {(1, "a")}
+    # history is append-only: the restore is itself time-travelable...
+    assert {(r.k, r.v) for r in store.read_version("db.r", v2).collect()} == {
+        (1, "B"), (2, "c")
+    }
+    # ...and undoable by restoring the pre-restore version
+    store.restore("db.r", v2)
+    assert {(r.k, r.v) for r in store.read("db.r").collect()} == {
+        (1, "B"), (2, "c")
+    }
