@@ -122,6 +122,8 @@ _SPECS: dict[str, QuerySpec] = {
     "outlier_days": QuerySpec(R.q_outlier_days, R.ORACLE_OUTLIER_DAYS),
     # multimodal frame-sampling index through real mapInPandas plumbing
     "media_frames": QuerySpec(X.q_media_frames, X.ORACLE_MEDIA_FRAMES),
+    # hand-built HLL, register-replayable (completes the sketch family)
+    "hll_verdict": QuerySpec(R.q_hll_verdict, R.ORACLE_HLL_VERDICT),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

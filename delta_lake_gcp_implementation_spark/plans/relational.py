@@ -3106,3 +3106,142 @@ FROM daily d JOIN mom m USING (user_id)
 WHERE m.n >= 3
   AND (m.n * d.x - m.s) * (m.n * d.x - m.s) > 9 * (m.n * m.sq - m.s * m.s)
 """
+
+
+# ------------------------------------------------- deterministic HLL (round 5)
+
+_HLL_M = 256  # registers (2^8 buckets, 52-bit rank field)
+#: combined estimator constant alpha_m * m^2 * 2^53, precomputed once so
+#: both engines use the SAME double (and DuckDB parses one e-notation
+#: literal as DOUBLE instead of overflowing DECIMAL arithmetic)
+_HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * float(_HLL_M) ** 2 * float(2 ** 53)
+
+
+def q_hll_verdict(spark: SparkSession, sf: str) -> DataFrame:
+    """Hand-built HyperLogLog, register-replayable: per event_type,
+    distinct users estimated from 256 md5-derived registers.  Unlike
+    ``q_sketch_stats`` (engine-internal HLL, bounds-checkable only),
+    every register here is a deterministic function of the data, so
+    the oracle reproduces the sketch REGISTER-FOR-REGISTER and the
+    integer register aggregates hash-match exactly; the float estimate
+    itself stays internal to the in-bounds boolean (the no-
+    transcendentals-in-compared-output rule).
+
+    Emitted: exact distinct (verdict companion), n_zero_buckets and
+    the 2^53-scaled harmonic sum (both exact BIGINTs — the full
+    sketch state), and the standard-estimator in-bounds flag.
+
+    Scale shape: one map-side-combined (type, bucket) max-agg — at
+    most types*256 shuffled rows regardless of input; the register
+    spine join is broadcast-size.  Mergeable: registers combine by
+    max, the HLL property."""
+    ev = load_table(spark, sf, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # v = h DIV m in INTEGER arithmetic: h is a 60-bit value, and a
+    # double division would shave the low bits past 2^53
+    rows = ev.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        h.alias("h"),
+    ).select(
+        "event_type", "bucket", F.expr(f"h DIV {_HLL_M}").alias("v")
+    )
+    rank = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("v"))
+    )
+    regs = rows.select("event_type", "bucket", rank.alias("r")).groupBy(
+        "event_type", "bucket"
+    ).agg(F.max("r").alias("M"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_HLL_M).select(F.col("id").cast("bigint").alias("bucket"))
+        )
+    )
+    full = spine.join(regs, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("M", F.lit(0)).cast("int").alias("M0"),
+    )
+    per = full.groupBy("event_type").agg(
+        F.sum((F.col("M0") == 0).cast("bigint")).alias("n_zero_buckets"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - M0 AS INT))")
+        ).cast("bigint").alias("inv_sum_scaled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    m = float(_HLL_M)
+    raw_est = F.lit(_HLL_C) / F.col("inv_sum_scaled").cast("double")
+    est = F.when(
+        (raw_est <= F.lit(2.5 * m)) & (F.col("n_zero_buckets") > 0),
+        F.lit(m) * F.log(F.lit(m) / F.col("n_zero_buckets").cast("double")),
+    ).otherwise(raw_est)
+    j = per.join(exact, "event_type")
+    ok = (
+        F.abs(est - F.col("n_exact").cast("double"))
+        <= F.greatest(F.lit(5.0), 0.15 * F.col("n_exact").cast("double"))
+    )
+    return j.select(
+        "event_type", "n_exact", "n_zero_buckets", "inv_sum_scaled",
+        ok.alias("hll_ok"),
+    )
+
+
+ORACLE_HLL_VERDICT = f"""
+WITH h AS (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+rows_ AS (
+    SELECT event_type, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS v FROM h
+),
+regs AS (
+    SELECT event_type, bucket,
+           max(CASE WHEN v = 0 THEN 53 ELSE 53 - len(bin(v)) END) AS M
+    FROM rows_ GROUP BY event_type, bucket
+),
+spine AS (
+    SELECT t.event_type, CAST(b.i AS BIGINT) AS bucket
+    FROM (SELECT DISTINCT event_type FROM events) t,
+         unnest(range(0, {_HLL_M})) AS b(i)
+),
+full_ AS (
+    SELECT s.event_type, s.bucket,
+           CAST(coalesce(r.M, 0) AS INT) AS M0
+    FROM spine s LEFT JOIN regs r
+      ON s.event_type = r.event_type AND s.bucket = r.bucket
+),
+per AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN M0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_buckets,
+           CAST(sum(CAST(1 AS BIGINT) << (53 - M0)) AS BIGINT)
+               AS inv_sum_scaled
+    FROM full_ GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY event_type
+),
+est AS (
+    SELECT p.event_type, p.n_zero_buckets, p.inv_sum_scaled, e.n_exact,
+           CASE WHEN {_HLL_C!r} / CAST(p.inv_sum_scaled AS DOUBLE)
+                     <= {2.5 * _HLL_M!r}
+                 AND p.n_zero_buckets > 0
+                THEN {float(_HLL_M)!r}
+                     * ln({float(_HLL_M)!r} / CAST(p.n_zero_buckets AS DOUBLE))
+                ELSE {_HLL_C!r} / CAST(p.inv_sum_scaled AS DOUBLE)
+           END AS est
+    FROM per p JOIN exact e USING (event_type)
+)
+SELECT event_type, n_exact, n_zero_buckets, inv_sum_scaled,
+       abs(est - CAST(n_exact AS DOUBLE))
+         <= greatest(5.0, 0.15 * CAST(n_exact AS DOUBLE)) AS hll_ok
+FROM est
+"""

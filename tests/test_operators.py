@@ -459,3 +459,32 @@ def test_outlier_days_integer_zscore(spark, tmp_path):
     xs = [1000] * 19 + [50000]
     var = sum((x - mean) ** 2 for x in xs) / r.n
     assert abs(r.day_cents - mean) > 3 * math.sqrt(var)
+
+
+def test_hll_verdict_registers_and_bounds(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    rows = R.q_hll_verdict(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_ok
+        assert 0 <= r.n_zero_buckets <= 256
+        # the scaled harmonic sum is bounded by m * 2^53 (all-empty)
+        assert 0 < r.inv_sum_scaled <= 256 * (1 << 53)
+        # register replay in python: same md5 scheme
+        import hashlib
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    ).collect()
+    import hashlib
+
+    regs: dict[tuple, int] = {}
+    for e in ev:
+        h = int(hashlib.md5(str(e.user_id).encode()).hexdigest()[:15], 16)
+        b, v = h % 256, h // 256
+        rank = 53 if v == 0 else 53 - v.bit_length()
+        regs[(e.event_type, b)] = max(regs.get((e.event_type, b), 0), rank)
+    for r in rows:
+        zeros = 256 - len([1 for (t, _) in regs if t == r.event_type])
+        assert r.n_zero_buckets == zeros
