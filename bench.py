@@ -112,6 +112,8 @@ HEADLINE = [
     "session_ids",
     "ses_forecast",
     "outlier_days",
+    "media_frames",
+    "hll_verdict",
 ]
 
 
