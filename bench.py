@@ -114,6 +114,7 @@ HEADLINE = [
     "outlier_days",
     "media_frames",
     "hll_verdict",
+    "max_concurrency",
 ]
 
 

@@ -124,6 +124,10 @@ _SPECS: dict[str, QuerySpec] = {
     "media_frames": QuerySpec(X.q_media_frames, X.ORACLE_MEDIA_FRAMES),
     # hand-built HLL, register-replayable (completes the sketch family)
     "hll_verdict": QuerySpec(R.q_hll_verdict, R.ORACLE_HLL_VERDICT),
+    # interval-overlap sweep: peak concurrent sessions per day
+    "max_concurrency": QuerySpec(
+        R.q_max_concurrency, R.ORACLE_MAX_CONCURRENCY
+    ),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

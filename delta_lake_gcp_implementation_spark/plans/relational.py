@@ -3245,3 +3245,109 @@ SELECT event_type, n_exact, n_zero_buckets, inv_sum_scaled,
          <= greatest(5.0, 0.15 * CAST(n_exact AS DOUBLE)) AS hll_ok
 FROM est
 """
+
+
+# ------------------------------------------------- concurrency sweep (round 5)
+
+
+def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap sweep
+    (capacity planning's load question): sessions come from the same
+    30-minute gap rule as ``q_session_ids``, become +1/-1 boundary
+    events, and a running sum over the global time order yields
+    instantaneous concurrency; per day, the max and its first peak
+    instant.  Tie rule: starts sort before ends at the same instant
+    (inclusive overlap), then user for total determinism.
+
+    Scale shape: the sweep is one ordered running sum — at test scale a
+    single global order, at 100 TB the standard day-partitioned sweep
+    (carry-in = sessions spanning midnight, bounded by peak
+    concurrency) noted here as the partitioning path."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = 30 * 60
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_s)
+    ).cast("bigint")
+    marked = ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+    sess = (
+        marked.withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    starts = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta"), "user_id"
+    )
+    ends = sess.select(
+        F.col("s_end").alias("t"), F.lit(-1).alias("delta"), "user_id"
+    )
+    bounds = starts.union(ends)
+    sweep = Window.orderBy(
+        "t", F.col("delta").desc(), "user_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    conc = bounds.withColumn(
+        "concurrent", F.sum("delta").over(sweep).cast("bigint")
+    )
+    day = F.to_date("t").alias("day")
+    pick = Window.partitionBy(F.to_date("t")).orderBy(
+        F.col("concurrent").desc(), "t", "user_id"
+    )
+    return (
+        conc.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            day,
+            F.col("concurrent").alias("max_concurrent"),
+            F.col("t").alias("first_peak_ts"),
+        )
+    )
+
+
+ORACLE_MAX_CONCURRENCY = """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CAST(CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end
+    FROM (
+        SELECT *, sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM marked)
+    GROUP BY user_id, session_idx
+),
+bounds AS (
+    SELECT s_start AS t, 1 AS delta, user_id FROM sess
+    UNION ALL
+    SELECT s_end AS t, -1 AS delta, user_id FROM sess
+),
+conc AS (
+    SELECT *, CAST(sum(delta) OVER (
+        ORDER BY t, delta DESC, user_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS concurrent
+    FROM bounds
+)
+SELECT CAST(t AS DATE) AS day, concurrent AS max_concurrent,
+       t AS first_peak_ts
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY CAST(t AS DATE)
+        ORDER BY concurrent DESC, t, user_id) AS rn
+    FROM conc)
+WHERE rn = 1
+"""

@@ -488,3 +488,32 @@ def test_hll_verdict_registers_and_bounds(spark, sf_dir):
     for r in rows:
         zeros = 256 - len([1 for (t, _) in regs if t == r.event_type])
         assert r.n_zero_buckets == zeros
+
+
+def test_max_concurrency_sweep(spark, tmp_path):
+    """Hand-crafted overlapping sessions: [9:00-9:10], [9:05-9:15],
+    [9:08-9:09] overlap 3-way; a lone afternoon session peaks at 1."""
+    import pandas as pd
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0)), (1, datetime(2024, 1, 1, 9, 10)),
+        (2, datetime(2024, 1, 1, 9, 5)), (2, datetime(2024, 1, 1, 9, 15)),
+        (3, datetime(2024, 1, 1, 9, 8)), (3, datetime(2024, 1, 1, 9, 9)),
+        (4, datetime(2024, 1, 1, 15, 0)),
+        (1, datetime(2024, 1, 2, 9, 0)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "click"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    out = {str(r.day): r for r in R.q_max_concurrency(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"].max_concurrent == 3
+    assert out["2024-01-01"].first_peak_ts == datetime(2024, 1, 1, 9, 8)
+    assert out["2024-01-02"].max_concurrent == 1
