@@ -128,6 +128,10 @@ _SPECS: dict[str, QuerySpec] = {
     "max_concurrency": QuerySpec(
         R.q_max_concurrency, R.ORACLE_MAX_CONCURRENCY
     ),
+    # two-proportion A/B significance in exact integer chi-square form
+    "ab_test_verdict": QuerySpec(
+        R.q_ab_test_verdict, R.ORACLE_AB_TEST_VERDICT
+    ),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

@@ -3351,3 +3351,76 @@ FROM (
     FROM conc)
 WHERE rn = 1
 """
+
+
+# ------------------------------------------------- A/B significance (round 5)
+
+
+def q_ab_test_verdict(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion significance test (the experimentation-platform
+    primitive): users split into variants by id parity, success =
+    converted (>= 1 purchase event); the chi-square statistic is
+    compared against the 5% critical value ENTIRELY in integers —
+    ``1000 * n * (ad-bc)^2 > 3841 * (a+b)(c+d)(a+c)(b+d)`` — so the
+    verdict boolean is exact cross-engine (no float chi-square in the
+    compared output).
+
+    Overflow headroom: user counts here are ~10^3, products stay far
+    under 2^63; at billion-user scale the comparison drops to doubles
+    (where +-1 ULP cannot flip a meaningful experiment anyway).
+
+    Scale shape: one per-user agg, one 4-cell contingency agg, one-row
+    output."""
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    cells = per_user.select(
+        (F.col("user_id") % 2 == 0).alias("variant_a"), "conv"
+    ).groupBy().agg(
+        F.sum(F.when(F.col("variant_a") & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint").alias("a_conv"),
+        F.sum(F.when(F.col("variant_a") & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint").alias("a_no"),
+        F.sum(F.when(~F.col("variant_a") & (F.col("conv") == 1), 1).otherwise(0))
+        .cast("bigint").alias("b_conv"),
+        F.sum(F.when(~F.col("variant_a") & (F.col("conv") == 0), 1).otherwise(0))
+        .cast("bigint").alias("b_no"),
+    )
+    a, b = F.col("a_conv"), F.col("a_no")
+    c, d = F.col("b_conv"), F.col("b_no")
+    n = a + b + c + d
+    det = a * d - b * c
+    lhs = F.lit(1000).cast("bigint") * n * det * det
+    rhs = (
+        F.lit(3841).cast("bigint")
+        * (a + b) * (c + d) * (a + c) * (b + d)
+    )
+    return cells.select(
+        "a_conv", "a_no", "b_conv", "b_no",
+        (lhs > rhs).alias("significant_5pct"),
+    )
+
+
+ORACLE_AB_TEST_VERDICT = """
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+cells AS (
+    SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_conv,
+        CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_no,
+        CAST(sum(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_conv,
+        CAST(sum(CASE WHEN user_id % 2 <> 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_no
+    FROM per_user
+)
+SELECT a_conv, a_no, b_conv, b_no,
+       1000 * (a_conv + a_no + b_conv + b_no)
+            * (a_conv * b_no - a_no * b_conv)
+            * (a_conv * b_no - a_no * b_conv)
+       > 3841 * (a_conv + a_no) * (b_conv + b_no)
+              * (a_conv + b_conv) * (a_no + b_no) AS significant_5pct
+FROM cells
+"""

@@ -517,3 +517,59 @@ def test_max_concurrency_sweep(spark, tmp_path):
     assert out["2024-01-01"].max_concurrent == 3
     assert out["2024-01-01"].first_peak_ts == datetime(2024, 1, 1, 9, 8)
     assert out["2024-01-02"].max_concurrent == 1
+
+
+def test_ab_test_verdict_matches_scipy_free_chi2(spark, tmp_path):
+    """Crafted strongly-significant and null experiments; the integer
+    cross-multiplied comparison equals the float chi-square rule."""
+    import pandas as pd
+    from datetime import datetime
+
+    def write(rows, path):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_type"])
+        pdf["ts"] = datetime(2024, 1, 1, 9)
+        pdf["value"] = 1.0
+        pdf["props"] = "{}"
+        pdf["event_id"] = range(len(pdf))
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            str(path / "events.parquet")
+        )
+
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    # variant A (even ids) converts 80%, B converts 20% -> significant
+    strong = []
+    for u in range(200):
+        strong.append((u, "click"))
+        conv = (u % 10 < 8) if u % 2 == 0 else (u % 10 < 2)
+        if conv:
+            strong.append((u, "purchase"))
+    d1 = tmp_path / "strong"
+    d1.mkdir()
+    write(strong, d1)
+    r = R.q_ab_test_verdict(spark, str(d1)).collect()[0]
+    assert r.significant_5pct
+    assert r.a_conv + r.a_no == 100 and r.b_conv + r.b_no == 100
+
+    # identical conversion in both arms (decided by u//2 parity, which
+    # is independent of the variant split on u parity) -> not significant
+    null = []
+    for u in range(200):
+        null.append((u, "click"))
+        if (u // 2) % 2 == 0:
+            null.append((u, "purchase"))
+    d2 = tmp_path / "null"
+    d2.mkdir()
+    write(null, d2)
+    r2 = R.q_ab_test_verdict(spark, str(d2)).collect()[0]
+    assert not r2.significant_5pct
+
+    # cross-check the integer rule against the float chi-square
+    def chi2(a, b, c, d):
+        n = a + b + c + d
+        det = a * d - b * c
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        return n * det * det / denom if denom else 0.0
+
+    assert chi2(r.a_conv, r.a_no, r.b_conv, r.b_no) > 3.841
+    assert chi2(r2.a_conv, r2.a_no, r2.b_conv, r2.b_no) <= 3.841
