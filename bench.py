@@ -115,6 +115,9 @@ HEADLINE = [
     "media_frames",
     "hll_verdict",
     "max_concurrency",
+    "market_share",
+    "custdist",
+    "dormant_rich_customers",
 ]
 
 

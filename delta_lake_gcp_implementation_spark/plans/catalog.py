@@ -132,6 +132,14 @@ _SPECS: dict[str, QuerySpec] = {
     "ab_test_verdict": QuerySpec(
         R.q_ab_test_verdict, R.ORACLE_AB_TEST_VERDICT
     ),
+    # TPC-H Q8 shape: national market share through the deep star join
+    "market_share": QuerySpec(R.q_market_share, R.ORACLE_MARKET_SHARE),
+    # TPC-H Q13 shape: customer distribution incl. zero-order customers
+    "custdist": QuerySpec(R.q_custdist, R.ORACLE_CUSTDIST),
+    # TPC-H Q22 shape: above-avg-balance anti-join win-back audience
+    "dormant_rich_customers": QuerySpec(
+        R.q_dormant_rich_customers, R.ORACLE_DORMANT_RICH_CUSTOMERS
+    ),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

@@ -3424,3 +3424,183 @@ SELECT a_conv, a_no, b_conv, b_no,
               * (a_conv + b_conv) * (a_no + b_no) AS significant_5pct
 FROM cells
 """
+
+
+# ------------------------------------------------- TPC-H classics (round 5)
+
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: the fraction of ASIA
+    customers' yearly lineitem revenue supplied by CHINA-region
+    (ASIA-nation) suppliers.  Exercises the deep star join (lineitem ->
+    orders -> customer -> nation -> region AND lineitem -> supplier ->
+    nation -> region) with a conditional-share aggregation.
+
+    Exactness: revenue in DECIMAL cents summed exactly, share is one
+    final division of exact operands; dims broadcast (nation/region/
+    supplier/customer are all dim-sized).
+
+    Scale shape: one shuffle on l_orderkey for the orders join at most
+    — every dimension join is a broadcast; the agg is map-side
+    combinable on (year)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    asia_nations = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("nk"))
+    )
+    cust = c.join(
+        F.broadcast(asia_nations), c["c_nationkey"] == F.col("nk")
+    ).select(F.col("c_custkey"))
+    supp = s.join(
+        F.broadcast(asia_nations.withColumnRenamed("nk", "snk")),
+        s["s_nationkey"] == F.col("snk"),
+        "left",
+    ).select(
+        "s_suppkey", F.col("snk").isNotNull().alias("is_local")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    j = (
+        li.join(o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.year("l_shipdate").cast("bigint").alias("year"),
+            rev_cents.alias("rev"),
+            F.col("is_local"),
+        )
+    )
+    agg = j.groupBy("year").agg(
+        F.sum(F.when(F.col("is_local"), F.col("rev")).otherwise(0))
+        .cast("bigint").alias("local_cents"),
+        F.sum("rev").cast("bigint").alias("total_cents"),
+    )
+    return agg.select(
+        "year",
+        "local_cents",
+        "total_cents",
+        (
+            F.col("local_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH asia AS (
+    SELECT n_nationkey AS nk FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+),
+j AS (
+    SELECT year(l.l_shipdate) AS year,
+           CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT) AS rev,
+           s.s_nationkey IN (SELECT nk FROM asia) AS is_local
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey IN (SELECT nk FROM asia)
+)
+SELECT CAST(year AS BIGINT) AS year,
+       CAST(sum(CASE WHEN is_local THEN rev ELSE 0 END) AS BIGINT)
+           AS local_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN is_local THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS mkt_share
+FROM j GROUP BY year
+"""
+
+
+def q_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution by order count,
+    INCLUDING zero-order customers (the left-outer-join-then-
+    redistribute pattern: group a grouped result)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+ORACLE_CUSTDIST = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape — above-average-balance customers with no
+    RECENT orders (nothing since 2000-01-01): the anti-join +
+    scalar-average filter, i.e. the win-back audience query.  Average
+    balance in exact cents via a 1-row broadcast; anti join against
+    the date-filtered order slice (predicate pushed to the scan)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    bal = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    cc = c.select("c_custkey", "c_mktsegment", bal.alias("bal_cents"))
+    avg_b = F.broadcast(
+        cc.filter(F.col("bal_cents") > 0).agg(
+            F.sum("bal_cents").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    rich = (
+        cc.crossJoin(avg_b)
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .select("c_custkey", "c_mktsegment", "bal_cents")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    dormant = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("bal_cents").cast("bigint").alias("sum_bal_cents"),
+    )
+
+
+ORACLE_DORMANT_RICH_CUSTOMERS = """
+WITH cc AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+    FROM customer
+),
+avg_b AS (
+    SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cc WHERE bal_cents > 0
+),
+rich AS (
+    SELECT cc.* FROM cc CROSS JOIN avg_b
+    WHERE cc.bal_cents * avg_b.n > avg_b.s
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+FROM rich
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = rich.c_custkey
+      AND o.o_orderdate >= DATE '2000-01-01'
+)
+GROUP BY c_mktsegment
+"""

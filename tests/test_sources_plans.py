@@ -258,3 +258,15 @@ def test_second_wave_plans_stay_jvm_side_and_bounded(spark):
     # weighted_sample: threshold table broadcasts onto the corpus scan
     p = _plan(spark, "weighted_sample")
     assert "BroadcastHashJoin" in p
+
+
+def test_tpch_classic_plans(spark):
+    """Q8/Q13/Q22 shapes: deep star join broadcasts every dim; the
+    anti join filter pushes the date predicate to the orders scan."""
+    p = _plan(spark, "market_share")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    p = _plan(spark, "custdist")
+    assert "EvalPython" not in p
+    p = _plan(spark, "dormant_rich_customers")
+    assert "PushedFilters" in p or "o_orderdate" in p  # pushdown visible
