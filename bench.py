@@ -118,6 +118,7 @@ HEADLINE = [
     "market_share",
     "custdist",
     "dormant_rich_customers",
+    "big_orders",
 ]
 
 

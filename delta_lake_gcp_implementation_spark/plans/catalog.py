@@ -140,6 +140,8 @@ _SPECS: dict[str, QuerySpec] = {
     "dormant_rich_customers": QuerySpec(
         R.q_dormant_rich_customers, R.ORACLE_DORMANT_RICH_CUSTOMERS
     ),
+    # TPC-H Q18 shape: HAVING subquery as a pre-agg semi join
+    "big_orders": QuerySpec(R.q_big_orders, R.ORACLE_BIG_ORDERS),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

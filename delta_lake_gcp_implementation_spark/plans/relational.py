@@ -3604,3 +3604,48 @@ WHERE NOT EXISTS (
 )
 GROUP BY c_mktsegment
 """
+
+
+def q_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: orders whose total
+    lineitem quantity exceeds a threshold, rejoined to customer and
+    their lineitems (the HAVING-subquery-as-semi-join pattern: the
+    heavy groupBy runs once, its qualifying keys drive a semi join
+    instead of recomputing the sum in a correlated subquery)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("total_qty")
+    )
+    big = qty.filter(F.col("total_qty") > 300)
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            .alias("total_cents"),
+            "total_qty",
+        )
+    )
+
+
+ORACLE_BIG_ORDERS = """
+WITH qty AS (
+    SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+       q.total_qty
+FROM orders o
+JOIN qty q ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
