@@ -119,6 +119,8 @@ HEADLINE = [
     "custdist",
     "dormant_rich_customers",
     "big_orders",
+    "cheapest_supplier",
+    "rolling_wau",
 ]
 
 

@@ -142,6 +142,12 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # TPC-H Q18 shape: HAVING subquery as a pre-agg semi join
     "big_orders": QuerySpec(R.q_big_orders, R.ORACLE_BIG_ORDERS),
+    # TPC-H Q2 shape: per-part argmin over a correlated aggregate
+    "cheapest_supplier": QuerySpec(
+        R.q_cheapest_supplier, R.ORACLE_CHEAPEST_SUPPLIER
+    ),
+    # rolling 7-day distinct actives (non-decomposable sliding distinct)
+    "rolling_wau": QuerySpec(R.q_rolling_wau, R.ORACLE_ROLLING_WAU),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

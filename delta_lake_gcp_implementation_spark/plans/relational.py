@@ -3649,3 +3649,114 @@ FROM orders o
 JOIN qty q ON o.o_orderkey = q.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 """
+
+
+def q_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape — per-part argmin over a correlated aggregate:
+    each part's cheapest supplier by observed average unit price,
+    expressed as one (part, supplier) agg + a per-part argmin window
+    (the decorrelated form of `price = (SELECT min(...) WHERE partkey
+    = outer.partkey)`).  Unit price ranks via one IEEE division of
+    exact integer sums (identical rounding both engines); suppkey
+    breaks ties."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .alias("sum_cents"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+    unit = (F.col("sum_cents").cast("double") / F.col("qty").cast("double"))
+    w = Window.partitionBy("l_partkey").orderBy(
+        unit.asc(), F.col("l_suppkey")
+    )
+    best = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.join(
+        F.broadcast(s.select("s_suppkey", "s_name")),
+        best["l_suppkey"] == F.col("s_suppkey"),
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_suppkey",
+        "s_name",
+        "sum_cents",
+        "qty",
+        unit.alias("unit_price_cents"),
+    )
+
+
+ORACLE_CHEAPEST_SUPPLIER = """
+WITH per AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+best AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY l_partkey
+            ORDER BY CAST(sum_cents AS DOUBLE) / CAST(qty AS DOUBLE),
+                     l_suppkey) AS rn
+        FROM per)
+    WHERE rn = 1
+)
+SELECT b.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+       b.sum_cents, b.qty,
+       CAST(b.sum_cents AS DOUBLE) / CAST(b.qty AS DOUBLE)
+           AS unit_price_cents
+FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+"""
+
+
+def q_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users — the growth-metrics staple that
+    needs DISTINCT over a sliding window (not sum-decomposable, so no
+    window-function shortcut exists): the (day, user) distinct pairs
+    join a day spine covering their next 7 days, then one distinct
+    count per day.  Exact, linear at 7x the pair count.
+
+    Scale note: the 7x fan-out is the honest exact algorithm; the
+    sketch path at 100 TB merges per-day HLL registers
+    (``q_hll_verdict``'s registers combine by max across days)."""
+    ev = load_table(spark, sf, "events")
+    pairs = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
+    contrib = pairs.crossJoin(F.broadcast(offsets)).select(
+        F.date_add("day", F.col("off")).alias("as_of_day"), "user_id"
+    )
+    bounds = F.broadcast(
+        pairs.agg(
+            F.min("day").alias("d0"), F.max("day").alias("d1")
+        )
+    )
+    return (
+        contrib.crossJoin(bounds)
+        .filter(
+            (F.col("as_of_day") >= F.col("d0"))
+            & (F.col("as_of_day") <= F.col("d1"))
+        )
+        .groupBy("as_of_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+
+
+ORACLE_ROLLING_WAU = """
+WITH pairs AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM pairs),
+contrib AS (
+    SELECT day + CAST(o.i AS INT) AS as_of_day, user_id
+    FROM pairs, unnest(range(0, 7)) AS o(i)
+)
+SELECT as_of_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib CROSS JOIN bounds
+WHERE as_of_day >= d0 AND as_of_day <= d1
+GROUP BY as_of_day
+"""

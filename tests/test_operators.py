@@ -573,3 +573,33 @@ def test_ab_test_verdict_matches_scipy_free_chi2(spark, tmp_path):
 
     assert chi2(r.a_conv, r.a_no, r.b_conv, r.b_no) > 3.841
     assert chi2(r2.a_conv, r2.a_no, r2.b_conv, r2.b_no) <= 3.841
+
+
+def test_rolling_wau_window_semantics(spark, tmp_path):
+    """WAU(day) counts distinct users active in [day-6, day]."""
+    import pandas as pd
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9)),
+        (2, datetime(2024, 1, 3, 9)),
+        (1, datetime(2024, 1, 10, 9)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "click"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    out = {str(r.as_of_day): r.wau for r in
+           R.q_rolling_wau(spark, str(tmp_path)).collect()}
+    assert out["2024-01-01"] == 1          # user 1
+    assert out["2024-01-03"] == 2          # users 1 and 2
+    assert out["2024-01-07"] == 2          # both still in window
+    assert out["2024-01-08"] == 1          # user 1's day-1 expired
+    assert out["2024-01-09"] == 1          # user 2 still in window
+    assert out["2024-01-10"] == 1          # user 1 returns
