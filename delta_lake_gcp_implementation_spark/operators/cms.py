@@ -101,8 +101,15 @@ def estimate_counts(
             )
         ).alias("cell"),
     ).select("*", "cell.d", "cell.bucket").drop("cell")
-    joined = probes.join(F.broadcast(sketch), ["d", "bucket"])
+    # LEFT join + coalesce-to-0: a grid cell the build pass never
+    # touched holds an implicit 0, so an unseen probe item must return
+    # cms_est=0 (not vanish from the output), and a partially-empty
+    # probe takes the true min-of-cells including the zeros instead of
+    # overestimating from the non-empty cells alone.
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
     keys = [c for c in items.columns]
     return joined.groupBy(*keys).agg(
-        F.min("total").cast("bigint").alias("cms_est")
+        F.min(F.coalesce(F.col("total"), F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("cms_est")
     )

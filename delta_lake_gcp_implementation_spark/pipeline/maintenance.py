@@ -280,14 +280,29 @@ def scan_bloom_pruned(
     absent (no false negatives), so skipped files cannot lose rows; the
     returned frame still carries the predicate — pruning is IO-only.
     Files missing from the index are kept (never prune on absence).
+    Walks hive-partitioned subdirs like ``file_count`` (a top-level-only
+    listing would silently return 0 rows for ``write_partitioned``
+    layouts); the index is keyed by basename to match
+    ``build_file_bloom``'s ``input_file_name()`` tail.
     Returns ``(df, files_read, files_total)``."""
     root = store.path(name)
-    files = [f for f in sorted(os.listdir(root)) if f.endswith(".parquet")]
+    files = sorted(
+        os.path.relpath(os.path.join(d, f), root)
+        for d, _subdirs, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"scan_bloom_pruned: no parquet files under {root}"
+        )
     keep = [
         f
         for f in files
-        if f not in index
-        or _py_bloom_hit(str(value), index[f], m_bits, k_hash)
+        if os.path.basename(f) not in index
+        or _py_bloom_hit(
+            str(value), index[os.path.basename(f)], m_bits, k_hash
+        )
     ]
     if not keep:
         return store.read(name).limit(0), 0, len(files)

@@ -358,14 +358,20 @@ class TableStore:
         o = old.select(
             *[F.col(k).alias(f"__ok_{k}") for k in keys],
             *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+            F.lit(True).alias("__o_present"),
         )
         n = new.select(
             *[F.col(k).alias(f"__nk_{k}") for k in keys],
             *[F.col(c).alias(f"__n_{c}") for c in data_cols],
+            F.lit(True).alias("__n_present"),
         )
+        # eqNullSafe join + explicit presence sentinels: a genuine NULL
+        # business key must still match its counterpart (a null-unsafe
+        # join would misreport it as delete+insert), and side-absence is
+        # derived from the sentinel, never from key nullness.
         cond = None
         for k in keys:
-            c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+            c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
             cond = c if cond is None else (cond & c)
         j = o.join(n, cond, "full_outer")
 
@@ -377,8 +383,8 @@ class TableStore:
             fields.append(F.lit(tag).alias("_change_type"))
             return F.struct(*fields)
 
-        old_absent = F.col(f"__ok_{keys[0]}").isNull()
-        new_absent = F.col(f"__nk_{keys[0]}").isNull()
+        old_absent = F.col("__o_present").isNull()
+        new_absent = F.col("__n_present").isNull()
         changed = F.lit(False)
         for c in data_cols:
             neq = ~(
@@ -611,12 +617,20 @@ class TableStore:
         constraint error (raised before any mutation, counted with
         ``observe`` during the staging write — no extra scan): silently
         inserting them would make the operation non-idempotent.
-        Returns the number of rows inserted."""
+        Returns the number of rows inserted.
+
+        Three-valued logic matters here: a row where ``cond`` evaluates
+        to NULL is NON-matching in Delta's replaceWhere — it must be
+        retained on the kept side and flagged as a violation on the
+        incoming side.  A bare ``filter(~cond)`` would silently drop
+        NULL-predicate rows from the table, so both sides coalesce the
+        predicate to False first."""
+        matched = F.coalesce(cond, F.lit(False))
         viol = Observation()
         staged = df.observe(
             viol,
             F.coalesce(
-                F.sum((~cond).cast("bigint")), F.lit(0).cast("bigint")
+                F.sum((~matched).cast("bigint")), F.lit(0).cast("bigint")
             ).alias("bad"),
         )
         staged = staged.localCheckpoint(eager=True)  # force observation
@@ -626,7 +640,7 @@ class TableStore:
                 f"overwrite_where: {bad} incoming rows violate the "
                 "replace predicate — refusing a non-idempotent write"
             )
-        kept = self.read(name).filter(~cond)
+        kept = self.read(name).filter(~matched)
         inserted = Observation()
         out = kept.unionByName(
             staged.observe(

@@ -2627,9 +2627,10 @@ def q_equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE_EQUI_DEPTH_BINS = f"""
 WITH binned AS (
     SELECT o_orderkey,
-           CAST(o_totalprice * 100 AS BIGINT) AS cents,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
            CAST(ntile({_EDB_BINS}) OVER (
-               ORDER BY CAST(o_totalprice * 100 AS BIGINT), o_orderkey)
+               ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                        o_orderkey)
              AS BIGINT) AS bin
     FROM orders
 )

@@ -287,3 +287,49 @@ def test_bloom_file_index_prunes_point_lookups(spark, tmp_path):
     # absent key: overwhelmingly zero files read, never a wrong row
     miss_df, nread2, _ = mt.scan_bloom_pruned(store, "db.c", "k", "nope", idx)
     assert nread2 <= 2 and miss_df.count() == 0
+
+
+def test_bloom_pruned_scan_walks_partitioned_layouts(spark, tmp_path):
+    """ADVICE r5: scan_bloom_pruned over a write_partitioned (hive
+    subdir) table must find the part files — a top-level-only listing
+    sees 0 files and silently returns an empty frame."""
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"key{i}", "even" if i % 2 == 0 else "odd") for i in range(200)],
+        ["id", "k", "parity"],
+    )
+    store.overwrite("db.part", df)
+    mt.write_partitioned(store, "db.part", df, ["parity"])
+    idx = mt.build_file_bloom(store, "db.part", "k")
+    assert len(idx) >= 2  # at least one file per partition dir
+    hit_df, nread, ntot = mt.scan_bloom_pruned(
+        store, "db.part", "k", "key123", idx
+    )
+    assert ntot == mt.file_count(store, "db.part") and ntot >= 2
+    assert nread >= 1
+    assert [r.id for r in hit_df.collect()] == [123]
+    # partition column survives the basePath read
+    assert hit_df.collect()[0].parity == "odd"
+
+
+def test_read_changes_null_business_key_matches_null_safely(spark, tmp_path):
+    """ADVICE r5: a genuine NULL business key must pair across versions
+    (eqNullSafe) — not be misread as a delete+insert — and absence is
+    derived from a presence sentinel, not key nullness."""
+    store = TableStore(spark, str(tmp_path))
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (None, "nullkey", 20)],
+        "id int, name string, val int",
+    )
+    store.overwrite("db.nk", v0)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (None, "nullkey", 99)],
+        "id int, name string, val int",
+    )
+    store.overwrite("db.nk", v1)
+    vs = [v["version"] for v in store.versions("db.nk")]
+    changes = store.read_changes("db.nk", vs[-2], vs[-1], keys=["id"]).collect()
+    # exactly one update pair for the NULL-keyed row; no phantom
+    # insert/delete, and the unchanged id=1 row emits nothing
+    got = sorted((r._change_type, r.val) for r in changes)
+    assert got == [("update_postimage", 99), ("update_preimage", 20)]

@@ -603,3 +603,24 @@ def test_rolling_wau_window_semantics(spark, tmp_path):
     assert out["2024-01-08"] == 1          # user 1's day-1 expired
     assert out["2024-01-09"] == 1          # user 2 still in window
     assert out["2024-01-10"] == 1          # user 1 returns
+
+
+def test_count_min_unseen_items_estimate_zero(spark):
+    """ADVICE r5: probing the sketch with items never built in must
+    return cms_est=0 (left join + coalesce), not vanish from the
+    output or overestimate from only the non-empty cells."""
+    from delta_lake_gcp_implementation_spark.operators import cms
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    sketch = cms.build_count_min(df, "k", width=64, depth=3)
+    probes = spark.createDataFrame(
+        [("a",), ("zz-unseen-1",), ("zz-unseen-2",)], ["k"]
+    )
+    est = {r.k: r.cms_est for r in
+           cms.estimate_counts(probes, sketch, "k", width=64, depth=3).collect()}
+    assert set(est) == {"a", "zz-unseen-1", "zz-unseen-2"}
+    assert est["a"] >= 2
+    # 3 items in a 64-wide grid: overwhelmingly all-empty cells for the
+    # unseen probes; min-with-zero guarantees <= true CMS estimate and
+    # here exactly 0 unless all 3 depth rows collide
+    assert est["zz-unseen-1"] == 0 and est["zz-unseen-2"] == 0

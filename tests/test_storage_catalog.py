@@ -594,3 +594,40 @@ def test_restore_to_version_is_a_new_undoable_commit(spark, tmp_path):
     assert {(r.k, r.v) for r in store.read("db.r").collect()} == {
         (1, "B"), (2, "c")
     }
+
+
+def test_overwrite_where_null_predicate_rows_are_retained_and_flagged(
+    spark, tmp_path
+):
+    """ADVICE r5: three-valued logic — rows where the predicate
+    evaluates to NULL are NON-matching (Delta replaceWhere semantics):
+    kept on the existing side, refused as violations on the incoming
+    side.  A bare filter(~cond) would silently drop them."""
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10), (2, "2024-01-02", 20), (3, None, 30)],
+        "id int, day string, v int",
+    )
+    store.overwrite("db.nullday", base)
+    reload_day1 = spark.createDataFrame(
+        [(1, "2024-01-01", 100)], "id int, day string, v int"
+    )
+    n = store.overwrite_where(
+        "db.nullday", F.col("day") == "2024-01-01", reload_day1
+    )
+    assert n == 1
+    rows = {r.id: (r.day, r.v) for r in store.read("db.nullday").collect()}
+    # the NULL-day row (predicate -> NULL) survives the overwrite
+    assert rows == {1: ("2024-01-01", 100), 2: ("2024-01-02", 20), 3: (None, 30)}
+
+    # an incoming NULL-predicate row is a violation, refused pre-mutation
+    bad = spark.createDataFrame([(9, None, 1)], "id int, day string, v int")
+    before = store.count("db.nullday")
+    try:
+        store.overwrite_where("db.nullday", F.col("day") == "2024-01-01", bad)
+        assert False, "expected ValueError for NULL-predicate incoming row"
+    except ValueError:
+        pass
+    assert store.count("db.nullday") == before
