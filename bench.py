@@ -63,7 +63,6 @@ HEADLINE = [
     "dup_clusters",
     "semantic_dedup",
     "simhash_near_dups",
-    "simhash_near_dups_capped",
     "cosine_topk",
     "ann_lsh_topk",
     # corpus curation family

@@ -55,6 +55,9 @@ _SPECS: dict[str, QuerySpec] = {
         X.q_ann_ivf_trained, X.ORACLE_ANN_IVF_TRAINED
     ),
     "semantic_dedup": QuerySpec(X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP),
+    "semantic_dedup_tuned": QuerySpec(
+        X.q_semantic_dedup_tuned, X.ORACLE_SEMANTIC_DEDUP_TUNED
+    ),
     "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
     "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
     "stratified_sample": QuerySpec(
@@ -173,11 +176,6 @@ _SPECS: dict[str, QuerySpec] = {
     # capped-candidate exact-Jaccard verify: the corpus-scale form
     "ngram_jaccard_capped": QuerySpec(
         X.q_ngram_jaccard_capped, X.ORACLE_NGRAM_JACCARD_CAPPED
-    ),
-    # capped simhash near-dups: the corpus-scale form (100x: uncapped
-    # hung on mega-bucket stragglers, capped runs in seconds)
-    "simhash_near_dups_capped": QuerySpec(
-        X.q_simhash_near_dups_capped, X.ORACLE_SIMHASH_NEAR_DUPS_CAPPED
     ),
     # incremental corpus dedup pipeline: real two-batch ingest into a
     # throwaway store; oracle replays every drop decision in SQL
@@ -333,13 +331,29 @@ _SPECS: dict[str, QuerySpec] = {
 }
 
 
+# Queries whose DEFINITION changed after their last green driver row:
+# the recorded green no longer certifies current code, so they outrank
+# everything (sort key 0).  Remove a name once a newer round's
+# CORRECTNESS row lands for it (update_driver_rows regen makes the
+# entry here redundant but harmless).
+FORCE_STALE: set[str] = {
+    # r6: redefined from the uncapped oracle-parity pin to the
+    # production max_bucket=64 form (r5 verdict item 4); the r5 green
+    # row verified the old uncapped definition.
+    "simhash_near_dups",
+}
+
 # Stalest-first with one refinement: entries whose code CHANGED after
-# their last green row (the oldest LAST_GREEN cohort) outrank
-# never-verified NEW entries — a new query losing the ~50-entry driver
-# window waits one round, while a stale-row query staying out repeats
-# the round-4 verdict's exact criticism.  Never-verified entries slot
-# between the round-1 cohort and everything newer (default 1.5); ties
-# keep insertion order, preserving the thematic grouping above.
+# their last green row (FORCE_STALE, then the oldest LAST_GREEN cohort)
+# outrank never-verified NEW entries — a new query losing the ~50-entry
+# driver window waits one round, while a stale-row query staying out
+# repeats the round-4 verdict's exact criticism.  Never-verified
+# entries slot between the round-1 cohort and everything newer
+# (default 1.5); ties keep insertion order, preserving the thematic
+# grouping above.
 CATALOG: dict[str, QuerySpec] = dict(
-    sorted(_SPECS.items(), key=lambda kv: LAST_GREEN.get(kv[0], 1.5))
+    sorted(
+        _SPECS.items(),
+        key=lambda kv: 0 if kv[0] in FORCE_STALE else LAST_GREEN.get(kv[0], 1.5),
+    )
 )
