@@ -137,8 +137,14 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Full catalog coverage (r5 verdict item 5): headline keys first —
+    # their order is the flagship narrative — then every remaining
+    # catalog key, so BENCH_r*.json carries one wall-time per catalog
+    # entry and a per-key regression is visible, not hidden in a family
+    # aggregate.
+    all_keys = HEADLINE + [k for k in CATALOG if k not in HEADLINE]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in all_keys:
         builder = CATALOG[name].builder
         best = float("inf")
         for _ in range(2):  # best-of-2: damp scheduler/GC stalls

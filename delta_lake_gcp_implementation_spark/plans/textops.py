@@ -1682,46 +1682,19 @@ def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     Spark and DuckDB (struct-min window frames don't exist in SQL).
     Positions are capped at 2^20-1 chars/doc at test scale; production
     docs beyond 1 MiB would widen the hash to fewer bits or chunk first.
-    """
-    from ..tables import scale_out
+
+    Delegates to ``operators.winnowing.fingerprints`` with the
+    ``algo="md5"`` oracle-parity knob; production corpora switch to
+    ``algo="xxhash64"`` (same selection statistics, ~one JVM intrinsic
+    per gram instead of digest+hex+conv — the r5 100x rehearsal showed
+    the md5 constant dominating at 75M grams)."""
+    from ..operators import winnowing
 
     d = load_table(spark, sf, "documents")
-    grams = scale_out(d).select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length("text") - (_WIN_K - 1), F.lit(1)),
-            )
-        ).alias("pos"),
-        "text",
+    return winnowing.fingerprints(
+        d, "text", "doc_id", k=_WIN_K, w=_WIN_W, algo="md5",
+        hash_bits=40, pos_bits=_POS_BITS,
     )
-    hashed = grams.select(
-        "doc_id",
-        "pos",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("text").substr(F.col("pos"), F.lit(_WIN_K))), 1, 10),
-                16,
-                10,
-            ).cast("bigint")
-            * (1 << _POS_BITS)
-            + (F.lit(_POS_MASK) - F.col("pos"))
-        ).alias("packed"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WIN_W - 1), 0)
-    )
-    sel = hashed.select(
-        "doc_id", F.min("packed").over(w).alias("s")
-    )
-    return sel.select(
-        "doc_id",
-        F.expr(f"s div {1 << _POS_BITS}").alias("fingerprint"),
-        (F.lit(_POS_MASK) - F.col("s") % (1 << _POS_BITS)).cast("bigint").alias("fp_pos"),
-    ).distinct()
 
 
 ORACLE_WINNOWING_FINGERPRINTS = f"""
@@ -2765,53 +2738,18 @@ def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one position explode (linear in chars — the same cost
     class as winnowing), per-doc windows for boundary ordering, one
     hash-partitioned window for the corpus copy count.  No pair joins:
-    dedup is an equi-group on chunk_hash."""
-    from ..tables import scale_out
+    dedup is an equi-group on chunk_hash.
 
-    d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
-    base = scale_out(d).select("doc_id", "text", F.length("text").alias("n"))
-    # candidate boundary = end position of a zero-residue k-gram; the
-    # document end is always a boundary (sentinel)
-    pos = base.select(
-        "doc_id",
-        "text",
-        "n",
-        F.explode(
-            F.when(
-                F.col("n") >= _CDC_K, F.sequence(F.lit(_CDC_K), F.col("n"))
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("i"),
-    )
-    gram_hash = F.conv(
-        F.substring(
-            F.md5(F.substring("text", F.col("i") - F.lit(_CDC_K - 1), _CDC_K)),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    bounds = pos.filter(gram_hash % _CDC_DIV == 0).select("doc_id", "i")
-    sentinel = base.select("doc_id", F.col("n").cast("int").alias("i"))
-    all_bounds = bounds.union(sentinel).distinct()
-    w = Window.partitionBy("doc_id").orderBy("i")
-    chunks = (
-        all_bounds.withColumn("start", F.coalesce(F.lag("i").over(w) + 1, F.lit(1)))
-        .withColumn("chunk_idx", (F.row_number().over(w) - 1).cast("bigint"))
-        .join(base.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.col("start").cast("bigint").alias("start"),
-            (F.col("i") - F.col("start") + 1).cast("bigint").alias("chunk_len"),
-            F.md5(
-                F.substring("text", F.col("start"), F.col("i") - F.col("start") + 1)
-            ).alias("chunk_hash"),
-        )
-    )
-    cw = Window.partitionBy("chunk_hash")
-    return chunks.withColumn(
-        "n_copies", F.count(F.lit(1)).over(cw).cast("bigint")
+    Delegates to ``operators.winnowing.cdc_chunks`` with the
+    ``algo="md5"`` oracle-parity knob; production corpora switch to
+    ``algo="xxhash64"`` (same boundary statistics — uniform residues —
+    without the per-gram digest cost)."""
+    from ..operators import winnowing
+
+    d = load_table(spark, sf, "documents")
+    return winnowing.cdc_chunks(
+        d, "text", "doc_id", k=_CDC_K, div=_CDC_DIV, algo="md5",
+        hash_bits=60,
     )
 
 

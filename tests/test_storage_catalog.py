@@ -631,3 +631,88 @@ def test_overwrite_where_null_predicate_rows_are_retained_and_flagged(
     except ValueError:
         pass
     assert store.count("db.nullday") == before
+
+
+def _occ_worker(root: str, widx: int, n_commits: int, out_q) -> None:
+    """Child process: commit n_commits manifests against a shared log,
+    retrying on ConcurrentWriteError (no Spark needed — the commit
+    protocol is pure filesystem)."""
+    import random
+    import time as _t
+
+    from delta_lake_gcp_implementation_spark.pipeline.storage import (
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    store = TableStore.__new__(TableStore)  # skip __init__'s catalog scan
+    store.spark = None
+    store.root = root
+    won = []
+    for i in range(n_commits):
+        while True:
+            try:
+                v = store._commit(
+                    "db.stress", f"w{widx}-{i}", widx * 1000 + i,
+                    new_lineage=False,
+                )
+                won.append((v, f"w{widx}-{i}"))
+                break
+            except ConcurrentWriteError:
+                _t.sleep(random.random() * 0.01)
+    out_q.put((widx, won))
+
+
+def test_occ_commit_protocol_multiprocess_stress(tmp_path):
+    """VERDICT r5 item 8: N OS processes x M commits racing one table
+    log.  Linearizable outcome required: versions dense 1..N*M, every
+    worker's every commit lands exactly once, no manifest clobbered
+    (each version's op matches the single worker that believes it won
+    that slot)."""
+    import json as _json
+    import multiprocessing as mp
+    import os as _os
+
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+    n_workers, n_commits = 8, 12
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_occ_worker, args=(str(tmp_path), w, n_commits, q))
+        for w in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    claims = {}
+    for _ in range(n_workers):
+        widx, won = q.get(timeout=120)
+        for v, op in won:
+            assert v not in claims, f"two workers think they won v{v}"
+            claims[v] = op
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+
+    store = TableStore.__new__(TableStore)
+    store.spark = None
+    store.root = str(tmp_path)
+    log = store._log_dir("db.stress")
+    versions = sorted(
+        int(f[:-5]) for f in _os.listdir(log)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    total = n_workers * n_commits
+    # dense, complete, exactly one manifest per commit
+    assert versions == list(range(1, total + 1))
+    assert len(claims) == total
+    for v in versions:
+        with open(store._manifest_path("db.stress", v)) as f:
+            m = _json.load(f)
+        assert m["version"] == v
+        # the on-disk manifest is the one its claimed winner wrote
+        assert m["op"] == claims[v]
+        w, i = claims[v][1:].split("-")
+        assert m["row_count"] == int(w) * 1000 + int(i)
+    # no stray tmp files leaked by losing writers
+    assert not [f for f in _os.listdir(log) if f.startswith(".tmp-")]

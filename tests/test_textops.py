@@ -944,3 +944,51 @@ def test_bpe_encode_compresses_vs_chars(spark, sf_dir):
         + sum(r.n_words for r in rows)
     )
     assert total_tokens < upper
+
+
+def test_winnowing_knob_guarantee_holds_for_both_hashes(spark):
+    """operators.winnowing: the Schleimer match guarantee (any shared
+    substring of length >= k + w - 1 yields a shared fingerprint) is a
+    property of the SELECTION, not of which hash ran — so the xxhash64
+    production knob must satisfy it exactly like the md5 oracle knob."""
+    from delta_lake_gcp_implementation_spark.operators import winnowing
+
+    shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "zzzzzzzz " + shared),
+            (3, "completely unrelated text with no overlap whatsoever!"),
+        ],
+        ["doc_id", "text"],
+    )
+    for algo in winnowing.ALGOS:
+        fp = winnowing.fingerprints(df, "text", "doc_id", k=8, w=4, algo=algo)
+        by_doc = {}
+        for r in fp.collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert by_doc[1] & by_doc[2], algo  # guaranteed shared print
+        # density: winnowing stores far fewer prints than grams
+        assert len(by_doc[1]) < len(df.collect()[0].text)
+
+
+def test_cdc_knob_shift_resistance_holds_for_both_hashes(spark):
+    """operators.winnowing.cdc_chunks: inserting a prefix must leave
+    the trailing chunk set intact (boundaries are content-defined), for
+    the md5 oracle knob AND the xxhash64 production knob."""
+    from delta_lake_gcp_implementation_spark.operators import winnowing
+
+    body = "".join(f"word{i} " for i in range(120))
+    df = spark.createDataFrame(
+        [(1, body), (2, "INSERTED PREFIX >>> " + body)], ["doc_id", "text"]
+    )
+    for algo in winnowing.ALGOS:
+        ch = winnowing.cdc_chunks(df, "text", "doc_id", k=8, div=32, algo=algo)
+        rows = ch.collect()
+        h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+        h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+        # all but the first chunk (absorbing the insertion) realign
+        overlap = len(h1 & h2) / len(h1)
+        assert overlap >= 0.8, (algo, overlap)
+        # copy counts reflect the cross-doc dedup
+        assert any(r.n_copies == 2 for r in rows), algo

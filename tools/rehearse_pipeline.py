@@ -1,0 +1,116 @@
+"""100x rehearsal for the medallion/relational family (VERDICT r5
+item 7): the r5 100x table covered docs/vectors only; this drives the
+reference-shaped pipeline at 100x the reference's daily batch (9M rows
+vs 90k) and the headline relational queries on the key-offset 100x
+tables from ``gen_scale_rel.py``.
+
+Usage:
+    python tools/gen_scale_rel.py /tmp/sfrel100 100   # once
+    python tools/rehearse_pipeline.py [n_rows] [rel_dir]
+
+Prints one wall-time line per stage; factors vs the sf0.1/90k bench
+row are the scale verdict (linear = factor <= data growth).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REL_QUERIES = [
+    "star_rollup",
+    "rolling_wau",
+    "max_concurrency",
+    "topn_revenue",
+    "customer_rollup",
+    "fact_build",
+]
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 9_000_000
+    rel_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfrel100"
+
+    from delta_lake_gcp_implementation_spark.pipeline import (
+        fixtures,
+        medallion,
+    )
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+    from delta_lake_gcp_implementation_spark.plans import CATALOG
+    from delta_lake_gcp_implementation_spark.session import get_spark
+
+    spark = get_spark(app_name="rehearse_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    medallion.RESULT_JSON_ENABLED = False
+
+    def clock(label: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        print(f"{label}: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = TableStore(spark, tmp)
+        raw = fixtures.generate_day_spark(spark, 1, n_rows)
+        clock(
+            f"medallion_incremental_{n_rows}",
+            lambda: medallion.run_incremental(store, raw),
+        )
+        raw2 = fixtures.generate_day_spark(spark, 2, n_rows)
+        b2 = medallion.new_batch_id()
+        wm = medallion.read_watermark(store, "bronze")
+        medallion.validate_bronze(store, raw2, b2, watermark=wm)
+        medallion.load_bronze(store, b2)
+        medallion.run_silver(store, b2)
+        clock(
+            "scd2_dim_customer",
+            lambda: medallion.scd2_dim_customer(store, b2),
+        )
+        clock(
+            "scd2_dim_merchant",
+            lambda: medallion.scd2_dim_merchant(store, b2),
+        )
+        victim = (
+            store.read("silver.transactions")
+            .select("customer_id")
+            .first()
+            .customer_id
+        )
+        clock(
+            "gdpr_dual_delete",
+            lambda: medallion.gdpr_delete(store, victim, "BATCH_RH_GDPR"),
+        )
+        clock(
+            "silver_full_refresh",
+            lambda: medallion.full_refresh_silver(
+                store, "BATCH_RH_FRS", confirm="YES"
+            ),
+        )
+        clock(
+            "fact_full_refresh",
+            lambda: medallion.full_refresh_fact(
+                store, "BATCH_RH_FRF", confirm="YES"
+            ),
+        )
+
+    if os.path.isdir(rel_dir):
+        for name in REL_QUERIES:
+            builder = CATALOG[name].builder
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                builder(spark, rel_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            print(f"{name}: {best:.1f}s", flush=True)
+    else:
+        print(f"(skipping relational queries: {rel_dir} missing)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
