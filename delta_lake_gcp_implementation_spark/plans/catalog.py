@@ -341,6 +341,10 @@ FORCE_STALE: set[str] = {
     # production max_bucket=64 form (r5 verdict item 4); the r5 green
     # row verified the old uncapped definition.
     "simhash_near_dups",
+    # r6: sweep re-partitioned by day with carry-in (the 100x rehearsal
+    # caught the global-order window serializing on one core); the r5
+    # green row verified the global-sweep definition.
+    "max_concurrency",
 }
 
 # Stalest-first with one refinement: entries whose code CHANGED after
