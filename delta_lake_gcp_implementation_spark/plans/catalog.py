@@ -151,6 +151,9 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # rolling 7-day distinct actives (non-decomposable sliding distinct)
     "rolling_wau": QuerySpec(R.q_rolling_wau, R.ORACLE_ROLLING_WAU),
+    "rolling_wau_hll": QuerySpec(
+        R.q_rolling_wau_hll, R.ORACLE_ROLLING_WAU_HLL
+    ),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
         R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT

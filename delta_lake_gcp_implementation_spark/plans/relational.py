@@ -3785,3 +3785,158 @@ FROM contrib CROSS JOIN bounds
 WHERE as_of_day >= d0 AND as_of_day <= d1
 GROUP BY as_of_day
 """
+
+
+def q_rolling_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users via MERGED per-day HLL registers —
+    the sketch path ``q_rolling_wau``'s docstring promises for 100 TB
+    (r6, production-knob twin).  The exact algorithm fans every
+    (day, user) pair out 7x; this one reduces each day to 256
+    registers FIRST (one map-side-combined max-agg, <= days*256
+    shuffled rows regardless of input), then merges windows by max —
+    the HLL merge property — so the window fan-out touches 7*256 rows
+    per day instead of 7x the distinct-pair stream.
+
+    Register math is ``q_hll_verdict``'s md5 device, so the oracle
+    replays every merged register and the integer sketch state
+    (n_zero_buckets, scaled harmonic sum) hash-matches exactly; the
+    float estimate stays inside the in-bounds boolean vs the exact WAU
+    companion."""
+    ev = load_table(spark, sf, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    rows = ev.select(
+        F.to_date("ts").alias("day"),
+        (h % _HLL_M).alias("bucket"),
+        h.alias("h"),
+    ).select("day", "bucket", F.expr(f"h DIV {_HLL_M}").alias("v"))
+    rank = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("v"))
+    )
+    day_regs = (
+        rows.select("day", "bucket", rank.alias("r"))
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("M"))
+    )
+    offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
+    bounds = F.broadcast(
+        day_regs.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    merged = (
+        day_regs.crossJoin(F.broadcast(offsets))
+        .select(
+            F.date_add("day", F.col("off")).alias("as_of_day"),
+            "bucket",
+            "M",
+        )
+        .crossJoin(bounds)
+        .filter(
+            (F.col("as_of_day") >= F.col("d0"))
+            & (F.col("as_of_day") <= F.col("d1"))
+        )
+        .groupBy("as_of_day", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    spine = merged.select("as_of_day").distinct().crossJoin(
+        spark.range(_HLL_M).select(F.col("id").cast("bigint").alias("bucket"))
+    )
+    full = spine.join(merged, ["as_of_day", "bucket"], "left").select(
+        "as_of_day",
+        F.coalesce("M", F.lit(0)).cast("int").alias("M0"),
+    )
+    per = full.groupBy("as_of_day").agg(
+        F.sum((F.col("M0") == 0).cast("bigint")).alias("n_zero_buckets"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - M0 AS INT))")
+        ).cast("bigint").alias("inv_sum_scaled"),
+    )
+    exact = q_rolling_wau(spark, sf).withColumnRenamed("wau", "wau_exact")
+    m = float(_HLL_M)
+    raw_est = F.lit(_HLL_C) / F.col("inv_sum_scaled").cast("double")
+    est = F.when(
+        (raw_est <= F.lit(2.5 * m)) & (F.col("n_zero_buckets") > 0),
+        F.lit(m) * F.log(F.lit(m) / F.col("n_zero_buckets").cast("double")),
+    ).otherwise(raw_est)
+    j = per.join(exact, per.as_of_day == exact.as_of_day).drop(
+        exact.as_of_day
+    )
+    ok = (
+        F.abs(est - F.col("wau_exact").cast("double"))
+        <= F.greatest(F.lit(5.0), 0.15 * F.col("wau_exact").cast("double"))
+    )
+    return j.select(
+        "as_of_day", "wau_exact", "n_zero_buckets", "inv_sum_scaled",
+        ok.alias("wau_hll_ok"),
+    )
+
+
+ORACLE_ROLLING_WAU_HLL = f"""
+WITH h AS (
+    SELECT CAST(ts AS DATE) AS day,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+),
+rows_ AS (
+    SELECT day, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS v FROM h
+),
+day_regs AS (
+    SELECT day, bucket,
+           max(CASE WHEN v = 0 THEN 53 ELSE 53 - len(bin(v)) END) AS M
+    FROM rows_ GROUP BY day, bucket
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM day_regs),
+merged AS (
+    SELECT day + CAST(o.i AS INT) AS as_of_day, bucket, max(M) AS M
+    FROM day_regs, unnest(range(0, 7)) AS o(i), bounds
+    WHERE day + CAST(o.i AS INT) >= d0 AND day + CAST(o.i AS INT) <= d1
+    GROUP BY 1, 2
+),
+spine AS (
+    SELECT d.as_of_day, CAST(b.i AS BIGINT) AS bucket
+    FROM (SELECT DISTINCT as_of_day FROM merged) d,
+         unnest(range(0, {_HLL_M})) AS b(i)
+),
+full_ AS (
+    SELECT s.as_of_day, CAST(coalesce(m.M, 0) AS INT) AS M0
+    FROM spine s LEFT JOIN merged m
+      ON s.as_of_day = m.as_of_day AND s.bucket = m.bucket
+),
+per AS (
+    SELECT as_of_day,
+           CAST(sum(CASE WHEN M0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_buckets,
+           CAST(sum(CAST(1 AS BIGINT) << (53 - M0)) AS BIGINT)
+               AS inv_sum_scaled
+    FROM full_ GROUP BY as_of_day
+),
+pairs AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+pbounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM pairs),
+contrib AS (
+    SELECT day + CAST(o.i AS INT) AS as_of_day, user_id
+    FROM pairs, unnest(range(0, 7)) AS o(i)
+),
+exact AS (
+    SELECT as_of_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact
+    FROM contrib CROSS JOIN pbounds
+    WHERE as_of_day >= d0 AND as_of_day <= d1
+    GROUP BY as_of_day
+),
+est AS (
+    SELECT p.as_of_day, e.wau_exact, p.n_zero_buckets, p.inv_sum_scaled,
+           CASE WHEN {_HLL_C!r} / CAST(p.inv_sum_scaled AS DOUBLE)
+                     <= {2.5 * _HLL_M!r}
+                 AND p.n_zero_buckets > 0
+                THEN {float(_HLL_M)!r}
+                     * ln({float(_HLL_M)!r} / CAST(p.n_zero_buckets AS DOUBLE))
+                ELSE {_HLL_C!r} / CAST(p.inv_sum_scaled AS DOUBLE)
+           END AS est
+    FROM per p JOIN exact e USING (as_of_day)
+)
+SELECT as_of_day, wau_exact, n_zero_buckets, inv_sum_scaled,
+       abs(est - CAST(wau_exact AS DOUBLE))
+         <= greatest(5.0, 0.15 * CAST(wau_exact AS DOUBLE)) AS wau_hll_ok
+FROM est
+"""
