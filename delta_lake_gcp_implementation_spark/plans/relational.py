@@ -3838,10 +3838,12 @@ def q_rolling_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("as_of_day", "bucket")
         .agg(F.max("M").alias("M"))
     )
+    # days*256 rows on both sides: broadcast (stats don't reveal the
+    # bounded size, so Catalyst would sort-merge otherwise)
     spine = merged.select("as_of_day").distinct().crossJoin(
         spark.range(_HLL_M).select(F.col("id").cast("bigint").alias("bucket"))
     )
-    full = spine.join(merged, ["as_of_day", "bucket"], "left").select(
+    full = spine.join(F.broadcast(merged), ["as_of_day", "bucket"], "left").select(
         "as_of_day",
         F.coalesce("M", F.lit(0)).cast("int").alias("M0"),
     )
@@ -3858,7 +3860,7 @@ def q_rolling_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
         (raw_est <= F.lit(2.5 * m)) & (F.col("n_zero_buckets") > 0),
         F.lit(m) * F.log(F.lit(m) / F.col("n_zero_buckets").cast("double")),
     ).otherwise(raw_est)
-    j = per.join(exact, per.as_of_day == exact.as_of_day).drop(
+    j = per.join(F.broadcast(exact), per.as_of_day == exact.as_of_day).drop(
         exact.as_of_day
     )
     ok = (
