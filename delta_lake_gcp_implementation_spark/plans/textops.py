@@ -972,6 +972,17 @@ FROM reach GROUP BY src
 _SEM_BUCKET_TARGET = 64  # expected vectors per LSH bucket
 _SEM_MIN_PLANES = 4
 _SEM_MAX_PLANES = 24
+# buckets above this are near-dup MEGA-CLUSTERS (adding planes barely
+# splits them — their members genuinely co-sign every hyperplane, the
+# 100x skew probe measured max_bucket 3653 -> 2140 from p=12 -> p=18):
+# inside them pair generation switches from all-pairs to a hub star
+# (every member verified against the bucket's min-id), linear in
+# bucket size.  For true near-identical clusters the star IS the
+# SemDeDup verdict (one canonical, rest dropped); only borderline
+# members that fail vs the hub but pass vs each other can split —
+# the documented precision trade of every capped candidate generator
+# in this file.
+_SEM_CAP = 512
 
 
 def tuned_plane_count(n: int) -> int:
@@ -999,7 +1010,16 @@ def q_semantic_dedup_tuned(spark: SparkSession, sf: str) -> DataFrame:
     The corpus count is parquet-footer metadata (no data scan); the
     first p deterministic hyperplanes are a prefix of the 24-plane
     family, which is how the oracle replays the same buckets by
-    masking a fixed 24-plane bucket to the low p bits."""
+    masking a fixed 24-plane bucket to the low p bits.
+
+    Pair topology is HYBRID (the actual 100x fix — the planes knob
+    alone left 114 s at 200k vectors because mega-clusters of
+    near-identical vectors resist splitting): buckets <= _SEM_CAP do
+    all-pairs; larger buckets verify each member against the bucket's
+    min-id hub only, so their cost is linear in members instead of
+    n_bucket^2.  Both regimes are one deterministic predicate
+    (``n <= cap OR id_a = hub``, hub = bucket min id), which the
+    oracle replays verbatim."""
     from ..tables import scale_out
 
     e = load_table(spark, sf, "embeddings")
@@ -1011,17 +1031,35 @@ def q_semantic_dedup_tuned(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("bucket", sim.lsh_bucket(F.col("v"), planes))
         .withColumn("nrm", sim.norm(F.col("v")))
     )
-    a = c.select(
+    sizes = c.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bn"), F.min("vec_id").alias("hub_id")
+    )
+    cs = c.join(sizes, "bucket")
+    a_cols = [
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("bucket"), F.col("nrm").alias("na"),
-    )
-    b = c.select(
+    ]
+    b_cols = [
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
         F.col("bucket"), F.col("nrm").alias("nb"),
+    ]
+    small = cs.filter(F.col("bn") <= _SEM_CAP)
+    pairs_small = (
+        small.select(*a_cols)
+        .join(small.select(*b_cols), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # mega buckets: hub row joined to every other member — the join
+    # OUTPUT is linear in members (all-pairs rows are never generated)
+    big = cs.filter(F.col("bn") > _SEM_CAP)
+    hubs = big.filter(F.col("vec_id") == F.col("hub_id")).select(*a_cols)
+    pairs_star = (
+        big.filter(F.col("vec_id") != F.col("hub_id"))
+        .select(*b_cols)
+        .join(hubs, "bucket")
     )
     pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs_small.unionByName(pairs_star.select(pairs_small.columns))
         .filter(
             sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
             >= _NEAR_DUP_COS
@@ -1052,10 +1090,17 @@ c AS (SELECT vec_id, v,
              ({_sql_bucket_expr("v", _SEM_MAX_PLANES)})
                % (1::BIGINT << (SELECT np FROM p)) AS bucket,
              sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sizes AS (
+    SELECT bucket, count(*) AS bn, min(vec_id) AS hub_id
+    FROM c GROUP BY bucket
+),
 pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
+    FROM c a
+    JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN sizes s ON s.bucket = a.bucket
+    WHERE (s.bn <= {_SEM_CAP} OR a.vec_id = s.hub_id)
+      AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
 ),
 edges AS (
     SELECT id_a AS src, id_b AS dst FROM pairs
