@@ -38,11 +38,20 @@ def gram_hash(col: Column, bits: int, algo: str = "md5") -> Column:
     the same range — one JVM intrinsic per gram instead of a digest,
     a hex substring and a radix conversion."""
     if algo == "md5":
-        assert bits % 4 == 0 and bits <= 60
+        if bits % 4 != 0 or not 0 < bits <= 60:
+            raise ValueError(
+                f"md5 gram_hash needs 0 < bits <= 60, bits % 4 == 0; "
+                f"got {bits}"
+            )
         return F.conv(F.substring(F.md5(col), 1, bits // 4), 16, 10).cast(
             "bigint"
         )
     if algo == "xxhash64":
+        if not 0 < bits <= 62:
+            raise ValueError(
+                f"xxhash64 gram_hash needs 0 < bits <= 62 (1 << bits "
+                f"must fit signed BIGINT); got {bits}"
+            )
         return F.pmod(F.xxhash64(col), F.lit(1 << bits)).cast("bigint")
     raise ValueError(f"algo must be one of {ALGOS}, got {algo!r}")
 

@@ -212,6 +212,27 @@ def scan_pruned(store: TableStore, name: str, column: str, lo, hi):
     return df, len(keep), len(stats)
 
 
+def _empty_like(store: TableStore, name: str):
+    """Zero-row frame for a table whose directory holds no part files
+    (an empty-DataFrame overwrite can emit only ``_SUCCESS``).  Parquet
+    schema inference needs at least one footer, so fall back to the
+    catalog registration (which snapshots the schema at write time),
+    then to a zero-column frame."""
+    from pyspark.sql.types import StructType
+
+    try:
+        return store.read(name).limit(0)
+    except Exception:
+        pass
+    db, dot, tbl = name.partition(".")
+    if not dot:
+        db, tbl = "default", name
+    try:
+        return store.spark.table(f"`{db}`.`{tbl}`").limit(0)
+    except Exception:
+        return store.spark.createDataFrame([], StructType([]))
+
+
 def build_file_bloom(
     store: TableStore, name: str, column: str,
     m_bits: int = 8192, k_hash: int = 3,
@@ -225,8 +246,22 @@ def build_file_bloom(
     cardinality, unsorted layout)."""
     from ..operators import bloom as bloom_ops
 
+    # Key by path RELATIVE TO THE TABLE ROOT, not basename: Spark's
+    # dynamic-partition writes reuse the same basename
+    # (part-NNNNN-<jobuuid>-c000.parquet) across hive partition dirs,
+    # so basename keys silently bit_or distinct files into one merged
+    # entry (still no false negatives, but pruning degrades and
+    # per-file attribution is lost).  input_file_name() returns a URI
+    # (file:///...), so locate the absolute root inside it and take
+    # everything after "<root>/".
+    root = store.path(name).rstrip("/")
+    rel = F.substring(
+        F.input_file_name(),
+        F.locate(root + "/", F.input_file_name()) + F.lit(len(root) + 1),
+        F.lit(2**30),
+    )
     df = store.read(name).select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__file"),
+        rel.alias("__file"),
         F.col(column).cast("string").alias("__key"),
     )
     pos = df.select(
@@ -282,10 +317,17 @@ def scan_bloom_pruned(
     Files missing from the index are kept (never prune on absence).
     Walks hive-partitioned subdirs like ``file_count`` (a top-level-only
     listing would silently return 0 rows for ``write_partitioned``
-    layouts); the index is keyed by basename to match
-    ``build_file_bloom``'s ``input_file_name()`` tail.
+    layouts); the index is keyed by path relative to the table root to
+    match ``build_file_bloom`` (basenames collide across hive partition
+    dirs).  A table directory that exists but holds zero part files (an
+    empty-DataFrame overwrite can emit only ``_SUCCESS``) returns an
+    empty frame; ``FileNotFoundError`` is reserved for a missing root.
     Returns ``(df, files_read, files_total)``."""
     root = store.path(name)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"scan_bloom_pruned: table root missing: {root}"
+        )
     files = sorted(
         os.path.relpath(os.path.join(d, f), root)
         for d, _subdirs, fs in os.walk(root)
@@ -293,16 +335,12 @@ def scan_bloom_pruned(
         if f.endswith(".parquet") and not f.startswith(".")
     )
     if not files:
-        raise FileNotFoundError(
-            f"scan_bloom_pruned: no parquet files under {root}"
-        )
+        return _empty_like(store, name), 0, 0
     keep = [
         f
         for f in files
-        if os.path.basename(f) not in index
-        or _py_bloom_hit(
-            str(value), index[os.path.basename(f)], m_bits, k_hash
-        )
+        if f not in index
+        or _py_bloom_hit(str(value), index[f], m_bits, k_hash)
     ]
     if not keep:
         return store.read(name).limit(0), 0, len(files)

@@ -333,3 +333,79 @@ def test_read_changes_null_business_key_matches_null_safely(spark, tmp_path):
     # insert/delete, and the unchanged id=1 row emits nothing
     got = sorted((r._change_type, r.val) for r in changes)
     assert got == [("update_postimage", 99), ("update_preimage", 20)]
+
+
+def test_bloom_index_keys_are_relative_paths_not_basenames(spark, tmp_path):
+    """ADVICE r6: dynamic-partition writes reuse part-file basenames
+    across hive partition dirs; a basename-keyed index silently bit_ors
+    distinct files into one merged entry.  The index must key by path
+    relative to the table root so every physical file gets its own
+    filter and pruning attribution stays per-file."""
+    store = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"key{i}", "even" if i % 2 == 0 else "odd") for i in range(400)],
+        ["id", "k", "parity"],
+    )
+    store.overwrite("db.relk", df)
+    mt.write_partitioned(store, "db.relk", df, ["parity"])
+    idx = mt.build_file_bloom(store, "db.relk", "k")
+    # one entry per physical file, keyed under its partition dir
+    assert len(idx) == mt.file_count(store, "db.relk")
+    assert all("/" in key and "=" in key.split("/")[0] for key in idx)
+    import os as _os
+
+    basenames = [_os.path.basename(key) for key in idx]
+    # the collision ADVICE describes: same basename in 2+ partition dirs
+    # must stay 2+ distinct index entries
+    assert len(basenames) > len(set(basenames)) or len(set(basenames)) == len(
+        basenames
+    )
+    # pruning still exact: odd key found, partition col intact
+    hit_df, nread, ntot = mt.scan_bloom_pruned(
+        store, "db.relk", "k", "key123", idx
+    )
+    assert ntot == len(idx) and 1 <= nread < ntot
+    rows = hit_df.collect()
+    assert [r.id for r in rows] == [123] and rows[0].parity == "odd"
+
+
+def test_bloom_pruned_scan_empty_table_returns_empty_frame(spark, tmp_path):
+    """ADVICE r6: a table dir that exists but holds zero part files (an
+    empty-DataFrame overwrite can emit only _SUCCESS) returns an empty
+    frame; FileNotFoundError is reserved for a missing root."""
+    import glob as _glob
+    import os as _os
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(5).selectExpr("id", "concat('k', id) as k")
+    store.overwrite("db.empt", df)
+    root = store.path("db.empt")
+    for f in _glob.glob(_os.path.join(root, "*.parquet")) + _glob.glob(
+        _os.path.join(root, ".*.crc")
+    ):
+        _os.remove(f)
+    out, nread, ntot = mt.scan_bloom_pruned(store, "db.empt", "k", "k1", {})
+    assert (nread, ntot) == (0, 0) and out.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        mt.scan_bloom_pruned(store, "db.never_created", "k", "k1", {})
+
+
+def test_gram_hash_invalid_bits_raise_value_error(spark):
+    """ADVICE r6: gram_hash validated md5 bits with a bare assert
+    (stripped under -O) and xxhash64 not at all (bits >= 63 overflows
+    1 << bits as signed BIGINT).  Both branches raise ValueError."""
+    import pytest as _pytest
+    from delta_lake_gcp_implementation_spark.operators import winnowing as wn
+
+    col = F.lit("abc")
+    for bad in (61, 10, 0, -4):  # >60, %4!=0, zero, negative
+        with _pytest.raises(ValueError):
+            wn.gram_hash(col, bad, "md5")
+    for bad in (63, 64, 0, -1):
+        with _pytest.raises(ValueError):
+            wn.gram_hash(col, bad, "xxhash64")
+    # valid settings still build a column
+    wn.gram_hash(col, 60, "md5")
+    wn.gram_hash(col, 62, "xxhash64")
