@@ -59,7 +59,6 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard",
-    "ngram_jaccard_capped",
     "dup_clusters",
     "semantic_dedup",
     "simhash_near_dups",

