@@ -21,6 +21,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .driver_rows import LAST_GREEN
+
+try:  # GREEN_HASH added by the r7 regen; tolerate older generated files
+    from .driver_rows import GREEN_HASH
+except ImportError:  # pragma: no cover - pre-r7 sidecar
+    GREEN_HASH: dict[str, str] = {}
 from . import bpeq as B
 from . import corpusq as CQ
 from . import mmr as M
@@ -323,11 +328,35 @@ _SPECS: dict[str, QuerySpec] = {
 }
 
 
+def definition_hash(spec: QuerySpec) -> str:
+    """Content hash of a query's DEFINITION: builder function source +
+    oracle SQL.  ``tools/update_driver_rows.py`` records this per entry
+    when a green driver row lands; the catalog re-computes it at import
+    and auto-flags any entry whose definition changed since its green
+    (sort key 0), so a builder-side or ORACLE-ONLY edit can never hide
+    behind a stale green row (the r6 ``equi_depth_bins`` gap).  Builder
+    edits that only touch helpers the builder calls are NOT captured —
+    list those in ``FORCE_STALE`` by hand (rare; a helper shared by
+    many queries flags all of them on its own callers' source only if
+    inlined)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.builder)
+    except (OSError, TypeError):  # builtins / dynamically-built
+        src = repr(spec.builder)
+    payload = src + "\n\x00\n" + (spec.oracle_sql or "<no-oracle>")
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 # Queries whose DEFINITION changed after their last green driver row:
 # the recorded green no longer certifies current code, so they outrank
-# everything (sort key 0).  Remove a name once a newer round's
-# CORRECTNESS row lands for it (update_driver_rows regen makes the
-# entry here redundant but harmless).
+# everything (sort key 0).  Since r7 this set is DERIVED automatically
+# from driver_rows.GREEN_HASH (definition_hash mismatch); keep manual
+# entries only for edits the hash cannot see (a shared helper changed
+# underneath many builders) or same-round redefinitions whose regen
+# predates the edit.
 FORCE_STALE: set[str] = {
     # r7: redefined from the uncapped oracle-parity pins to the
     # production capped/tuned forms (r6 verdict item 2, simhash
@@ -348,9 +377,26 @@ FORCE_STALE: set[str] = {
 # entries slot between the round-1 cohort and everything newer
 # (default 1.5); ties keep insertion order, preserving the thematic
 # grouping above.
-CATALOG: dict[str, QuerySpec] = dict(
-    sorted(
-        _SPECS.items(),
-        key=lambda kv: 0 if kv[0] in FORCE_STALE else LAST_GREEN.get(kv[0], 1.5),
-    )
-)
+def ordered_catalog(
+    specs: dict[str, QuerySpec] | None = None,
+    green_hash: dict[str, str] | None = None,
+) -> dict[str, QuerySpec]:
+    """Stalest-first ordering (see comment above); parameterized so
+    tests can verify the auto-staleness ranking with a synthetic
+    GREEN_HASH edit."""
+    specs = _SPECS if specs is None else specs
+    gh = GREEN_HASH if green_hash is None else green_hash
+
+    def key(kv):
+        name, spec = kv
+        if name in FORCE_STALE:
+            return 0
+        recorded = gh.get(name)
+        if recorded is not None and recorded != definition_hash(spec):
+            return 0
+        return LAST_GREEN.get(name, 1.5)
+
+    return dict(sorted(specs.items(), key=key))
+
+
+CATALOG: dict[str, QuerySpec] = ordered_catalog()
