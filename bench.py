@@ -224,18 +224,45 @@ def main() -> None:
     timings.update({k: round(v, 3) for k, v in pipe.items()})
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    _write_full_artifact(payload)
     spark.stop()
+
+
+def _write_full_artifact(payload: dict) -> None:
+    """Persist the COMPLETE per-key timings as BENCH_FULL_r{N}.json in
+    the repo (r6 verdict item 4: the driver's BENCH_r*.json keeps only
+    the last ~2 KB of stdout, so full-catalog coverage was only
+    partially auditable).  Round number = newest CORRECTNESS round + 1
+    (the round currently being built), overridable via
+    $SPARK_GRAFT_ROUND; only the driver-shape sf0.1 run writes, so a
+    quick sf0.01 iteration never clobbers the committed artifact."""
+    if payload["sf"] != 0.1:
+        return
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"r(\d+)\.json$", f))
+        ]
+        rnd = str(max(rounds, default=0) + 1)
+    out = os.path.join(here, f"BENCH_FULL_r{int(rnd):02d}.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"full per-key artifact: {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
