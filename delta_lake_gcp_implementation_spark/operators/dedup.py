@@ -379,6 +379,53 @@ def minhash_agreement_filter(
     )
 
 
+def minhash_jaccard_estimates(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int,
+    broadcast_sets: bool | None = None,
+) -> DataFrame:
+    """Per-pair sketch Jaccard estimate: agreement/n_hashes over the
+    MinHash signature positions — the unbiased estimator that
+    :func:`minhash_agreement_filter` thresholds, exposed as a value so
+    sketch quality can be EVALUATED against the exact intersection
+    (est vs exact error stats are the knob-tuning evidence for band
+    size / hash count at corpus scale).
+
+    Returns (id_a, id_b, n_agree BIGINT, est_jaccard DOUBLE); same
+    join shape and broadcast policy as the filter."""
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(n_hashes)],
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        [
+            F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+            for i in range(n_hashes)
+        ],
+        F.lit(0),
+    )
+    if broadcast_sets is None:
+        broadcast_sets = _prefer_broadcast_payload(sa, candidates)
+    return (
+        _pair_lookup_join(candidates, sa, sb, broadcast_sets)
+        .withColumn("n_agree", agree.cast("bigint"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.lit(float(n_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -325,6 +325,17 @@ _SPECS: dict[str, QuerySpec] = {
     "multimodal_metadata": QuerySpec(
         X.q_multimodal_metadata, X.ORACLE_MULTIMODAL_METADATA
     ),
+    # r7 additions (budgeted at 3 so the full r4 cohort still rotates
+    # through the ~50-entry driver window this round)
+    "dedup_survivorship": QuerySpec(
+        X.q_dedup_survivorship, X.ORACLE_DEDUP_SURVIVORSHIP
+    ),
+    "minhash_jaccard_estimate": QuerySpec(
+        X.q_minhash_jaccard_estimate, X.ORACLE_MINHASH_JACCARD_ESTIMATE
+    ),
+    "repeat_purchase_interval": QuerySpec(
+        R.q_repeat_purchase_interval, R.ORACLE_REPEAT_PURCHASE_INTERVAL
+    ),
 }
 
 

@@ -3942,3 +3942,75 @@ SELECT as_of_day, wau_exact, n_zero_buckets, inv_sum_scaled,
          <= greatest(5.0, 0.15 * CAST(wau_exact AS DOUBLE)) AS wau_hll_ok
 FROM est
 """
+
+
+# ---------------------------------------------------------------- r7: repeat-purchase cadence
+
+
+def q_repeat_purchase_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: LAG each customer's
+    order dates, take the day gaps, and roll them up by segment — the
+    retention-cadence report shape (inter-event intervals partitioned
+    by entity, aggregated by cohort).
+
+    Scale shape: the window partitions by o_custkey (uniform hash keys,
+    no single-partition sweep), the customer join is a co-partitioned
+    equi-join on the same key, and the final agg has |segments| groups.
+    Day gaps are exact integers; the average is one sum/count division
+    per module determinism rules."""
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("_prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date("_prev")
+            ).alias("gap"),
+        )
+    )
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        gaps.join(c, gaps.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.countDistinct("o_custkey")
+            .cast("bigint")
+            .alias("n_repeat_customers"),
+            (
+                F.sum("gap").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+            F.min("gap").cast("bigint").alias("min_gap_days"),
+        )
+    )
+
+
+ORACLE_REPEAT_PURCHASE_INTERVAL = """
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day',
+               CAST(lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap
+    FROM orders
+),
+j AS (
+    SELECT c.c_mktsegment AS mktsegment, g.gap, g.o_custkey
+    FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+    WHERE g.gap IS NOT NULL
+)
+SELECT mktsegment,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+       CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days,
+       CAST(min(gap) AS BIGINT) AS min_gap_days
+FROM j GROUP BY mktsegment
+"""

@@ -3018,3 +3018,174 @@ SELECT media_id,
            AS frame_md5
 FROM m CROSS JOIN idx
 """
+
+
+# ---------------------------------------------------------------- r7: dedup reporting + sketch eval
+
+
+def q_dedup_survivorship(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source survivorship report of the corpus dedup pass: join
+    the ``dup_clusters`` verdict back to document metadata and roll up
+    kept/dropped counts + drop rate per source — the accounting table a
+    training-data pipeline publishes with every dedup snapshot (how
+    much of each provider's feed survived).
+
+    Scale shape: the verdict side is the linear incidence-CC output
+    (one row per doc), the metadata side a column-pruned scan; one
+    equi-join on doc_id + a tiny hash agg (|sources| groups).  The
+    drop rate is a single division of exact integers (module
+    determinism rules)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    cc = q_dup_clusters(spark, sf)
+    return (
+        cc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "n_clusters",
+            (
+                (F.col("n_docs") - F.col("n_kept")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("drop_rate"),
+        )
+    )
+
+
+ORACLE_DEDUP_SURVIVORSHIP = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES.lstrip()
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+verdict AS (
+    SELECT src AS doc_id,
+           min(dst) AS cluster_id,
+           (min(dst) = src) AS is_canonical
+    FROM reach GROUP BY src
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN v.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(count(*) - sum(CASE WHEN v.is_canonical THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(count(DISTINCT v.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(count(*) - sum(CASE WHEN v.is_canonical THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS drop_rate
+FROM verdict v JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+)
+
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality evaluation for the MinHash family: for every
+    capped LSH candidate pair, the signature-agreement Jaccard ESTIMATE
+    (n_agree/n_hashes) next to the EXACT hashed-shingle Jaccard and the
+    absolute error — the evidence table for tuning band size / hash
+    count before committing a 100 TB dedup pass to a sketch config.
+
+    Scale shape: candidate generation is the capped band equi-join;
+    the estimate is one pair->signature lookup join; the exact arm
+    intersects per-pair shingle SETS (no shingle self-join).  All
+    output arithmetic is single divisions/subtractions of identical
+    expression trees (bit-deterministic across engines); pairs whose
+    shingle sets are disjoint get exact_jaccard 0.0 via the left
+    join's coalesce."""
+    d = load_table(spark, sf, "documents")
+    sig = q_minhash_signatures(spark, sf).localCheckpoint()
+    cands = dedup_ops.minhash_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    est = dedup_ops.minhash_jaccard_estimates(cands, sig, "doc_id", _MH_N)
+    exact = dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=_MH_K, threshold=0.0, candidates=cands
+    ).select("id_a", "id_b", F.col("jaccard").alias("_exact"))
+    return est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "n_agree",
+        "est_jaccard",
+        F.coalesce(F.col("_exact"), F.lit(0.0)).alias("exact_jaccard"),
+        F.abs(
+            F.col("est_jaccard") - F.coalesce(F.col("_exact"), F.lit(0.0))
+        ).alias("abs_err"),
+    )
+
+
+ORACLE_MINHASH_JACCARD_ESTIMATE = (
+    "WITH "
+    + _SQL_SHINGLES
+    + ",\n"
+    + _SQL_SIG
+    + ",\n"
+    + _sql_bands()
+    + f""",
+small AS (
+    SELECT band_idx, band_key FROM bands
+    GROUP BY band_idx, band_key
+    HAVING count(*) <= {_LSH_MAX_BUCKET}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN small s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+agree AS (
+    SELECT c.id_a, c.id_b,
+           ({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MH_N))})
+               AS n_agree
+    FROM cands c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT g.id_a, g.id_b,
+       CAST(g.n_agree AS BIGINT) AS n_agree,
+       CAST(g.n_agree AS DOUBLE) / {_MH_N}.0 AS est_jaccard,
+       coalesce(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 0.0)
+           AS exact_jaccard,
+       abs(CAST(g.n_agree AS DOUBLE) / {_MH_N}.0
+           - coalesce(i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter), 0.0))
+           AS abs_err
+FROM agree g
+LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+JOIN sizes sa ON sa.doc_id = g.id_a
+JOIN sizes sb ON sb.doc_id = g.id_b
+"""
+)

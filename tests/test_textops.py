@@ -1045,3 +1045,56 @@ def test_cdc_knob_shift_resistance_holds_for_both_hashes(spark):
         assert overlap >= 0.8, (algo, overlap)
         # copy counts reflect the cross-doc dedup
         assert any(r.n_copies == 2 for r in rows), algo
+
+
+def test_dedup_survivorship_accounts_for_every_doc(spark, sf_dir):
+    from delta_lake_gcp_implementation_spark.tables import load_table
+
+    rows = X.q_dedup_survivorship(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_docs
+        assert 0 <= r.n_clusters <= r.n_docs
+        assert abs(r.drop_rate - r.n_dropped / r.n_docs) < 1e-15
+
+
+def test_minhash_jaccard_estimate_invariants(spark, sf_dir):
+    rows = X.q_minhash_jaccard_estimate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agree <= X._MH_N
+        # LSH candidates share at least one full band
+        assert r.n_agree >= X._MH_BAND
+        assert abs(r.est_jaccard - r.n_agree / X._MH_N) < 1e-15
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.exact_jaccard)) < 1e-15
+
+
+def test_repeat_purchase_interval_matches_manual(spark, sf_dir):
+    from collections import defaultdict
+
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+    from delta_lake_gcp_implementation_spark.tables import load_table
+
+    got = {r.mktsegment: r for r in
+           R.q_repeat_purchase_interval(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate").collect()
+    seg = {r.c_custkey: r.c_mktsegment for r in
+           load_table(spark, sf_dir, "customer")
+           .select("c_custkey", "c_mktsegment").collect()}
+    by_cust = defaultdict(list)
+    for r in orders:
+        by_cust[r.o_custkey].append((r.o_orderdate, r.o_orderkey))
+    gaps = defaultdict(list)
+    for ck, os_ in by_cust.items():
+        os_.sort()
+        for (d0, _), (d1, _) in zip(os_, os_[1:]):
+            gaps[seg[ck]].append((d1.date() - d0.date()).days)
+    for s, g in gaps.items():
+        assert got[s].n_gaps == len(g)
+        assert got[s].max_gap_days == max(g)
+        assert got[s].min_gap_days == min(g)
+        assert abs(got[s].avg_gap_days - sum(g) / len(g)) < 1e-12
+    assert set(got) == set(gaps)
