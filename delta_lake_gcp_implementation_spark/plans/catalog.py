@@ -378,6 +378,10 @@ FORCE_STALE: set[str] = {
     "minhash_lsh_pairs",
     "ngram_jaccard",
     "semantic_dedup",
+    # r7: redefined from the fixed 8-plane all-pairs form (measured
+    # 126x wall for 100x data) to the shared tuned-planes + hub-star
+    # candidate generator; the r5 green row verified the old form.
+    "embedding_near_dups",
 }
 
 # Stalest-first with one refinement: entries whose code CHANGED after

@@ -866,53 +866,21 @@ _NEAR_DUP_COS = 0.35  # cosine threshold (driver embeddings are near-random;
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: LSH bucket the whole corpus
-    (8 hyperplanes), compare only within-bucket pairs, keep high-cosine pairs.  The semantic-dedup stage of a training-data pipeline: the
-    bucket equi-join replaces the quadratic all-pairs compare.  The
-    scan is spread to cluster parallelism before the per-row bucket
-    hashing (8 plane dots/row would otherwise run on a one-file scan's
-    single partition); the pair join itself shuffles on bucket."""
-    from ..tables import scale_out
+    """Embedding-cosine near-dup detection: LSH bucket the corpus,
+    compare only within-bucket pairs, keep high-cosine pairs — the
+    candidate stage of the semantic-dedup pass, exposed with the
+    cosine value.
 
-    e = load_table(spark, sf, "embeddings")
-    planes = sim.hyperplanes(_ANN_PLANES, _ANN_DIM)
-    c = (
-        scale_out(e)
-        .select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
-        .withColumn("bucket", sim.lsh_bucket(F.col("v"), planes))
-        .withColumn("nrm", sim.norm(F.col("v")))
-    )
-    a = c.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-        F.col("bucket"), F.col("nrm").alias("na"),
-    )
-    b = c.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("bucket"), F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= _NEAR_DUP_COS)
-    )
-
-
-ORACLE_EMBEDDING_NEAR_DUPS = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id, v, {_sql_bucket_expr("v")} AS bucket,
-             sqrt(list_dot_product(v, v)) AS nrm FROM e)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
-"""
+    Since round 7 this shares the PRODUCTION candidate generator with
+    ``q_semantic_dedup`` (``_tuned_near_dup_pairs``): corpus-derived
+    plane count + hub-star mega-bucket topology.  The previous fixed
+    8-plane all-pairs form measured 126x wall for 100x data (the same
+    quadratic-in-bucket shape as the retired semantic_dedup pin); the
+    tuned generator is bounded by ``_SEM_CAP^2/2`` per small bucket and
+    linear in mega-bucket members.  ORACLE_EMBEDDING_NEAR_DUPS replays
+    the plane-count derivation, the hub-star predicate, and the cosine
+    expression verbatim (single divisions of exact operands)."""
+    return _tuned_near_dup_pairs(spark, sf)
 
 
 # SemDeDup production knob (round-6, VERDICT r5 item 3; promoted to
@@ -957,28 +925,17 @@ def tuned_plane_count(n: int) -> int:
     return max(_SEM_MIN_PLANES, min(_SEM_MAX_PLANES, p))
 
 
-def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """SemDeDup-style semantic deduplication verdict with the
-    production planes knob: LSH-bucketed cosine near-dup pairs
-    -> connected components -> min-id canonical, where ``n_planes``
-    grows with the corpus (``tuned_plane_count``) so bucket occupancy
-    — and therefore candidate-pair work — stays linear at any scale.
-    The corpus count is one cheap Spark count job (count-star over
-    parquet usually folds to footer row counts, but that is an
-    optimization, not a guarantee), memoized per sf dir so bench's
-    best-of-2 loop pays it once; the first p deterministic hyperplanes
-    are a prefix of the 24-plane family, which is how the oracle
-    replays the same buckets by masking a fixed 24-plane bucket to the
-    low p bits.
+def _tuned_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared production candidate generator for the embedding near-dup
+    family (``q_embedding_near_dups`` emits it with the cosine value;
+    ``q_semantic_dedup`` feeds it to connected components): LSH buckets
+    with the corpus-derived plane count, all-pairs inside buckets
+    <= ``_SEM_CAP``, hub-star (member vs bucket-min-id) above it, then
+    the exact cosine threshold.  Returns (id_a, id_b, cosine).
 
-    Pair topology is HYBRID (the actual 100x fix — the planes knob
-    alone left 114 s at 200k vectors because mega-clusters of
-    near-identical vectors resist splitting): buckets <= _SEM_CAP do
-    all-pairs; larger buckets verify each member against the bucket's
-    min-id hub only, so their cost is linear in members instead of
-    n_bucket^2.  Both regimes are one deterministic predicate
-    (``n <= cap OR id_a = hub``, hub = bucket min id), which the
-    oracle replays verbatim."""
+    NOTE for the definition-hash staleness guard: edits HERE change
+    both consumers' semantics but are invisible to their builder-source
+    hashes — list both names in FORCE_STALE when touching this."""
     from ..tables import scale_out
 
     e = load_table(spark, sf, "embeddings")
@@ -1019,14 +976,44 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .select(*b_cols)
         .join(hubs, "bucket")
     )
-    pairs = (
+    return (
         pairs_small.unionByName(pairs_star.select(pairs_small.columns))
-        .filter(
-            sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-            >= _NEAR_DUP_COS
+        .select(
+            "id_a",
+            "id_b",
+            (
+                sim.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
-        .select("id_a", "id_b")
+        .filter(F.col("cosine") >= _NEAR_DUP_COS)
     )
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication verdict with the
+    production planes knob: LSH-bucketed cosine near-dup pairs
+    -> connected components -> min-id canonical, where ``n_planes``
+    grows with the corpus (``tuned_plane_count``) so bucket occupancy
+    — and therefore candidate-pair work — stays linear at any scale.
+    The corpus count is one cheap Spark count job (count-star over
+    parquet usually folds to footer row counts, but that is an
+    optimization, not a guarantee), memoized per sf dir so bench's
+    best-of-2 loop pays it once; the first p deterministic hyperplanes
+    are a prefix of the 24-plane family, which is how the oracle
+    replays the same buckets by masking a fixed 24-plane bucket to the
+    low p bits.
+
+    Pair topology is HYBRID (the actual 100x fix — the planes knob
+    alone left 114 s at 200k vectors because mega-clusters of
+    near-identical vectors resist splitting): buckets <= _SEM_CAP do
+    all-pairs; larger buckets verify each member against the bucket's
+    min-id hub only, so their cost is linear in members instead of
+    n_bucket^2.  Both regimes are one deterministic predicate
+    (``n <= cap OR id_a = hub``, hub = bucket min id), which the
+    oracle replays verbatim."""
+    e = load_table(spark, sf, "embeddings")
+    pairs = _tuned_near_dup_pairs(spark, sf).select("id_a", "id_b")
     cc = dedup_ops.connected_components(pairs, e.select("vec_id"), "vec_id")
     return cc.select(
         F.col("id").alias("vec_id"),
@@ -1077,6 +1064,39 @@ SELECT src AS vec_id,
        min(dst) AS cluster_id,
        (min(dst) = src) AS is_canonical
 FROM reach GROUP BY src
+"""
+
+
+# The candidate stage of the semantic-dedup pass exposed with the
+# cosine value: same plane-count derivation, bucketing, and hub-star
+# predicate as ORACLE_SEMANTIC_DEDUP, minus the connected components.
+ORACLE_EMBEDDING_NEAR_DUPS = f"""
+WITH
+p AS (
+    SELECT greatest({_SEM_MIN_PLANES}, least({_SEM_MAX_PLANES},
+        coalesce((SELECT min(CAST(t.i AS INT))
+                  FROM range(0, {_SEM_MAX_PLANES + 1}) t(i)
+                  WHERE (1::BIGINT << CAST(t.i AS INT))
+                        * {_SEM_BUCKET_TARGET}
+                        >= (SELECT count(*) FROM embeddings)),
+                 {_SEM_MAX_PLANES}))) AS np
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v,
+             ({_sql_bucket_expr("v", _SEM_MAX_PLANES)})
+               % (1::BIGINT << (SELECT np FROM p)) AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sizes AS (
+    SELECT bucket, count(*) AS bn, min(vec_id) AS hub_id
+    FROM c GROUP BY bucket
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+FROM c a
+JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN sizes s ON s.bucket = a.bucket
+WHERE (s.bn <= {_SEM_CAP} OR a.vec_id = s.hub_id)
+  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_NEAR_DUP_COS}
 """
 
 
