@@ -3141,10 +3141,14 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf: str) -> DataFrame:
     join's coalesce."""
     d = load_table(spark, sf, "documents")
     sig = q_minhash_signatures(spark, sf).localCheckpoint()
+    # eagerly materialized: the candidate list feeds THREE consumers
+    # (the estimate lookup join, the exact arm, and the final left
+    # join); a lazy plan re-runs the banded self-join + DISTINCT per
+    # consumer (measured 3x the whole query's cost at 100x)
     cands = dedup_ops.minhash_candidate_pairs(
         sig, "doc_id", n_hashes=_MH_N, band_size=_MH_BAND,
         max_bucket=_LSH_MAX_BUCKET,
-    )
+    ).localCheckpoint()
     est = dedup_ops.minhash_jaccard_estimates(cands, sig, "doc_id", _MH_N)
     exact = dedup_ops.ngram_jaccard_pairs(
         d, "text", "doc_id", k=_MH_K, threshold=0.0, candidates=cands
