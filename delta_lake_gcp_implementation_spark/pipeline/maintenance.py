@@ -115,6 +115,7 @@ def refresh_agg_incremental(
     keys: list[str],
     sum_cols: list[str],
     count_col: str = "n_rows",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Incremental materialized-aggregate maintenance (the Delta Live
     Tables / Materialize pattern): fold an APPEND-ONLY delta batch into
@@ -138,6 +139,8 @@ def refresh_agg_incremental(
         F.count(F.lit(1)).cast("bigint").alias(count_col),
     )
     if not store.exists(agg_name):
+        if txn is not None:
+            return store.overwrite(agg_name, partial, txn=txn)
         rows = store.append(agg_name, partial)
         return rows
     current = store.read(agg_name)
@@ -155,7 +158,7 @@ def refresh_agg_incremental(
     # upsert's write-observed count is the post-fold answer; counting
     # ``merged`` AFTER the swap would read the replaced lineage (the
     # stale-file-listing trap the storage layer docs call out)
-    return store.upsert(agg_name, merged, keys)
+    return store.upsert(agg_name, merged, keys, txn=txn)
 
 
 def file_stats(store: TableStore, name: str, column: str) -> list[dict]:

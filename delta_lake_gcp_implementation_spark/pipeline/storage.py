@@ -245,6 +245,7 @@ class TableStore:
     def _commit(
         self, name: str, op: str, rows: int, new_lineage: bool,
         expected_version: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Append one manifest version.  ``lineage`` identifies which
         physical directory a version's files live in: it changes on
@@ -281,6 +282,8 @@ class TableStore:
             "lineage": lineage,
             "files": self._list_data_files(self.path(name)),
         }
+        if txn is not None:
+            manifest["txn"] = {"app_id": txn[0], "version": int(txn[1])}
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -301,6 +304,41 @@ class TableStore:
         mutation's ``expected_version`` for full OCC."""
         latest = self._latest_manifest(name)
         return latest["version"] if latest else 0
+
+    @staticmethod
+    def _txn_sidecars(table_dir: str) -> dict[str, int]:
+        """Latest txn version per app_id from ``_txn-*`` sidecar files
+        in ``table_dir`` (underscore prefix: invisible to Spark/Hadoop
+        parquet listings and to ``_list_data_files``)."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(table_dir):
+            return out
+        for f in os.listdir(table_dir):
+            if not f.startswith("_txn-"):
+                continue
+            app, _, ver = f[len("_txn-"):].rpartition("-")
+            if app and ver.isdigit():
+                out[app] = max(out.get(app, -1), int(ver))
+        return out
+
+    def last_txn_version(self, name: str, app_id: str) -> int | None:
+        """Delta ``SetTransaction`` read side: the highest transaction
+        version an idempotent writer (``app_id``) has committed to this
+        table, or None.  Ground truth is the ``_txn-`` sidecar set in
+        the LIVE directory — published by the same atomic ``os.rename``
+        as the data it travelled with, so a crash between the swap and
+        the manifest write cannot lose it — cross-checked against the
+        manifests' mirrored ``txn`` records."""
+        best = self._txn_sidecars(self.path(name)).get(app_id)
+        log = self._log_dir(name)
+        if os.path.isdir(log):
+            for f in os.listdir(log):
+                if f.endswith(".json") and f[:-5].isdigit():
+                    t = self._load_manifest(name, int(f[:-5])).get("txn")
+                    if t and t["app_id"] == app_id:
+                        v = int(t["version"])
+                        best = v if best is None else max(best, v)
+        return best
 
     def versions(self, name: str) -> list[dict]:
         """Commit history, oldest first: version / op / row_count."""
@@ -490,7 +528,10 @@ class TableStore:
             return df
         return df.hint("rebalance")
 
-    def overwrite(self, name: str, df: DataFrame, optimize: bool = False) -> int:
+    def overwrite(
+        self, name: str, df: DataFrame, optimize: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """S6 INSERT OVERWRITE: full replace, schema preserved by the
         caller passing an explicitly-projected frame.  Returns rows
         written.
@@ -500,7 +541,7 @@ class TableStore:
         are joins/windows whose last shuffle AQE already coalesces to
         advisory-sized partitions, so a second shuffle would be pure
         overhead, locally and at 100 TB alike)."""
-        return self._replace(name, df, optimize=optimize)
+        return self._replace(name, df, optimize=optimize, txn=txn)
 
     def upsert(
         self,
@@ -509,6 +550,7 @@ class TableStore:
         keys: list[str],
         require_unique_source: bool = False,
         allow_schema_evolution: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """S7/S8 MERGE upsert on ``keys``.  Source keys MUST be unique
         (guaranteed by W1/W2 dedup upstream, as in the reference).
@@ -539,6 +581,10 @@ class TableStore:
                     f"{[dup[0][k] for k in keys]} (Delta multi-match semantics)"
                 )
         if not self.exists(name):
+            if txn is not None:
+                # route the create through the staged swap so the txn
+                # sidecar publishes atomically with the first data
+                return self._replace(name, source, txn=txn)
             rows = self._write_counted(source, self.path(name), "overwrite")
             self._save_count(name, rows)
             self._commit(name, "create", rows, new_lineage=True)
@@ -568,6 +614,7 @@ class TableStore:
         return self._replace(
             name,
             kept.unionByName(source, allowMissingColumns=allow_schema_evolution),
+            txn=txn,
         )
 
     def delete_matched(self, name: str, ids: DataFrame, keys: list[str]) -> int:
@@ -758,15 +805,34 @@ class TableStore:
 
     # ---------------------------------------------------------------- internals
 
-    def _replace(self, name: str, df: DataFrame, optimize: bool = False) -> int:
+    def _replace(
+        self, name: str, df: DataFrame, optimize: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Write-to-staging-then-swap: Spark cannot overwrite a parquet
         dir it is currently reading, so materialize first.  Returns the
-        rows written (observed during the write)."""
+        rows written (observed during the write).
+
+        ``txn=(app_id, version)`` is Delta's ``txnAppId/txnVersion``
+        idempotent-write contract: the transaction marker is written
+        INTO the staging dir as a ``_txn-`` sidecar before the swap, so
+        the single atomic ``os.rename`` publishes data and marker
+        together — there is no crash point at which the fold is applied
+        but the marker lost (Delta closes the same window by putting
+        ``SetTransaction`` in the same log entry as the file actions).
+        Existing sidecars from other writers are carried forward."""
         self._heal(name)
         final = self.path(name)
         tmp = f"{final}.__stage__{uuid.uuid4().hex[:8]}"
         out = self._optimize_write(df) if optimize else df
         rows = self._write_counted(out, tmp, "overwrite")
+        for app, ver in self._txn_sidecars(final).items():
+            if txn is None or app != txn[0]:
+                open(os.path.join(tmp, f"_txn-{app}-{ver}"), "w").close()
+        if txn is not None:
+            open(
+                os.path.join(tmp, f"_txn-{txn[0]}-{int(txn[1])}"), "w"
+            ).close()
         latest = self._latest_manifest(name)
         if os.path.isdir(final):
             if latest is not None:
@@ -790,7 +856,7 @@ class TableStore:
                 shutil.rmtree(final)
         os.rename(tmp, final)
         self._save_count(name, rows)
-        self._commit(name, "replace", rows, new_lineage=True)
+        self._commit(name, "replace", rows, new_lineage=True, txn=txn)
         # Spark caches file listings per path; the swap invalidates them
         self.spark.catalog.refreshByPath(final)
         # re-register: the replace may have changed the schema, and the

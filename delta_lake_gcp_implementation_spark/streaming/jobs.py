@@ -371,41 +371,32 @@ def run_streaming_agg_maintenance(
     view never rescans its history.
 
     Replay safety: an ADDITIVE fold is not idempotent, so checkpointed
-    offsets alone (at-least-once into foreachBatch) are not enough — a
-    processed-``batch_id`` marker table skips batches that already
-    folded, the local analog of Delta MERGE's ``txnAppId/txnVersion``
-    dedup.  Residual window: a crash BETWEEN the fold commit and the
-    marker append still double-folds that one batch on replay — closing
-    it needs fold+marker in one atomic commit (multi-table
-    transactions), which the parquet store cannot express; Delta closes
-    it by writing both in one log entry.  Batch/stream parity and
-    replay-skip are asserted in ``test_streaming.py``."""
-    from pyspark.sql import functions as F
-
+    offsets alone (at-least-once into foreachBatch) are not enough.
+    The fold commits with ``txn=(app_id, batch_id)`` — Delta's
+    ``txnAppId/txnVersion`` idempotent-write contract: the transaction
+    marker is published by the SAME atomic directory swap as the folded
+    data (see ``TableStore._replace``), so there is no crash point at
+    which the fold applied but the marker was lost, and a replayed
+    batch_id is skipped exactly once-semantics — the window the earlier
+    marker-TABLE design left open between its two separate writes.
+    Caveat (same as Delta's): batch_ids are monotonic per CHECKPOINT;
+    wiping the checkpoint while keeping the table resets them to 0 and
+    the txn guard will then skip the replayed prefix — start a fresh
+    ``agg_name`` (or table) with a fresh checkpoint.  Batch/stream
+    parity and replay-skip are asserted in ``test_streaming.py``."""
     from ..pipeline import maintenance
 
-    marker = f"{agg_name}_batches"
+    app_id = f"stream::{agg_name}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if (
-            store.exists(marker)
-            and store.read(marker)
-            .filter(F.col("batch_id") == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        ):
-            return  # replayed batch: already folded
+        last = store.last_txn_version(agg_name, app_id)
+        if last is not None and int(batch_id) <= last:
+            return  # replayed batch: already folded atomically
         maintenance.refresh_agg_incremental(
-            store, agg_name, batch_df, keys, sum_cols
-        )
-        store.append(
-            marker,
-            batch_df.sparkSession.createDataFrame(
-                [(int(batch_id),)], ["batch_id"]
-            ),
+            store, agg_name, batch_df, keys, sum_cols,
+            txn=(app_id, int(batch_id)),
         )
 
     q = (

@@ -716,3 +716,51 @@ def test_occ_commit_protocol_multiprocess_stress(tmp_path):
         assert m["row_count"] == int(w) * 1000 + int(i)
     # no stray tmp files leaked by losing writers
     assert not [f for f in _os.listdir(log) if f.startswith(".tmp-")]
+
+
+# ----------------------------------------------- txn idempotent writes
+
+
+def test_txn_recorded_atomically_and_survives_other_writers(spark, store):
+    """Delta txnAppId/txnVersion contract: the txn marker publishes
+    with the data swap (sidecar) AND in the manifest; other writers'
+    replaces carry earlier sidecars forward; last_txn_version reports
+    the per-app maximum."""
+    df = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "v", F.lit(1).cast("bigint")
+    )
+    store.upsert("gold.mv", df, ["k"], txn=("app_a", 0))
+    assert store.last_txn_version("gold.mv", "app_a") == 0
+    assert store.last_txn_version("gold.mv", "app_b") is None
+    # a second app and a later version of the first
+    store.upsert("gold.mv", df, ["k"], txn=("app_b", 7))
+    store.upsert("gold.mv", df, ["k"], txn=("app_a", 1))
+    assert store.last_txn_version("gold.mv", "app_a") == 1
+    assert store.last_txn_version("gold.mv", "app_b") == 7
+    # a NON-txn full overwrite must not lose the records (sidecars are
+    # carried forward; manifests mirror them regardless)
+    store.overwrite("gold.mv", df)
+    assert store.last_txn_version("gold.mv", "app_a") == 1
+    assert store.last_txn_version("gold.mv", "app_b") == 7
+    # sidecars are invisible to reads and to the manifest file list
+    assert store.read("gold.mv").count() == 10
+    assert all(
+        not f.startswith("_")
+        for f in store._latest_manifest("gold.mv")["files"]
+    )
+
+
+def test_txn_create_path_is_staged(spark, store):
+    """First-ever write with a txn routes through the staged swap so
+    the sidecar and the first data publish in one rename."""
+    import os
+
+    df = spark.range(5).withColumnRenamed("id", "k").withColumn(
+        "v", F.lit(2).cast("bigint")
+    )
+    store.upsert("gold.fresh", df, ["k"], txn=("writer", 3))
+    assert store.last_txn_version("gold.fresh", "writer") == 3
+    assert os.path.exists(
+        os.path.join(store.path("gold.fresh"), "_txn-writer-3")
+    )
+    assert store.read("gold.fresh").count() == 5

@@ -246,7 +246,7 @@ def test_streaming_agg_maintenance_matches_batch(spark, event_dir, tmp_path):
     assert again == want
 
 
-def test_streaming_agg_maintenance_marker_skips_replayed_batch(spark, event_dir, tmp_path):
+def test_streaming_agg_maintenance_txn_skips_replayed_batch(spark, event_dir, tmp_path):
     store = TableStore(spark, str(tmp_path / "wh_mv_replay"))
     stream = jobs.read_event_stream(spark, event_dir).select(
         "user_id", F.lit(1).cast("bigint").alias("one")
@@ -257,11 +257,12 @@ def test_streaming_agg_maintenance_marker_skips_replayed_batch(spark, event_dir,
     before = {
         r.user_id: r.one for r in store.read("gold.t").collect()
     }
+    # the fold recorded its batch_id as a txn in the SAME commit as the
+    # data (Delta SetTransaction semantics)
+    assert store.last_txn_version("gold.t", "stream::gold.t") == 0
     # a FRESH checkpoint replays batch_id 0 over the same store: the
-    # marker table must turn the re-fold into a no-op (this is the
-    # at-least-once window the txnAppId-style guard exists for)
-    marker_ids = {r.batch_id for r in store.read("gold.t_batches").collect()}
-    assert marker_ids == {0}
+    # txn guard must turn the re-fold into a no-op (this is the
+    # at-least-once window the txnAppId/txnVersion contract closes)
     jobs.run_streaming_agg_maintenance(
         jobs.read_event_stream(spark, event_dir).select(
             "user_id", F.lit(1).cast("bigint").alias("one")
@@ -270,6 +271,47 @@ def test_streaming_agg_maintenance_marker_skips_replayed_batch(spark, event_dir,
     )
     after = {r.user_id: r.one for r in store.read("gold.t").collect()}
     assert after == before, "replayed batch_id must not double-fold"
+
+
+def test_streaming_agg_maintenance_txn_survives_lost_manifest(spark, event_dir, tmp_path):
+    """The crash window the marker-TABLE design left open: fold
+    committed, marker write never happened.  With the txn sidecar the
+    marker travels inside the fold's own atomic directory swap, so even
+    if the crash eats the MANIFEST (the last, separate, write of
+    ``_replace``) the live dir still proves the fold happened and the
+    replayed batch is skipped."""
+    import os
+
+    store = TableStore(spark, str(tmp_path / "wh_mv_crash"))
+    stream = jobs.read_event_stream(spark, event_dir).select(
+        "user_id", F.lit(1).cast("bigint").alias("one")
+    )
+    jobs.run_streaming_agg_maintenance(
+        stream, store, "gold.t", ["user_id"], ["one"], str(tmp_path / "ck1")
+    )
+    before = {r.user_id: r.one for r in store.read("gold.t").collect()}
+    # simulate the crash: delete every manifest that recorded the txn,
+    # leaving only the sidecar published by the data swap itself
+    log_dir = store.path("gold.t") + ".__log__"
+    removed = 0
+    import json
+
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json") and f[:-5].isdigit():
+            with open(os.path.join(log_dir, f)) as fh:
+                if "txn" in json.load(fh):
+                    os.unlink(os.path.join(log_dir, f))
+                    removed += 1
+    assert removed > 0, "precondition: the fold's manifest carried the txn"
+    assert store.last_txn_version("gold.t", "stream::gold.t") == 0
+    jobs.run_streaming_agg_maintenance(
+        jobs.read_event_stream(spark, event_dir).select(
+            "user_id", F.lit(1).cast("bigint").alias("one")
+        ),
+        store, "gold.t", ["user_id"], ["one"], str(tmp_path / "ck2"),
+    )
+    after = {r.user_id: r.one for r in store.read("gold.t").collect()}
+    assert after == before, "sidecar alone must block the double-fold"
 
 
 def test_stream_static_enrichment_matches_batch(spark, event_dir):
