@@ -255,12 +255,21 @@ def build_file_bloom(
     # so basename keys silently bit_or distinct files into one merged
     # entry (still no false negatives, but pruning degrades and
     # per-file attribution is lost).  input_file_name() returns a URI
-    # (file:///...), so locate the absolute root inside it and take
-    # everything after "<root>/".
+    # (file:///...) with percent-escaped characters (space -> %20), so
+    # decode it BEFORE locating the filesystem root — matching the raw
+    # URI against an unescaped root silently never matches on such
+    # paths and the index stops pruning (r7 ADVICE).  url_decode is
+    # x-www-form-urlencoded (decodes '+' to space), while URI paths
+    # keep '+' literal: pre-escape '+' to %2B so the decode is exact
+    # for every %XX sequence.  A literal '%' is always %25 inside the
+    # URI, so the pre-escape cannot clash.
     root = store.path(name).rstrip("/")
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
     rel = F.substring(
-        F.input_file_name(),
-        F.locate(root + "/", F.input_file_name()) + F.lit(len(root) + 1),
+        decoded,
+        F.locate(root + "/", decoded) + F.lit(len(root) + 1),
         F.lit(2**30),
     )
     df = store.read(name).select(

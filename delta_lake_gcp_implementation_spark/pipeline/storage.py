@@ -330,15 +330,33 @@ class TableStore:
         the manifest write cannot lose it — cross-checked against the
         manifests' mirrored ``txn`` records."""
         best = self._txn_sidecars(self.path(name)).get(app_id)
+        if best is not None:
+            # sidecars are carried forward by every _replace, so a hit
+            # IS the answer — do not also json-load the whole log.
+            # foreachBatch maintenance calls this once per micro-batch,
+            # and a per-call full-log scan is O(versions) per batch /
+            # O(n^2) over a long-running stream (r7 ADVICE).
+            return best
+        # No sidecar (e.g. table replaced by an outside writer that
+        # dropped underscore files): fall back to the mirrored manifest
+        # records, newest-first, stopping at the first match — an app's
+        # txn versions are committed in increasing order, so the newest
+        # manifest that carries the app is its maximum.
         log = self._log_dir(name)
         if os.path.isdir(log):
-            for f in os.listdir(log):
-                if f.endswith(".json") and f[:-5].isdigit():
-                    t = self._load_manifest(name, int(f[:-5])).get("txn")
-                    if t and t["app_id"] == app_id:
-                        v = int(t["version"])
-                        best = v if best is None else max(best, v)
-        return best
+            vers = sorted(
+                (
+                    int(f[:-5])
+                    for f in os.listdir(log)
+                    if f.endswith(".json") and f[:-5].isdigit()
+                ),
+                reverse=True,
+            )
+            for v in vers:
+                t = self._load_manifest(name, v).get("txn")
+                if t and t["app_id"] == app_id:
+                    return int(t["version"])
+        return None
 
     def versions(self, name: str) -> list[dict]:
         """Commit history, oldest first: version / op / row_count."""

@@ -32,12 +32,27 @@ from . import mmr as M
 from . import curation as C
 from . import relational as R
 from . import textops as X
+from ..functions import similarity as SIM
+from ..functions import text as TXT
+from ..operators import bloom as OBLOOM
+from ..operators import bpe as OBPE
+from ..operators import cms as OCMS
+from ..operators import curation as OCUR
+from ..operators import dedup as ODED
 
 
 @dataclass(frozen=True)
 class QuerySpec:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle_sql: str | None
+    #: Helpers the builder delegates its LOGIC to (shared candidate
+    #: generators, module constants).  Their source/repr is folded into
+    #: ``definition_hash`` so an edit to the helper re-ranks every
+    #: caller stalest, exactly like an edit to the builder itself (the
+    #: r7 ADVICE ``_tuned_near_dup_pairs`` gap).  Entries may be
+    #: callables (hashed by ``inspect.getsource``) or plain values
+    #: (hashed by ``repr``).
+    extra_sources: tuple = ()
 
 
 _SPECS: dict[str, QuerySpec] = {
@@ -57,9 +72,13 @@ _SPECS: dict[str, QuerySpec] = {
     # trained-codebook IVF: verdict query (exact companions + recall
     # bound; the trained arm itself is not SQL-replayable)
     "ann_ivf_trained": QuerySpec(
-        X.q_ann_ivf_trained, X.ORACLE_ANN_IVF_TRAINED
+        X.q_ann_ivf_trained, X.ORACLE_ANN_IVF_TRAINED,
+        extra_sources=(SIM.brute_force_topk, SIM.ivf_topk, SIM.kmeans_fit),
     ),
-    "semantic_dedup": QuerySpec(X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP),
+    "semantic_dedup": QuerySpec(
+        X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP,
+        extra_sources=(X._tuned_near_dup_pairs, ODED.connected_components),
+    ),
     "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
     "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
     "stratified_sample": QuerySpec(
@@ -80,30 +99,44 @@ _SPECS: dict[str, QuerySpec] = {
         C.q_cluster_balanced_sample, C.ORACLE_CLUSTER_BALANCED_SAMPLE
     ),
     # computed-weight importance sampling (apply-step of mix weights)
-    "weighted_sample": QuerySpec(C.q_weighted_sample, C.ORACLE_WEIGHTED_SAMPLE),
+    "weighted_sample": QuerySpec(
+        C.q_weighted_sample, C.ORACLE_WEIGHTED_SAMPLE,
+        extra_sources=(OCUR.rate_sample,),
+    ),
     # contrastive hard-negative mining over embeddings
-    "hard_negatives": QuerySpec(X.q_hard_negatives, X.ORACLE_HARD_NEGATIVES),
+    "hard_negatives": QuerySpec(
+        X.q_hard_negatives, X.ORACLE_HARD_NEGATIVES,
+        extra_sources=(SIM.hard_negative_topk,),
+    ),
     # best-record survivor per duplicate cluster (the shipped dedup output)
     "cluster_best_doc": QuerySpec(
-        X.q_cluster_best_doc, X.ORACLE_CLUSTER_BEST_DOC
+        X.q_cluster_best_doc, X.ORACLE_CLUSTER_BEST_DOC,
+        extra_sources=(X.q_dup_clusters,),
     ),
     # bloom-filter membership verdict (mergeable bitset sketch)
     "bloom_membership": QuerySpec(
-        X.q_bloom_membership, X.ORACLE_BLOOM_MEMBERSHIP
+        X.q_bloom_membership, X.ORACLE_BLOOM_MEMBERSHIP,
+        extra_sources=(OBLOOM.bloom_build, OBLOOM.bloom_probe_expr),
     ),
     # iterative BPE tokenizer training, oracle-replayed round by round
-    "bpe_merges": QuerySpec(B.q_bpe_merges, B.ORACLE_BPE_MERGES),
+    "bpe_merges": QuerySpec(
+        B.q_bpe_merges, B.ORACLE_BPE_MERGES,
+        extra_sources=(OBPE.bpe_train, OBPE.word_freqs),
+    ),
     # corpus encoding with the trained tokenizer (compression ratio)
     "bpe_encode_tokens": QuerySpec(
-        B.q_bpe_encode_tokens, B.ORACLE_BPE_ENCODE_TOKENS
+        B.q_bpe_encode_tokens, B.ORACLE_BPE_ENCODE_TOKENS,
+        extra_sources=(OBPE.bpe_train, OBPE.word_freqs),
     ),
     # fixed-point integer PageRank (TextRank keywords), 5 exact rounds
     "token_pagerank": QuerySpec(
-        X.q_token_pagerank, X.ORACLE_TOKEN_PAGERANK
+        X.q_token_pagerank, X.ORACLE_TOKEN_PAGERANK,
+        extra_sources=(X._pr_edges,),
     ),
     # hybrid-search reciprocal-rank fusion of exact + LSH arms
     "hybrid_rrf_topk": QuerySpec(
-        X.q_hybrid_rrf_topk, X.ORACLE_HYBRID_RRF_TOPK
+        X.q_hybrid_rrf_topk, X.ORACLE_HYBRID_RRF_TOPK,
+        extra_sources=(SIM.brute_force_topk, SIM.lsh_topk),
     ),
     # exact equi-depth quantile binning (feature discretizer)
     "equi_depth_bins": QuerySpec(
@@ -158,7 +191,8 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # count-min sketch heavy hitters, oracle-replayed cell-for-cell
     "count_min_verdict": QuerySpec(
-        R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT
+        R.q_count_min_verdict, R.ORACLE_COUNT_MIN_VERDICT,
+        extra_sources=(OCMS.build_count_min, OCMS.estimate_counts),
     ),
     # source-vs-corpus KL divergence in integer bits
     "domain_kl": QuerySpec(X.q_domain_kl, X.ORACLE_DOMAIN_KL),
@@ -169,7 +203,10 @@ _SPECS: dict[str, QuerySpec] = {
     # content-defined (shift-resistant) chunking with corpus dedup
     "cdc_chunks": QuerySpec(X.q_cdc_chunks, X.ORACLE_CDC_CHUNKS),
     # MMR diverse top-k re-ranking, oracle-replayed greedy round by round
-    "mmr_select": QuerySpec(M.q_mmr_select, M.ORACLE_MMR_SELECT),
+    "mmr_select": QuerySpec(
+        M.q_mmr_select, M.ORACLE_MMR_SELECT,
+        extra_sources=(SIM.as_double, SIM.brute_force_topk, SIM.cosine),
+    ),
     # TPC-H Q20-shape correlated aggregate, decorrelated explicitly
     "dominant_suppliers": QuerySpec(
         R.q_dominant_suppliers, R.ORACLE_DOMINANT_SUPPLIERS
@@ -295,31 +332,58 @@ _SPECS: dict[str, QuerySpec] = {
         R.q_cohort_retention, R.ORACLE_COHORT_RETENTION
     ),
     # text analysis (documents)
-    "token_counts": QuerySpec(X.q_token_counts, X.ORACLE_TOKEN_COUNTS),
-    "quality_score": QuerySpec(X.q_quality_score, X.ORACLE_QUALITY_SCORE),
-    "lang_id": QuerySpec(X.q_lang_id, X.ORACLE_LANG_ID),
-    "doc_fingerprint": QuerySpec(X.q_doc_fingerprint, X.ORACLE_DOC_FINGERPRINT),
+    "token_counts": QuerySpec(
+        X.q_token_counts, X.ORACLE_TOKEN_COUNTS,
+        extra_sources=(TXT.bpe_ish_token_count, TXT.token_count),
+    ),
+    "quality_score": QuerySpec(
+        X.q_quality_score, X.ORACLE_QUALITY_SCORE,
+        extra_sources=(TXT.quality_metrics,),
+    ),
+    "lang_id": QuerySpec(
+        X.q_lang_id, X.ORACLE_LANG_ID,
+        extra_sources=(TXT.lang_id, TXT.lang_scores),
+    ),
+    "doc_fingerprint": QuerySpec(
+        X.q_doc_fingerprint, X.ORACLE_DOC_FINGERPRINT,
+        extra_sources=(TXT.fingerprint_int60, TXT.fingerprint_md5, TXT.rolling_min_fingerprint),
+    ),
     # dedup family (documents)
-    "dedup_exact": QuerySpec(X.q_dedup_exact, X.ORACLE_DEDUP_EXACT),
+    "dedup_exact": QuerySpec(
+        X.q_dedup_exact, X.ORACLE_DEDUP_EXACT,
+        extra_sources=(ODED.dedup_exact_content,),
+    ),
     "minhash_signatures": QuerySpec(
-        X.q_minhash_signatures, X.ORACLE_MINHASH_SIGNATURES
+        X.q_minhash_signatures, X.ORACLE_MINHASH_SIGNATURES,
+        extra_sources=(ODED.char_shingles, ODED.minhash_signatures),
     ),
     "minhash_lsh_pairs": QuerySpec(
         X.q_minhash_lsh_pairs, X.ORACLE_MINHASH_LSH_PAIRS
     ),
     "ngram_jaccard": QuerySpec(X.q_ngram_jaccard, X.ORACLE_NGRAM_JACCARD),
     "simhash_signatures": QuerySpec(
-        X.q_simhash_signatures, X.ORACLE_SIMHASH_SIGNATURES
+        X.q_simhash_signatures, X.ORACLE_SIMHASH_SIGNATURES,
+        extra_sources=(ODED.simhash_bits,),
     ),
     "simhash_near_dups": QuerySpec(
         X.q_simhash_near_dups, X.ORACLE_SIMHASH_NEAR_DUPS
     ),
     # similarity search (embeddings)
-    "cosine_topk": QuerySpec(X.q_cosine_topk, X.ORACLE_COSINE_TOPK),
-    "ann_lsh_topk": QuerySpec(X.q_ann_lsh_topk, X.ORACLE_ANN_LSH_TOPK),
-    "ann_ivf_topk": QuerySpec(X.q_ann_ivf_topk, X.ORACLE_ANN_IVF_TOPK),
+    "cosine_topk": QuerySpec(
+        X.q_cosine_topk, X.ORACLE_COSINE_TOPK,
+        extra_sources=(SIM.brute_force_topk,),
+    ),
+    "ann_lsh_topk": QuerySpec(
+        X.q_ann_lsh_topk, X.ORACLE_ANN_LSH_TOPK,
+        extra_sources=(SIM.lsh_topk,),
+    ),
+    "ann_ivf_topk": QuerySpec(
+        X.q_ann_ivf_topk, X.ORACLE_ANN_IVF_TOPK,
+        extra_sources=(SIM.as_double, SIM.dot, SIM.norm),
+    ),
     "embedding_near_dups": QuerySpec(
-        X.q_embedding_near_dups, X.ORACLE_EMBEDDING_NEAR_DUPS
+        X.q_embedding_near_dups, X.ORACLE_EMBEDDING_NEAR_DUPS,
+        extra_sources=(X._tuned_near_dup_pairs,),
     ),
     # multimodal plumbing (documents as stand-in blobs)
     "multimodal_metadata": QuerySpec(
@@ -336,6 +400,28 @@ _SPECS: dict[str, QuerySpec] = {
     "repeat_purchase_interval": QuerySpec(
         R.q_repeat_purchase_interval, R.ORACLE_REPEAT_PURCHASE_INTERVAL
     ),
+    # r8: grouped form of the sketch family (engine HLL++ per group,
+    # exact companions oracle-compared)
+    "grouped_approx_distinct": QuerySpec(
+        R.q_grouped_approx_distinct, R.ORACLE_GROUPED_APPROX_DISTINCT
+    ),
+    # r8: quarantine re-validation after a rules change (rescue path)
+    "quarantine_reprocess": QuerySpec(
+        R.q_quarantine_reprocess, R.ORACLE_QUARANTINE_REPROCESS
+    ),
+    # r8: canonical-URL collapse (crawl dedup first pass)
+    "url_canonical_dedup": QuerySpec(
+        X.q_url_canonical_dedup, X.ORACLE_URL_CANONICAL_DEDUP
+    ),
+    # r8: recall audit of the capped LSH candidate generator
+    "lsh_dedup_recall": QuerySpec(
+        X.q_lsh_dedup_recall, X.ORACLE_LSH_DEDUP_RECALL,
+        extra_sources=(
+            ODED.ngram_jaccard_pairs,
+            ODED.minhash_candidate_pairs,
+            X.q_minhash_signatures,
+        ),
+    ),
 }
 
 
@@ -345,19 +431,25 @@ def definition_hash(spec: QuerySpec) -> str:
     when a green driver row lands; the catalog re-computes it at import
     and auto-flags any entry whose definition changed since its green
     (sort key 0), so a builder-side or ORACLE-ONLY edit can never hide
-    behind a stale green row (the r6 ``equi_depth_bins`` gap).  Builder
-    edits that only touch helpers the builder calls are NOT captured —
-    list those in ``FORCE_STALE`` by hand (rare; a helper shared by
-    many queries flags all of them on its own callers' source only if
-    inlined)."""
+    behind a stale green row (the r6 ``equi_depth_bins`` gap).  Edits
+    to helpers the builder delegates to are captured when the helper is
+    listed in ``spec.extra_sources`` (its source joins the payload);
+    helpers not listed there still need a manual ``FORCE_STALE``
+    entry."""
     import hashlib
     import inspect
 
-    try:
-        src = inspect.getsource(spec.builder)
-    except (OSError, TypeError):  # builtins / dynamically-built
-        src = repr(spec.builder)
-    payload = src + "\n\x00\n" + (spec.oracle_sql or "<no-oracle>")
+    def _src(obj) -> str:
+        try:
+            return inspect.getsource(obj)
+        except (OSError, TypeError):  # builtins / plain values
+            return repr(obj)
+
+    payload = _src(spec.builder) + "\n\x00\n" + (
+        spec.oracle_sql or "<no-oracle>"
+    )
+    for extra in spec.extra_sources:
+        payload += "\n\x00\n" + _src(extra)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -368,21 +460,14 @@ def definition_hash(spec: QuerySpec) -> str:
 # entries only for edits the hash cannot see (a shared helper changed
 # underneath many builders) or same-round redefinitions whose regen
 # predates the edit.
-FORCE_STALE: set[str] = {
-    # r7: redefined from the uncapped oracle-parity pins to the
-    # production capped/tuned forms (r6 verdict item 2, simhash
-    # precedent): minhash/ngram gain the max_bucket=64 hot-bucket
-    # guard; semantic_dedup gains corpus-derived planes + hub-star
-    # mega-bucket topology.  Their r4/r5 green rows verified the old
-    # uncapped definitions.
-    "minhash_lsh_pairs",
-    "ngram_jaccard",
-    "semantic_dedup",
-    # r7: redefined from the fixed 8-plane all-pairs form (measured
-    # 126x wall for 100x data) to the shared tuned-planes + hub-star
-    # candidate generator; the r5 green row verified the old form.
-    "embedding_near_dups",
-}
+FORCE_STALE: set[str] = set()
+# r8: empty — the four r7 redefinitions (minhash_lsh_pairs,
+# ngram_jaccard, semantic_dedup, embedding_near_dups) all landed green
+# driver rows in CORRECTNESS_r07 with their capped/tuned definitions,
+# and the r8 regen recorded those definitions' hashes into GREEN_HASH.
+# Shared-helper edits are now covered by QuerySpec.extra_sources (the
+# helpers are hashed into definition_hash), so hand-listing is only
+# needed for same-round redefinitions whose regen predates the edit.
 
 # Stalest-first with one refinement: entries whose code CHANGED after
 # their last green row (FORCE_STALE, then the oldest LAST_GREEN cohort)

@@ -4014,3 +4014,114 @@ SELECT mktsegment,
        CAST(min(gap) AS BIGINT) AS min_gap_days
 FROM j GROUP BY mktsegment
 """
+
+
+# ------------------------------------- grouped sketch verdict (round 8)
+
+
+def q_grouped_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped ``approx_count_distinct`` verdict: per (event_type,
+    day), exact distinct users (fully oracle-compared) plus an
+    in-bounds flag for Spark's engine-internal HLL++ at rsd=0.05 —
+    the GROUPED form of the sketch family (``q_sketch_stats`` checks
+    the global sketch; ``q_hll_verdict`` register-replays a hand-built
+    HLL).  The engine sketch itself is not replayable cross-engine, so
+    per the verdict-query contract the float estimate stays internal
+    to the boolean: the tolerance max(5, 25% of exact) is 5x the
+    configured rsd, so ``approx_ok`` trips only on structural
+    breakage (wrong grouping, wrong column, broken sketch merge).
+
+    Scale shape: one map-side-combined hash aggregation; sketches are
+    constant-size mergeable state, so the shuffle carries |groups| x
+    ~1 KB regardless of input rows — the 100 TB dashboard cardinality
+    pattern (distinct users per type/day without a two-pass exact
+    count)."""
+    ev = load_table(spark, sf, "events")
+    g = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_n_approx"),
+    )
+    ok = (
+        F.abs(
+            F.col("_n_approx").cast("double")
+            - F.col("n_exact").cast("double")
+        )
+        <= F.greatest(F.lit(5.0), 0.25 * F.col("n_exact").cast("double"))
+    )
+    return g.select(
+        "event_type", "day", "n_events", "n_exact", ok.alias("approx_ok")
+    )
+
+
+ORACLE_GROUPED_APPROX_DISTINCT = """
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+# ------------------------------- quarantine re-validation (round 8)
+
+#: validation rulesets, v1 (original) and v2 (relaxed after a rules
+#: change): plain tuples so the predicates below and the oracle SQL
+#: visibly encode the same constants
+_QREPROC_V1_CAP = 200.0
+_QREPROC_V2_CAP = 350.0
+_QREPROC_ERROR_CAP = 100.0
+
+
+def q_quarantine_reprocess(spark: SparkSession, sf: str) -> DataFrame:
+    """Quarantine re-validation after a rules change: rows that failed
+    ruleset v1 (quarantined) are replayed against the relaxed ruleset
+    v2, and rows that now pass are RESCUED back into the pipeline with
+    an audit reason — the reprocessing path the reference documents
+    for its tier-1 quarantine (docs/VALIDATION_RULES.md:15-107 rules;
+    validate_bronze.py quarantine split): quarantine is never a dead
+    end, it is re-validated when rules evolve.
+
+    v1: value <= 200 and event_type <> 'error'.
+    v2: value cap raised to 350; 'error' events admitted up to 100.
+    The two rescue reasons are mutually exclusive by construction
+    (an 'error' row rescued by v2 has value <= 100 <= 200, so its v1
+    failure was the type rule; a non-error rescue must be the cap).
+
+    Scale shape: one pass, filter + project only — both predicates
+    reach the parquet scan as pushed filters, no shuffle, no UDF."""
+    ev = load_table(spark, sf, "events")
+    v1_pass = (F.col("value") <= _QREPROC_V1_CAP) & (
+        F.col("event_type") != "error"
+    )
+    v2_pass = (F.col("value") <= _QREPROC_V2_CAP) & (
+        (F.col("event_type") != "error")
+        | (F.col("value") <= _QREPROC_ERROR_CAP)
+    )
+    reason = F.when(
+        F.col("event_type") == "error", F.lit("error_type_allowed")
+    ).otherwise(F.lit("value_cap_raised"))
+    return (
+        ev.filter(~v1_pass & v2_pass)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "event_type",
+            "value",
+            reason.alias("rescue_reason"),
+        )
+    )
+
+
+ORACLE_QUARANTINE_REPROCESS = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       event_type,
+       value,
+       CASE WHEN event_type = 'error' THEN 'error_type_allowed'
+            ELSE 'value_cap_raised' END AS rescue_reason
+FROM events
+WHERE NOT (value <= {_QREPROC_V1_CAP} AND event_type <> 'error')
+  AND (value <= {_QREPROC_V2_CAP}
+       AND (event_type <> 'error' OR value <= {_QREPROC_ERROR_CAP}))
+"""

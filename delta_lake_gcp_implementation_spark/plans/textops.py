@@ -811,12 +811,16 @@ def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < _Q_CUT)
     cents = sim.kmeans_fit(e, "vec_id", "embedding", k=_IVF_K, iters=3)
+    # both arms are materialized once: `exact` feeds the recall
+    # semi-join AND the final agg, and Spark re-runs the full top-k
+    # window per consumer (executed plan at r7 HEAD: 6 parquet scans /
+    # 0 ReusedExchange / 12 Window nodes — BENCH_NOTES round-8 item 1)
     approx = sim.ivf_topk(
         e, q, cents, "vec_id", "embedding", k=3, nprobe=2
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint()
     exact = sim.brute_force_topk(
         e, q, "vec_id", "embedding", k=3
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint()
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return (
         exact.agg(
@@ -2060,14 +2064,18 @@ def q_ann_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     codes = sim.pq_encode(
         u, "vec_id", "u", books, m_sub=_PQ_M, d_sub=_ANN_DIM // _PQ_M
     )
+    # both arms materialized once: each feeds the recall semi-join AND
+    # the final agg, and Spark re-ran the full shortlist/top-k windows
+    # per consumer (executed plan at r7 HEAD: 6 parquet scans / 8
+    # Window nodes — BENCH_NOTES round-8 item 2)
     approx = sim.pq_rerank_topk(
         codes, u, q, "vec_id", "u", books,
         k=_RECALL_K, shortlist=_PQ_SHORTLIST,
         m_sub=_PQ_M, d_sub=_ANN_DIM // _PQ_M,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint()
     exact = sim.brute_force_topk(
         e, e.filter(F.col("vec_id") < _Q_CUT), "vec_id", "embedding", k=_RECALL_K
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint()
     hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
     return (
         exact.agg(
@@ -3213,3 +3221,204 @@ JOIN sizes sa ON sa.doc_id = g.id_a
 JOIN sizes sb ON sb.doc_id = g.id_b
 """
 )
+
+
+# --------------------------- URL/key canonicalization dedup (round 8)
+
+_CANON_BUCKETS = 8  # crawl-path buckets per source (collision-rich on
+# purpose: several raw URLs per canonical key exercises the collapse)
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot URL/key canonicalization dedup: derive each
+    document's crawl URL deterministically from its metadata (mixed-
+    case scheme+host, tracking query params — the messy-key shape web
+    snapshots actually carry), CANONICALIZE it (lowercase; strip
+    scheme, ``www.``, query string, trailing slash), and collapse to
+    one canonical row per URL with variant counts and a min-doc_id
+    survivor — the reference's Bronze composite-key history -> current
+    collapse (``load_bronze.py:68-70``) generalized to messy web keys,
+    and the standard first pass of a crawl-dedup pipeline (canonical
+    URL dedup BEFORE content dedup: it is exact and shuffle-cheap).
+
+    Scale shape: project + one hash aggregation on the canonical key;
+    the regexp chain is JVM-side whole-stage codegen (zero UDF), and
+    the agg is map-side combined — linear, no join."""
+    d = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.upper("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        (F.col("doc_id") % _CANON_BUCKETS).cast("string"),
+        F.lit("/?utm_source=feed&doc="),
+        F.col("doc_id").cast("string"),
+    )
+    canon = F.regexp_replace(F.lower(url), "^https?://", "")
+    canon = F.regexp_replace(canon, "^www\\.", "")
+    canon = F.regexp_replace(canon, "\\?.*$", "")
+    canon = F.regexp_replace(canon, "/$", "")
+    per = d.select(
+        F.col("doc_id"), F.col("n_chars"), canon.alias("canonical_url")
+    )
+    return per.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+ORACLE_URL_CANONICAL_DEDUP = f"""
+WITH u AS (
+    SELECT doc_id, n_chars,
+           'https://WWW.' || upper(source) || '.example.com/' || lang
+             || '/' || CAST(doc_id % {_CANON_BUCKETS} AS VARCHAR)
+             || '/?utm_source=feed&doc=' || CAST(doc_id AS VARCHAR)
+             AS url
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_chars,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '^https?://', ''), '^www\\.', ''),
+               '\\?.*$', ''), '/$', '') AS canonical_url
+    FROM u
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM c GROUP BY canonical_url
+"""
+
+
+# ------------------------------- LSH candidate-recall audit (round 8)
+
+_RECALL_CUT_DOCS = 150  # fixed audit sample (doc_id < cut): ground
+# truth cost is sample^2 and CONSTANT in corpus size, the same
+# bounded-eval device as q_ann_recall_eval's query cut
+
+
+def q_lsh_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall audit of the PRODUCTION capped MinHash-LSH candidate
+    generator against exact n-gram Jaccard ground truth on a fixed
+    doc-id audit sample — the dedup counterpart of
+    ``q_ann_recall_eval``: the capped generator trades recall inside
+    oversized buckets for bounded cost (``_LSH_MAX_BUCKET``), and this
+    query measures exactly what that trade costs, continuously.
+
+    Ground truth: ALL pairs within the <=150-doc sample with char-5
+    Jaccard >= 0.5 (the ``q_ngram_jaccard`` threshold).  Candidates:
+    the full-corpus capped generator, restricted to sample pairs — so
+    cap-induced misses on hot buckets DO count against recall.  Emits
+    one row of exact counts plus the recall ratio (one int/int
+    division, deterministic cross-engine).
+
+    Scale shape: the sample all-pairs arm is 150^2 regardless of
+    corpus size; the candidate arm is the production banded equi-join;
+    both arms are localCheckpointed once for their two consumers
+    (semi-join + count)."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < _RECALL_CUT_DOCS
+    )
+    truth = (
+        dedup_ops.ngram_jaccard_pairs(
+            d, "text", "doc_id", k=_MH_K, threshold=0.5
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    sig = q_minhash_signatures(spark, sf)
+    cands = (
+        dedup_ops.minhash_candidate_pairs(
+            sig,
+            "doc_id",
+            n_hashes=_MH_N,
+            band_size=_MH_BAND,
+            max_bucket=_LSH_MAX_BUCKET,
+        )
+        .filter(
+            (F.col("id_a") < _RECALL_CUT_DOCS)
+            & (F.col("id_b") < _RECALL_CUT_DOCS)
+        )
+        .localCheckpoint()
+    )
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    c = cands.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+    )
+    h = hits.agg(F.count(F.lit(1)).cast("bigint").alias("_n_hits"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            F.col("_n_hits").alias("n_hits"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("_n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            ).alias("recall"),
+        )
+    )
+
+
+def _oracle_lsh_dedup_recall() -> str:
+    return (
+        "WITH "
+        + _SQL_SHINGLES
+        + ",\n"
+        + _SQL_SIG
+        + ",\n"
+        + _sql_bands()
+        + f""",
+small AS (
+    SELECT band_idx, band_key FROM bands
+    GROUP BY band_idx, band_key
+    HAVING count(*) <= {_LSH_MAX_BUCKET}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN small s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+cands_s AS (
+    SELECT * FROM cands
+    WHERE id_a < {_RECALL_CUT_DOCS} AND id_b < {_RECALL_CUT_DOCS}
+),
+ssh AS (SELECT * FROM sh WHERE doc_id < {_RECALL_CUT_DOCS}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ssh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM ssh a JOIN ssh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+)
+SELECT CAST(t.n AS BIGINT) AS n_true_pairs,
+       CAST(c.n AS BIGINT) AS n_candidate_pairs,
+       CAST(h.n AS BIGINT) AS n_hits,
+       CASE WHEN t.n > 0
+            THEN CAST(h.n AS DOUBLE) / CAST(t.n AS DOUBLE) END AS recall
+FROM (SELECT count(*) AS n FROM truth) t,
+     (SELECT count(*) AS n FROM cands_s) c,
+     (SELECT count(*) AS n FROM truth tt
+      WHERE EXISTS (SELECT 1 FROM cands_s cs
+                    WHERE cs.id_a = tt.id_a AND cs.id_b = tt.id_b)) h
+"""
+    )
+
+
+ORACLE_LSH_DEDUP_RECALL = _oracle_lsh_dedup_recall()

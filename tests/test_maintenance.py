@@ -409,3 +409,30 @@ def test_gram_hash_invalid_bits_raise_value_error(spark):
     # valid settings still build a column
     wn.gram_hash(col, 60, "md5")
     wn.gram_hash(col, 62, "xxhash64")
+
+
+def test_bloom_index_on_uri_escaped_warehouse_path(spark, tmp_path):
+    """ADVICE r7: input_file_name() returns a percent-escaped URI, so
+    a warehouse path containing a space used to break the root match —
+    build_file_bloom produced garbage keys that could never equal
+    scan_bloom_pruned's os.walk relpaths, and the index silently
+    stopped pruning.  With the URI decoded, keys are table-relative
+    paths and pruning works on such paths too."""
+    store = TableStore(spark, str(tmp_path / "ware house" / "wh+x"))
+    df = spark.range(0, 5_000).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+    )
+    store.overwrite("db.esc", df)
+    mt.cluster_by(store, "db.esc", ["id"], n_files=6)
+    idx = mt.build_file_bloom(store, "db.esc", "k")
+    # keys must be table-relative parquet paths, not URI fragments
+    assert len(idx) == 6
+    assert all(key.endswith(".parquet") and "%" not in key for key in idx)
+    hit_df, nread, ntot = mt.scan_bloom_pruned(
+        store, "db.esc", "k", "key1234", idx
+    )
+    assert ntot == 6 and nread <= 3
+    assert [r.id for r in hit_df.collect()] == [1234]
+    _, nread_miss, _ = mt.scan_bloom_pruned(store, "db.esc", "k", "nope", idx)
+    assert nread_miss <= 2  # pruning actually skips files again

@@ -764,3 +764,25 @@ def test_txn_create_path_is_staged(spark, store):
         os.path.join(store.path("gold.fresh"), "_txn-writer-3")
     )
     assert store.read("gold.fresh").count() == 5
+
+
+def test_last_txn_version_manifest_fallback_without_sidecars(spark, store):
+    """ADVICE r7 perf fix kept correct: sidecars are ground truth and
+    short-circuit, but when an outside writer drops the underscore
+    files the newest-first manifest walk still reports each app's
+    maximum txn version."""
+    import os
+
+    df = spark.range(4).withColumnRenamed("id", "k").withColumn(
+        "v", F.lit(1).cast("bigint")
+    )
+    store.upsert("gold.out", df, ["k"], txn=("app_a", 0))
+    store.upsert("gold.out", df, ["k"], txn=("app_b", 5))
+    store.upsert("gold.out", df, ["k"], txn=("app_a", 1))
+    tdir = store.path("gold.out")
+    for f in os.listdir(tdir):
+        if f.startswith("_txn-"):
+            os.unlink(os.path.join(tdir, f))
+    assert store.last_txn_version("gold.out", "app_a") == 1
+    assert store.last_txn_version("gold.out", "app_b") == 5
+    assert store.last_txn_version("gold.out", "app_c") is None
