@@ -30,6 +30,7 @@ only* (dims are small by construction; see
 
 from __future__ import annotations
 
+import contextvars
 import json
 import uuid
 from datetime import date, datetime
@@ -102,6 +103,19 @@ JOB_CONTROL_SCHEMA = (
 )
 
 
+#: Default stage retry budget — the reference DAG's ``retries=2``
+#: (``bronze_incremental_dag.py:70-77``).
+DEFAULT_STAGE_RETRIES = 2
+
+#: Ambient (retry_count, max_retries) for the CURRENTLY running stage,
+#: set by :func:`run_stage_with_retries` so the stage's own
+#: ``write_job_control`` call records the attempt number without
+#: threading a parameter through every stage signature.
+_STAGE_RETRY: contextvars.ContextVar[tuple[int, int]] = (
+    contextvars.ContextVar("stage_retry", default=(0, 3))
+)
+
+
 # Toggle for embedders whose stdout is itself a machine contract
 # (bench.py must print exactly one JSON line).
 RESULT_JSON_ENABLED = True
@@ -133,12 +147,22 @@ def write_job_control(
     start_date: str | None = None,
     end_date: str | None = None,
     error_message: str | None = None,
-    retry_count: int = 0,
-    max_retries: int = 3,
+    retry_count: int | None = None,
+    max_retries: int | None = None,
     triggered_by: str = "pipeline",
 ) -> None:
     """S12 metadata append (``shared/write_watermark.py:39-65``) —
-    full 23-column contract (``docs/SCHEMA_REGISTRY.md:53-81``)."""
+    full 23-column contract (``docs/SCHEMA_REGISTRY.md:53-81``).
+
+    ``retry_count``/``max_retries`` default to the ambient stage-retry
+    context set by :func:`run_stage_with_retries`, so a stage's own
+    SUCCESS row records how many attempts it actually took — the
+    observable half of the reference's Airflow ``retries=2`` contract
+    (``bronze_incremental_dag.py:70-77``)."""
+    if retry_count is None:
+        retry_count = _STAGE_RETRY.get()[0]
+    if max_retries is None:
+        max_retries = _STAGE_RETRY.get()[1]
     now = datetime.utcnow()
     wm_ts = (
         datetime.strptime(watermark, "%Y-%m-%d %H:%M:%S")
@@ -1101,21 +1125,95 @@ def build_fact(
 # ---------------------------------------------------------------- runner
 
 
-def run_incremental(store: TableStore, raw: DataFrame) -> dict:
+def run_stage_with_retries(
+    store: TableStore,
+    job_name: str,
+    layer: str,
+    batch_id: str,
+    fn,
+    max_retries: int = DEFAULT_STAGE_RETRIES,
+):
+    """Bounded stage retry — the runner half of the job_control
+    ``retry_count``/``max_retries`` contract (the reference keeps this
+    in Airflow DAG config, ``bronze_incremental_dag.py:70-77``
+    ``retries=2``; the in-process runner consumes the same budget).
+
+    A transient failure re-invokes the stage wholesale, exactly like
+    an Airflow task retry: keyed MERGE writes are idempotent on rerun
+    (the idempotency suite), while pre-crash appends (quarantine)
+    follow the reference's at-least-once semantics.  On success the
+    stage's own job_control row carries the attempt number via the
+    ambient context; after exhausting the budget the runner records
+    the FAILED row (the crashed stage never wrote one) and re-raises.
+    """
+    attempt = 0
+    while True:
+        token = _STAGE_RETRY.set((attempt, max_retries))
+        try:
+            return fn()
+        except Exception as exc:
+            if attempt >= max_retries:
+                write_job_control(
+                    store, job_name, layer, batch_id, "incremental",
+                    "FAILED", None, 0,
+                    error_message=f"{type(exc).__name__}: {exc}",
+                    retry_count=attempt, max_retries=max_retries,
+                )
+                emit_result(
+                    job_name,
+                    {"status": "FAILED", "retry_count": attempt,
+                     "max_retries": max_retries},
+                )
+                raise
+            attempt += 1
+        finally:
+            _STAGE_RETRY.reset(token)
+
+
+def run_incremental(
+    store: TableStore,
+    raw: DataFrame,
+    max_retries: int = DEFAULT_STAGE_RETRIES,
+) -> dict:
     """In-process replacement for the Airflow DAG cascade
     (Bronze 02:00 -> Silver 03:00 -> dims 04:00 -> fact 05:00,
     SURVEY.md section 3): stage functions in dependency order, staging
-    tables as the IR between them."""
+    tables as the IR between them.  Each stage runs under the DAG's
+    bounded retry budget (:func:`run_stage_with_retries`)."""
     batch_id = new_batch_id()
     wm = read_watermark(store, "bronze")
     r: dict = {"batch_id": batch_id}
-    r["validate"] = validate_bronze(store, raw, batch_id, watermark=wm)
-    r["bronze"] = load_bronze(store, batch_id)
-    r["silver"] = run_silver(store, batch_id)
-    r["scd2"] = scd2_dim_customer(store, batch_id)
-    r["scd2_merchant"] = scd2_dim_merchant(store, batch_id)
-    build_static_dims(store)
+
+    def stage(job_name: str, layer: str, fn):
+        return run_stage_with_retries(
+            store, job_name, layer, batch_id, fn, max_retries=max_retries
+        )
+
+    r["validate"] = stage(
+        "validate_bronze", "bronze",
+        lambda: validate_bronze(store, raw, batch_id, watermark=wm),
+    )
+    r["bronze"] = stage(
+        "load_bronze", "bronze", lambda: load_bronze(store, batch_id)
+    )
+    r["silver"] = stage(
+        "load_silver", "silver", lambda: run_silver(store, batch_id)
+    )
+    r["scd2"] = stage(
+        "scd2_dim_customer", "gold",
+        lambda: scd2_dim_customer(store, batch_id),
+    )
+    r["scd2_merchant"] = stage(
+        "scd2_dim_merchant", "gold",
+        lambda: scd2_dim_merchant(store, batch_id),
+    )
+    stage("static_dims", "gold", lambda: build_static_dims(store))
     if not store.exists("gold.dim_date"):
-        build_dim_date(store, "2024-01-01", "2024-12-31")
-    r["fact"] = build_fact(store, batch_id)
+        stage(
+            "dim_date", "gold",
+            lambda: build_dim_date(store, "2024-01-01", "2024-12-31"),
+        )
+    r["fact"] = stage(
+        "load_fact", "gold", lambda: build_fact(store, batch_id)
+    )
     return r

@@ -64,3 +64,131 @@ def test_regen_carry_over_never_rehashes_unadvanced_entries(monkeypatch):
     assert out[advanced] == cat.definition_hash(cat._SPECS[advanced])
     # steady: green round unchanged, old hash carried over verbatim
     assert out[steady] == "b" * 16
+
+
+def test_helper_only_edit_flags_all_extra_sources_callers():
+    """r7 ADVICE (medium): builders that delegate their logic to a
+    shared helper used to escape the staleness guard — only the
+    builder's own source was hashed.  With ``extra_sources`` the
+    helper's source is part of the definition payload, so an edit to
+    the helper alone changes every caller's hash."""
+    from delta_lake_gcp_implementation_spark.plans import textops as X
+
+    callers = [
+        n
+        for n, s in cat._SPECS.items()
+        if any(e is X._tuned_near_dup_pairs for e in s.extra_sources)
+    ]
+    # the two wrappers the ADVICE named must both be covered
+    assert set(callers) >= {"semantic_dedup", "embedding_near_dups"}
+
+    class _EditedHelper:
+        """Stand-in whose 'source' differs from the real helper."""
+
+    for name in callers:
+        spec = cat._SPECS[name]
+        h_now = cat.definition_hash(spec)
+        edited = cat.QuerySpec(
+            spec.builder,
+            spec.oracle_sql,
+            extra_sources=tuple(
+                _EditedHelper if e is X._tuned_near_dup_pairs else e
+                for e in spec.extra_sources
+            ),
+        )
+        assert cat.definition_hash(edited) != h_now, name
+
+
+def test_extra_sources_mismatch_ranks_caller_stalest():
+    """End-to-end through ordered_catalog: recording the CURRENT hash
+    as green, then simulating a helper edit via a different
+    extra_sources payload, must pull the caller into the stale front
+    group exactly like a builder edit."""
+    name = "semantic_dedup"
+    spec = cat._SPECS[name]
+    edited_specs = dict(cat._SPECS)
+    edited_specs[name] = cat.QuerySpec(
+        spec.builder, spec.oracle_sql, extra_sources=()
+    )
+    gh = dict(dr.GREEN_HASH)
+    gh[name] = cat.definition_hash(spec)  # green recorded at HEAD
+
+    def stale_front(specs):
+        """Names at sort key 0: FORCE_STALE or recorded-hash mismatch."""
+        return {
+            n
+            for n, s in specs.items()
+            if n in cat.FORCE_STALE
+            or (gh.get(n) is not None and gh[n] != cat.definition_hash(s))
+        }
+
+    # with the hash recorded at HEAD the entry is NOT stale...
+    assert name not in stale_front(cat._SPECS)
+    # ...but the helper edit (different extra_sources payload) flags it
+    assert name in stale_front(edited_specs)
+    # and ordered_catalog puts every flagged entry ahead of green rows
+    ordered = list(cat.ordered_catalog(specs=edited_specs, green_hash=gh))
+    assert name in ordered[: len(stale_front(edited_specs))]
+
+
+def test_regen_dirty_tree_records_sentinel_not_working_tree_hash(
+    monkeypatch,
+):
+    """r7 ADVICE (low, bootstrap laundering): when the engine tree no
+    longer matches the commit the driver verified, an ADVANCED entry
+    must NOT have the current working tree hashed into GREEN_HASH —
+    it records a sentinel that can never match, so it stays stale and
+    re-verifies."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import update_driver_rows as reg
+
+    name = next(iter(dr.GREEN_HASH))
+    monkeypatch.setattr(dr, "GREEN_HASH", {})
+    monkeypatch.setattr(dr, "LAST_GREEN", {})
+    dirty = reg.collect_hashes({name: 8}, allow_rehash=False)
+    assert dirty[name] == "edited-post-green"
+    assert dirty[name] != cat.definition_hash(cat._SPECS[name])
+    clean = reg.collect_hashes({name: 8}, allow_rehash=True)
+    assert clean[name] == cat.definition_hash(cat._SPECS[name])
+
+
+def test_engine_tree_guard_detects_current_state():
+    """The guard reads git; at a commit where engine sources changed
+    after the newest CORRECTNESS file landed it must say not-clean,
+    and its detail must name the file.  (This repo edits engine code
+    mid-round, so both outcomes are legitimate — assert consistency
+    with git itself rather than a fixed answer.)"""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import update_driver_rows as reg
+
+    ok, detail = reg.engine_tree_matches_correctness_commit()
+    import re
+
+    newest = max(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
+    )
+    base = subprocess.run(
+        ["git", "-C", str(repo), "log", "-1", "--format=%H", "--",
+         newest.name],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    diff = subprocess.run(
+        ["git", "-C", str(repo), "diff", "--name-only", base, "HEAD",
+         "--", "delta_lake_gcp_implementation_spark", "__spark_entry__.py"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    status = subprocess.run(
+        ["git", "-C", str(repo), "status", "--porcelain", "--",
+         "delta_lake_gcp_implementation_spark", "__spark_entry__.py"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert ok == (not diff and not status)

@@ -456,3 +456,80 @@ def test_dim_date_attributes(spark, store):
     assert dd.count() == 31
     jan6 = dd.filter(F.col("full_date") == "2024-01-06").first()  # Saturday
     assert jan6.is_weekend and jan6.date_key == 20240106 and jan6.day_name == "Saturday"
+
+
+# ------------------------------------------- bounded stage retries (r8)
+
+
+def test_transient_stage_failure_retried_then_success_with_retry_count(
+    spark, store, monkeypatch
+):
+    """r7 verdict item 4: a stage that fails once and then succeeds is
+    retried within the DAG budget, and its OWN job_control SUCCESS row
+    records retry_count=1 (the observable Airflow retries=2 contract,
+    bronze_incremental_dag.py:70-77)."""
+    raw, counts = _day(spark, 1)
+    real = medallion.load_bronze
+    calls = {"n": 0}
+
+    def flaky(store_, batch_id, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected transient executor loss")
+        return real(store_, batch_id, *a, **kw)
+
+    monkeypatch.setattr(medallion, "load_bronze", flaky)
+    r = medallion.run_incremental(store, raw)
+    assert calls["n"] == 2
+    assert r["bronze"]["merged"] > 0
+    row = (
+        store.read("job_control")
+        .filter(
+            (F.col("job_name") == "load_bronze")
+            & (F.col("status") == "SUCCESS")
+        )
+        .orderBy(F.desc("completed_at"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert row.retry_count == 1
+    assert row.max_retries == medallion.DEFAULT_STAGE_RETRIES
+    # downstream stages ran clean: their rows record retry_count=0
+    fact_row = (
+        store.read("job_control")
+        .filter(F.col("job_name") == "load_fact")
+        .collect()[0]
+    )
+    assert fact_row.retry_count == 0
+
+
+def test_permanent_stage_failure_recorded_failed_after_max_retries(
+    spark, store, monkeypatch
+):
+    """Exhausting the budget records a FAILED job_control row with
+    retry_count == max_retries and the error message, then re-raises
+    to the caller (the DAG marks the run failed)."""
+    raw, _ = _day(spark, 1)
+    calls = {"n": 0}
+
+    def broken(store_, batch_id, *a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected permanent schema drift")
+
+    monkeypatch.setattr(medallion, "load_bronze", broken)
+    with pytest.raises(RuntimeError, match="permanent schema drift"):
+        medallion.run_incremental(store, raw, max_retries=2)
+    assert calls["n"] == 3  # first attempt + 2 retries
+    row = (
+        store.read("job_control")
+        .filter(
+            (F.col("job_name") == "load_bronze")
+            & (F.col("status") == "FAILED")
+        )
+        .collect()[0]
+    )
+    assert row.retry_count == 2
+    assert row.max_retries == 2
+    assert "permanent schema drift" in row.error_message
+    # the failure must NOT advance the bronze watermark
+    assert medallion.read_watermark(store, "bronze") is None

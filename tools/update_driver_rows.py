@@ -58,10 +58,57 @@ def collect() -> dict[str, int]:
     return last_green
 
 
-def collect_hashes(last_green: dict[str, int]) -> dict[str, str]:
+def engine_tree_matches_correctness_commit() -> tuple[bool, str]:
+    """Bootstrap-laundering guard (r7 ADVICE): re-hashing an ADVANCED
+    entry at regen time certifies the CURRENT working tree with a green
+    row the driver produced at the round's final commit.  That is only
+    sound when the engine sources are bit-identical to what the driver
+    ran.  Returns (ok, detail): ok=False when the engine package
+    changed (committed or uncommitted) since the commit that recorded
+    the newest CORRECTNESS file."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", "-C", str(REPO), *args],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+
+    newest = max(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda f: int(re.search(r"r(\d+)", f.name).group(1)),
+        default=None,
+    )
+    if newest is None:
+        return True, "no CORRECTNESS file"
+    paths = ["delta_lake_gcp_implementation_spark", "__spark_entry__.py"]
+    try:
+        base = _git("log", "-1", "--format=%H", "--", newest.name)
+        committed = _git("diff", "--name-only", base, "HEAD", "--", *paths)
+        dirty = _git("status", "--porcelain", "--", *paths)
+    except Exception as exc:  # not a git checkout / git unavailable
+        return True, f"git unavailable ({exc}); guard skipped"
+    changed = [ln for ln in (committed + "\n" + dirty).splitlines() if ln]
+    if changed:
+        return False, (
+            f"engine sources changed since {newest.name}'s commit "
+            f"({base[:10]}): " + ", ".join(changed[:10])
+        )
+    return True, f"tree matches {newest.name}'s commit"
+
+
+def collect_hashes(
+    last_green: dict[str, int], allow_rehash: bool = True
+) -> dict[str, str]:
     """GREEN_HASH for every catalog entry with a green row: re-hash
     when the green round advanced (or no hash was recorded), else carry
-    the previously recorded hash over unchanged."""
+    the previously recorded hash over unchanged.  With
+    ``allow_rehash=False`` (engine tree no longer matches what the
+    driver verified), an advanced entry records the sentinel
+    ``edited-post-green`` instead of a working-tree hash: the sentinel
+    never equals a real definition hash, so the entry stays at the
+    stale front and re-verifies on the next driver run -- conservative
+    instead of laundering."""
     import sys
 
     sys.path.insert(0, str(REPO))
@@ -77,14 +124,28 @@ def collect_hashes(last_green: dict[str, int]) -> dict[str, str]:
             continue
         if name in old_hash and old_green.get(name, 0) >= rnd:
             out[name] = old_hash[name]
-        else:
+        elif allow_rehash:
             out[name] = cat.definition_hash(spec)
+        else:
+            out[name] = "edited-post-green"
     return out
 
 
 def main() -> None:
+    import sys
+
     last_green = collect()
-    green_hash = collect_hashes(last_green)
+    clean, detail = engine_tree_matches_correctness_commit()
+    if not clean:
+        print(f"WARNING: {detail}", file=sys.stderr)
+        print(
+            "WARNING: advanced entries get the 'edited-post-green' "
+            "sentinel (stay stale) instead of a working-tree hash; "
+            "run the regen at round start, before editing, to record "
+            "real hashes.",
+            file=sys.stderr,
+        )
+    green_hash = collect_hashes(last_green, allow_rehash=clean)
     lines = [
         '"""GENERATED by tools/update_driver_rows.py -- do not edit.',
         "",
