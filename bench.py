@@ -240,24 +240,22 @@ def _write_full_artifact(payload: dict) -> None:
     """Persist the COMPLETE per-key timings as BENCH_FULL_r{N}.json in
     the repo (r6 verdict item 4: the driver's BENCH_r*.json keeps only
     the last ~2 KB of stdout, so full-catalog coverage was only
-    partially auditable).  Round number = newest CORRECTNESS round + 1
-    (the round currently being built), overridable via
-    $SPARK_GRAFT_ROUND; only the driver-shape sf0.1 run writes, so a
-    quick sf0.01 iteration never clobbers the committed artifact."""
+    partially auditable).  Round number = max(driver_rows.LAST_GREEN)
+    + 1 — the round currently being BUILT.  driver_rows regenerates at
+    ROUND START, so the stamp stays correct even for a re-run after
+    the driver commits the round's own CORRECTNESS file at round end
+    (stamping from the CORRECTNESS glob there produced the r7-final
+    artifact mislabeled BENCH_FULL_r08 — r7 verdict nit).  Overridable
+    via $SPARK_GRAFT_ROUND; only the driver-shape sf0.1 run writes, so
+    a quick sf0.01 iteration never clobbers the committed artifact."""
     if payload["sf"] != 0.1:
         return
-    import glob
-    import re
-
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if not rnd:
-        rounds = [
-            int(m.group(1))
-            for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"r(\d+)\.json$", f))
-        ]
-        rnd = str(max(rounds, default=0) + 1)
+        from delta_lake_gcp_implementation_spark.plans import driver_rows
+
+        rnd = str(max(driver_rows.LAST_GREEN.values(), default=0) + 1)
     out = os.path.join(here, f"BENCH_FULL_r{int(rnd):02d}.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
