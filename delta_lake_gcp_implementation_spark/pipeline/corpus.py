@@ -41,6 +41,21 @@ bit-for-bit.  MIN_AGREE and JACCARD_THRESHOLD, by contrast, are
 per-run filter knobs applied at candidate-verify time — they
 intentionally differ from textops' looser test-scale settings and may
 be tuned without invalidating any stored table.
+
+Hot-bucket cap (round 8): the candidate joins skip LSH buckets whose
+COMBINED membership (batch + stored incidence) exceeds ``MAX_BUCKET``
+— the same default-on rule as
+:func:`..operators.dedup.minhash_candidate_pairs`.  The pair list is
+quadratic in bucket size, and the 100x end-to-end rehearsal measured
+3.17e9 candidate pairs uncapped (one boilerplate mega-bucket of 43k
+docs alone contributing 9.3e8, i.e. one straggler task spill-sorting
+for >30 min) vs 1.29e6 capped — 2456x less work.  The recall cost of
+the cap is measured CONTINUOUSLY by the ``lsh_dedup_recall`` catalog
+key; mega-bucket members the cap skips are boilerplate clusters whose
+connectivity the linear incidence + connected-components path
+(``dup_clusters``) recovers without ever enumerating pairs.  The cap
+is applied at JOIN time only — the persisted index stays uncapped, so
+tightening or loosening it never invalidates stored tables.
 """
 
 from __future__ import annotations
@@ -63,6 +78,11 @@ MH_BAND = 2
 #: threshold 0.5 — do NOT "fix" them to match.
 MIN_AGREE = 6
 JACCARD_THRESHOLD = 0.8
+#: Hot-bucket cap for the candidate joins (module docstring, "Hot-
+#: bucket cap"): buckets whose combined batch+stored membership
+#: exceeds this are skipped before any pair is formed.  Same default
+#: as the offline generators' ``_LSH_MAX_BUCKET``.
+MAX_BUCKET = 64
 
 DOCS = "corpus.documents"
 SIGS = "corpus.minhash_sigs"
@@ -79,12 +99,17 @@ def ingest_batch(
     batch: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = MAX_BUCKET,
 ) -> dict:
     """Dedup ``batch`` against itself and the persisted corpus, append
     the survivors + their index rows, return the accounting dict.
 
     ``doc_id`` values must be globally unique across batches (the
-    caller's ingest contract, same as any CDC key)."""
+    caller's ingest contract, same as any CDC key).
+
+    ``max_bucket``: hot-bucket cap for the candidate joins (see the
+    module docstring); ``None`` restores the uncapped quadratic
+    semantics (rehearsal baselines only — never at scale)."""
     batch = batch.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -118,12 +143,35 @@ def ingest_batch(
         sigs_new, "doc_id", n_hashes=MH_N, band_size=MH_BAND
     ).localCheckpoint()
 
+    stored_bands = store.read(BANDS) if store.exists(BANDS) else None
+
+    # hot-bucket cap: count COMBINED (batch + stored) membership per
+    # bucket and semi-join the batch side down to in-cap buckets —
+    # every pair requires a batch-side row, so filtering one join side
+    # kills the whole bucket.  The agg and the semi-join shuffle on
+    # the SAME key the candidate joins use (co-partitioned, no new
+    # exchange pattern), identical to minhash_candidate_pairs' rule.
+    bands_joinable = bands_new
+    if max_bucket is not None:
+        combined = (
+            bands_new
+            if stored_bands is None
+            else bands_new.unionByName(stored_bands)
+        )
+        small = (
+            combined.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+        bands_joinable = bands_new.join(small, "bucket", "left_semi")
+
     # batch-vs-corpus: equi-join against the STORED incidence list
-    if store.exists(BANDS):
+    if stored_bands is not None:
         cross = (
-            bands_new.withColumnRenamed("doc_id", "id_a")
+            bands_joinable.withColumnRenamed("doc_id", "id_a")
             .join(
-                store.read(BANDS).withColumnRenamed("doc_id", "id_b"),
+                stored_bands.withColumnRenamed("doc_id", "id_b"),
                 "bucket",
             )
             .select("id_a", "id_b")
@@ -133,8 +181,10 @@ def ingest_batch(
         cross = None
     # batch-vs-batch: incidence self-join, higher id is the candidate
     intra = (
-        bands_new.withColumnRenamed("doc_id", "id_a")
-        .join(bands_new.withColumnRenamed("doc_id", "id_b"), "bucket")
+        bands_joinable.withColumnRenamed("doc_id", "id_a")
+        .join(
+            bands_joinable.withColumnRenamed("doc_id", "id_b"), "bucket"
+        )
         .filter(F.col("id_a") > F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -7,8 +7,11 @@ index tables), so the catalog query runs the REAL pipeline against a
 throwaway store root, materializes the verdict, and removes the root —
 the same replay-the-semantics pattern as ``ORACLE_DUP_CLUSTERS``: the
 oracle re-derives every drop decision (intra-batch exact, cross-corpus
-exact, LSH -> agreement -> exact-Jaccard near-dup, transitive-greedy
-rule) from the base ``documents`` table in pure SQL.
+exact, hot-bucket-capped LSH -> agreement -> exact-Jaccard near-dup,
+transitive-greedy rule) from the base ``documents`` table in pure SQL,
+including the ``MAX_BUCKET`` candidate cap (r8 — the uncapped
+composition measured 3.17e9 pairs at 100x; see the pipeline module
+docstring).
 
 Batch split: ``doc_id % 2`` — batch 0 (even ids) ingests into an empty
 corpus, batch 1 (odd ids) ingests against batch 0's survivors, which
@@ -28,6 +31,7 @@ from ..operators import dedup as dedup_ops
 from ..pipeline.corpus import (
     DOCS,
     JACCARD_THRESHOLD,
+    MAX_BUCKET,
     MH_BAND,
     MH_K,
     MH_N,
@@ -150,10 +154,18 @@ u1 AS (
     + _sql_sig("sig1", "sh1")
     + ",\n"
     + _sql_bands("bands1", "sig1")
-    + """,
+    + f""",
+-- hot-bucket cap (pipeline.corpus.MAX_BUCKET): batch 0 ingests into
+-- an empty store, so combined membership = bands1 alone
+cap1 AS (
+    SELECT band_idx, band_key FROM bands1
+    GROUP BY band_idx, band_key HAVING count(*) <= {MAX_BUCKET}
+),
 cand1 AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands1 a JOIN bands1 b
+    FROM bands1 a
+    JOIN cap1 s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+    JOIN bands1 b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id > b.doc_id
 ),
@@ -181,19 +193,33 @@ f2 AS (
     + _sql_sig("sig2", "sh2")
     + ",\n"
     + _sql_bands("bands2", "sig2")
-    + """,
+    + f""",
 -- stored incidence = batch-0 survivors' bands only
 bands_acc1 AS (
     SELECT * FROM bands1 WHERE doc_id IN (SELECT doc_id FROM acc1)
 ),
+-- hot-bucket cap over the COMBINED batch-2 + stored incidence; a
+-- batch-side semi-join kills the whole bucket (every pair needs a
+-- batch row), mirroring ingest_batch's bands_joinable
+cap2 AS (
+    SELECT band_idx, band_key FROM (
+        SELECT band_idx, band_key FROM bands2
+        UNION ALL
+        SELECT band_idx, band_key FROM bands_acc1
+    ) GROUP BY band_idx, band_key HAVING count(*) <= {MAX_BUCKET}
+),
 cand2 AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands2 a JOIN bands2 b
+    FROM bands2 a
+    JOIN cap2 s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+    JOIN bands2 b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
      AND a.doc_id > b.doc_id
     UNION
     SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-    FROM bands2 a JOIN bands_acc1 c
+    FROM bands2 a
+    JOIN cap2 s ON a.band_idx = s.band_idx AND a.band_key = s.band_key
+    JOIN bands_acc1 c
       ON a.band_idx = c.band_idx AND a.band_key = c.band_key
 ),
 sig_all2 AS (

@@ -78,6 +78,30 @@ def test_rebuild_index_matches_incremental(spark, store):
     assert sorted(map(tuple, store.read(corpus.BANDS).collect())) == inc_bands
 
 
+def test_hot_bucket_cap_counts_combined_membership(spark, tmp_path):
+    """The candidate-join cap counts batch + STORED incidence combined
+    (round 8): with B already in the corpus, B_NEAR's shared buckets
+    hold 2 members, so max_bucket=1 skips them (near-dup missed, doc
+    accepted — bounded-cost trade) while max_bucket=2 keeps them
+    (near-dup caught).  Proves the cap engages on the cross-corpus arm
+    and that the stored side participates in the count."""
+    s1 = TableStore(spark, str(tmp_path / "cap1"))
+    corpus.ingest_batch(s1, _df(spark, [(1, B)]))
+    r = corpus.ingest_batch(s1, _df(spark, [(2, B_NEAR)]), max_bucket=1)
+    assert r["near_dups"] == 0 and r["accepted"] == 1
+
+    s2 = TableStore(spark, str(tmp_path / "cap2"))
+    corpus.ingest_batch(s2, _df(spark, [(1, B)]))
+    r = corpus.ingest_batch(s2, _df(spark, [(2, B_NEAR)]), max_bucket=2)
+    assert r["near_dups"] == 1 and r["accepted"] == 0
+
+    # max_bucket=None restores the uncapped baseline semantics
+    s3 = TableStore(spark, str(tmp_path / "cap3"))
+    corpus.ingest_batch(s3, _df(spark, [(1, B)]))
+    r = corpus.ingest_batch(s3, _df(spark, [(2, B_NEAR)]), max_bucket=None)
+    assert r["near_dups"] == 1 and r["accepted"] == 0
+
+
 def test_streaming_ingest_dedups_across_microbatches(spark, store, tmp_path):
     """File-source stream of document drops: later micro-batches dedup
     against the corpus built by earlier ones, and a checkpointed re-run

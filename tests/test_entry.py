@@ -52,3 +52,33 @@ def test_oracle_sql_keys_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(isinstance(v, str) and v.strip() for v in os_.values())
+
+
+def test_round8_keys_match_oracle_values(spark, sf_dir):
+    """Value-level oracle parity for the four round-8 catalog keys,
+    in-suite (the driver gate checks the same thing at sf0.01; this
+    pins it at sf0.001 so a regression fails pytest before it burns a
+    driver window slot)."""
+    import duckdb
+
+    keys = [
+        "grouped_approx_distinct",
+        "quarantine_reprocess",
+        "url_canonical_dedup",
+        "lsh_dedup_recall",
+    ]
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ["events", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sys.path.insert(0, "/root/repo/tools")
+    from compare_oracle import compare
+
+    for name in keys:
+        got = qs[name](spark, sf_dir).toPandas()
+        want = con.execute(oracles[name]).fetchdf()
+        problems = compare(name, got, want)
+        assert not problems, f"{name}: {problems}"
