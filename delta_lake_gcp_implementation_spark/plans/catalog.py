@@ -213,8 +213,20 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     # incremental corpus dedup pipeline: real two-batch ingest into a
     # throwaway store; oracle replays every drop decision in SQL
+    # extra_sources: the builder delegates ALL drop logic to the
+    # pipeline (r8 lesson — the hot-bucket cap edit was only caught by
+    # its oracle half; a Spark-side-only edit to ingest_batch or the
+    # dedup primitives it composes must flip the hash too)
     "corpus_ingest_verdict": QuerySpec(
-        CQ.q_corpus_ingest_verdict, CQ.ORACLE_CORPUS_INGEST_VERDICT
+        CQ.q_corpus_ingest_verdict, CQ.ORACLE_CORPUS_INGEST_VERDICT,
+        extra_sources=(
+            CQ.ingest_batch,
+            ODED.char_shingles,
+            ODED.minhash_signatures,
+            ODED.minhash_band_incidence,
+            ODED.minhash_agreement_filter,
+            ODED.ngram_jaccard_pairs,
+        ),
     ),
     # sketches: verdict query (exact companions + in-bounds booleans)
     "sketch_stats": QuerySpec(R.q_sketch_stats, R.ORACLE_SKETCH_STATS),
