@@ -241,21 +241,52 @@ def _write_full_artifact(payload: dict) -> None:
     the repo (r6 verdict item 4: the driver's BENCH_r*.json keeps only
     the last ~2 KB of stdout, so full-catalog coverage was only
     partially auditable).  Round number = max(driver_rows.LAST_GREEN)
-    + 1 — the round currently being BUILT.  driver_rows regenerates at
-    ROUND START, so the stamp stays correct even for a re-run after
-    the driver commits the round's own CORRECTNESS file at round end
-    (stamping from the CORRECTNESS glob there produced the r7-final
-    artifact mislabeled BENCH_FULL_r08 — r7 verdict nit).  Overridable
-    via $SPARK_GRAFT_ROUND; only the driver-shape sf0.1 run writes, so
-    a quick sf0.01 iteration never clobbers the committed artifact."""
+    + 1 — the round being built per the round-start regen — UNLESS
+    that round's own CORRECTNESS file is already COMMITTED, in which
+    case the round is closed and the stamp advances past it (newest
+    committed CORRECTNESS + 1).  Either source alone fails in one
+    direction: the glob alone mislabeled the r7-final artifact
+    BENCH_FULL_r08 (the driver's CORRECTNESS file enters the WORKING
+    TREE before its end-of-round bench run — r7 verdict nit), while
+    LAST_GREEN alone would CLOBBER the previous round's committed
+    artifact whenever a new round's bench runs before the manual
+    driver_rows regen.  Commit state is the distinguisher: an
+    uncommitted CORRECTNESS file means the round is still closing
+    (keep its stamp); a committed one means a new round is underway.
+    Overridable via $SPARK_GRAFT_ROUND; only the driver-shape sf0.1
+    run writes, so a quick sf0.01 iteration never clobbers the
+    committed artifact."""
     if payload["sf"] != 0.1:
         return
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if not rnd:
+        import re
+        import subprocess
+
         from delta_lake_gcp_implementation_spark.plans import driver_rows
 
-        rnd = str(max(driver_rows.LAST_GREEN.values(), default=0) + 1)
+        by_rows = max(driver_rows.LAST_GREEN.values(), default=0) + 1
+        # Advance past any round whose CORRECTNESS file is COMMITTED
+        # (see docstring): committed = that round closed without a
+        # driver_rows regen yet; uncommitted = the driver is closing
+        # the current round right now, keep its stamp.
+        try:
+            committed = subprocess.run(
+                ["git", "-C", here, "ls-files", "CORRECTNESS_r*.json"],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            newest_committed = max(
+                (
+                    int(m.group(1))
+                    for ln in committed.splitlines()
+                    if (m := re.search(r"r(\d+)", ln))
+                ),
+                default=0,
+            )
+        except Exception:  # not a git checkout: fall back to LAST_GREEN
+            newest_committed = 0
+        rnd = str(max(by_rows, newest_committed + 1))
     out = os.path.join(here, f"BENCH_FULL_r{int(rnd):02d}.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

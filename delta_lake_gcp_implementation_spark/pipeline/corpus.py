@@ -164,7 +164,13 @@ def ingest_batch(
             .filter(F.col("__n") <= max_bucket)
             .drop("__n")
         )
-        bands_joinable = bands_new.join(small, "bucket", "left_semi")
+        # materialize: the intra self-join consumes this subtree twice
+        # and the cross join a third time — without a checkpoint each
+        # consumer re-runs the O(corpus) stored-incidence scan + agg
+        # (bands_new itself is already checkpointed above)
+        bands_joinable = bands_new.join(
+            small, "bucket", "left_semi"
+        ).localCheckpoint()
 
     # batch-vs-corpus: equi-join against the STORED incidence list
     if stored_bands is not None:

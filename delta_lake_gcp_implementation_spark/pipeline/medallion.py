@@ -112,7 +112,13 @@ DEFAULT_STAGE_RETRIES = 2
 #: ``write_job_control`` call records the attempt number without
 #: threading a parameter through every stage signature.
 _STAGE_RETRY: contextvars.ContextVar[tuple[int, int]] = (
-    contextvars.ContextVar("stage_retry", default=(0, 3))
+    # default derives from DEFAULT_STAGE_RETRIES so job_control rows
+    # written OUTSIDE run_stage_with_retries (streaming foreachBatch,
+    # direct stage calls) advertise the same budget the runner
+    # enforces, instead of a drifting literal
+    contextvars.ContextVar(
+        "stage_retry", default=(0, DEFAULT_STAGE_RETRIES)
+    )
 )
 
 
@@ -1153,17 +1159,24 @@ def run_stage_with_retries(
             return fn()
         except Exception as exc:
             if attempt >= max_retries:
-                write_job_control(
-                    store, job_name, layer, batch_id, "incremental",
-                    "FAILED", None, 0,
-                    error_message=f"{type(exc).__name__}: {exc}",
-                    retry_count=attempt, max_retries=max_retries,
-                )
-                emit_result(
-                    job_name,
-                    {"status": "FAILED", "retry_count": attempt,
-                     "max_retries": max_retries},
-                )
+                # Best-effort bookkeeping: a storage-rooted stage
+                # failure would make this append fail the same way,
+                # and that secondary error must not mask the stage's
+                # own exception (the one the caller needs).
+                try:
+                    write_job_control(
+                        store, job_name, layer, batch_id, "incremental",
+                        "FAILED", None, 0,
+                        error_message=f"{type(exc).__name__}: {exc}",
+                        retry_count=attempt, max_retries=max_retries,
+                    )
+                    emit_result(
+                        job_name,
+                        {"status": "FAILED", "retry_count": attempt,
+                         "max_retries": max_retries},
+                    )
+                except Exception:
+                    pass
                 raise
             attempt += 1
         finally:

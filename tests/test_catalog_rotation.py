@@ -192,3 +192,37 @@ def test_engine_tree_guard_detects_current_state():
         capture_output=True, text=True, check=True,
     ).stdout.strip()
     assert ok == (not diff and not status)
+
+
+def test_engine_tree_guard_fails_closed_on_uncommitted_correctness(
+    monkeypatch, tmp_path
+):
+    """r8 review: `git log -1 -- <untracked>` exits 0 with EMPTY
+    stdout, so an uncommitted newest CORRECTNESS file used to fall
+    into the blanket except and return ok=True ('git unavailable') —
+    laundering a post-edit tree.  It must fail CLOSED instead."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import update_driver_rows as reg
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), "-c", "user.email=t@t",
+             "-c", "user.name=t", *args],
+            capture_output=True, text=True, check=True,
+        )
+
+    git("init", "-q")
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    git("add", "CORRECTNESS_r01.json")
+    git("commit", "-q", "-m", "r1")
+    # newest CORRECTNESS file present in the tree but NEVER committed
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{}")
+
+    monkeypatch.setattr(reg, "REPO", tmp_path)
+    ok, detail = reg.engine_tree_matches_correctness_commit()
+    assert not ok
+    assert "not committed" in detail

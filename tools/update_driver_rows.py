@@ -84,6 +84,13 @@ def engine_tree_matches_correctness_commit() -> tuple[bool, str]:
     paths = ["delta_lake_gcp_implementation_spark", "__spark_entry__.py"]
     try:
         base = _git("log", "-1", "--format=%H", "--", newest.name)
+        if not base:
+            # newest CORRECTNESS file exists but was never committed:
+            # there is no commit to compare against, so fail CLOSED —
+            # folding this into the git-unavailable path would launder
+            # a post-edit working tree ('git log -1 -- <untracked>'
+            # exits 0 with empty stdout).
+            return False, f"{newest.name} is not committed; failing closed"
         committed = _git("diff", "--name-only", base, "HEAD", "--", *paths)
         dirty = _git("status", "--porcelain", "--", *paths)
     except Exception as exc:  # not a git checkout / git unavailable
