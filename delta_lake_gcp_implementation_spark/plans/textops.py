@@ -956,7 +956,11 @@ def _tuned_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     sizes = c.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("bn"), F.min("vec_id").alias("hub_id")
     )
-    cs = c.join(sizes, "bucket")
+    # materialize: four consumers below (small a/b sides, hubs, star
+    # members) — unchecked, each re-ran the embeddings scan +
+    # projection + bucket/norm compute (8 parquet scans, 0 reuse in
+    # the executed plan; the r8 plan-audit scans/reused columns)
+    cs = c.join(sizes, "bucket").localCheckpoint()
     a_cols = [
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("bucket"), F.col("nrm").alias("na"),

@@ -34,6 +34,12 @@ def audit(plan: str) -> dict:
         "python": plan.count("EvalPython"),
         "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": 1 if "PushedFilters: [" in plan and "PushedFilters: []" not in plan else 0,
+        # double-computation detector (the r7/r8 ann_* finding class):
+        # a subtree feeding N consumers shows up as N parquet scans
+        # with no ReusedExchange — scans far above the query's distinct
+        # source-table count mean an arm is re-running per consumer
+        "scans": plan.count("Scan parquet"),
+        "reused": plan.count("ReusedExchange"),
     }
 
 
@@ -43,16 +49,16 @@ def main() -> None:
     print(f"# Plan audit at {SF_DIR}\n")
     print(
         "| query | shuffles | 1-part | BHJ | SMJ | SHJ | nested-loop | "
-        "py-eval | codegen spans |"
+        "py-eval | codegen spans | scans | reused |"
     )
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     totals = {"cartesian": 0, "python": 0}
     for name, spec in CATALOG.items():
         try:
             df = spec.builder(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover - audit robustness
-            print(f"| {name} | ERROR: {type(e).__name__} | | | | | | | |")
+            print(f"| {name} | ERROR: {type(e).__name__} | | | | | | | | | |")
             continue
         a = audit(plan)
         totals["cartesian"] += a["cartesian"]
@@ -60,7 +66,7 @@ def main() -> None:
         print(
             f"| {name} | {a['exchanges']} | {a['single_part']} | {a['bhj']} "
             f"| {a['smj']} | {a['shj']} | {a['cartesian']} | {a['python']} "
-            f"| {a['codegen']} |"
+            f"| {a['codegen']} | {a['scans']} | {a['reused']} |"
         )
     print()
     print(
