@@ -44,8 +44,10 @@ be tuned without invalidating any stored table.
 
 Hot-bucket cap (round 8): the candidate joins skip LSH buckets whose
 COMBINED membership (batch + stored incidence) exceeds ``MAX_BUCKET``
-— the same default-on rule as
-:func:`..operators.dedup.minhash_candidate_pairs`.  The pair list is
+— the same cap rule as
+:func:`..operators.dedup.minhash_candidate_pairs` (default-ON here in
+``ingest_batch``; opt-in there, where ``max_bucket`` defaults to
+``None``).  The pair list is
 quadratic in bucket size, and the 100x end-to-end rehearsal measured
 3.17e9 candidate pairs uncapped (one boilerplate mega-bucket of 43k
 docs alone contributing 9.3e8, i.e. one straggler task spill-sorting

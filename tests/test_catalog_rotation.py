@@ -181,6 +181,15 @@ def test_engine_tree_guard_detects_current_state():
          newest.name],
         capture_output=True, text=True, check=True,
     ).stdout.strip()
+    if not base:
+        # The newest CORRECTNESS file exists but was never committed —
+        # the state the driver leaves at every round boundary.  The
+        # guard must fail CLOSED and name the file; there is no commit
+        # to diff against, so mirror that branch instead of running
+        # `git diff '' HEAD`.
+        assert ok is False
+        assert newest.name in detail and "not committed" in detail
+        return
     diff = subprocess.run(
         ["git", "-C", str(repo), "diff", "--name-only", base, "HEAD",
          "--", "delta_lake_gcp_implementation_spark", "__spark_entry__.py"],
