@@ -715,12 +715,16 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     Plan shape: two bounded-domain aggregations, then ONE corpus scan
     with a broadcast join of the per-domain thresholds and a map-side
-    filter — nothing single-partition, no second scan, no RNG.
+    filter — nothing single-partition, no second scan, no RNG.  The
+    |lang x source|-row domain frames (``per``, ``w``) are
+    ``localCheckpoint``-ed: each feeds two consumers (its own total
+    plus the next derivation), and without materialization every
+    consumer re-scanned the corpus (r8 plan audit: 5 scans/0 reuse).
     """
     d = load_table(spark, sf, "documents")
     per = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).localCheckpoint()
     tot = F.broadcast(per.agg(F.sum("n_docs").cast("bigint").alias("n_tot")))
     share = F.col("n_docs").cast("double") / F.col("n_tot").cast("double")
     w = per.crossJoin(tot).select(
@@ -730,7 +734,7 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.sqrt(share) * F.lit(float(_MIX_SCALE)))
         .cast("bigint")
         .alias("wq"),
-    )
+    ).localCheckpoint()
     denom = F.broadcast(w.agg(F.sum("wq").cast("bigint").alias("wq_tot")))
     rates = w.crossJoin(denom).select(
         "lang",

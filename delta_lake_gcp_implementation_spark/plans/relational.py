@@ -3814,10 +3814,15 @@ def q_rolling_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
     rank = F.when(F.col("v") == 0, F.lit(53)).otherwise(
         F.lit(53) - F.length(F.bin("v"))
     )
+    # days*256 rows after the first reduction; checkpointed because
+    # three subtrees (bounds, the window fan-out, and via `merged` the
+    # spine + left join) would each re-scan events otherwise (r8 plan
+    # audit: 6 scans/0 reuse).
     day_regs = (
         rows.select("day", "bucket", rank.alias("r"))
         .groupBy("day", "bucket")
         .agg(F.max("r").alias("M"))
+        .localCheckpoint()
     )
     offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
     bounds = F.broadcast(
@@ -3837,6 +3842,7 @@ def q_rolling_wau_hll(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("as_of_day", "bucket")
         .agg(F.max("M").alias("M"))
+        .localCheckpoint()
     )
     # days*256 rows on both sides: broadcast (stats don't reveal the
     # bounded size, so Catalyst would sort-merge otherwise)

@@ -1498,7 +1498,11 @@ def q_bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
     the LEAD window partitions per doc_id (doc-sized partitions, never
     global), unigram/bigram counts are map-side-combined groupBys, and
     the two 1-row totals attach via broadcast cross join (the
-    pct_breakdown pattern) — no single-partition stage anywhere."""
+    pct_breakdown pattern) — no single-partition stage anywhere.  The
+    exploded token frame feeds four consumers (bigram counts, unigram
+    counts, both totals); it is ``localCheckpoint``-ed once so the
+    scan+explode chain runs a single time (r8 plan audit: 5 scans/0
+    reuse)."""
     from ..tables import scale_out
 
     d = load_table(spark, sf, "documents")
@@ -1508,7 +1512,7 @@ def q_bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.posexplode(
             F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
         ).alias("pos", "tok"),
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
         toks.withColumn("nxt", F.lead("tok").over(w))
@@ -1600,16 +1604,20 @@ def q_ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     (query, neighbor), and the per-query counts are single divisions
     of exact integers — bit-identical cross-engine.  Corpus-scale
     recall sweeps sample the query set; everything here scales with
-    the two arms it measures."""
+    the two arms it measures.  Both arms are ``localCheckpoint``-ed
+    once (queries x k rows each) so the hit semi-join and the two
+    per-query counts read the materialized top-k lists instead of
+    re-running brute-force/LSH per consumer (r8 plan audit: 8 scans/0
+    reuse; same device as ``q_ann_pq_recall``)."""
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < _Q_CUT)
     exact = sim.brute_force_topk(e, q, "vec_id", "embedding", k=_RECALL_K).select(
         "query_id", "neighbor_id"
-    )
+    ).localCheckpoint()
     approx = sim.lsh_topk(
         e, q, "vec_id", "embedding",
         k=_RECALL_K, n_planes=_ANN_PLANES, dim=_ANN_DIM,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").localCheckpoint()
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
@@ -2595,7 +2603,11 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     cost is sum(df^2) over terms — bounded by dropping terms with df >
     {cap} (stop-term removal IS the skew control, same role as the LSH
     bucket cap).  Aggregations are map-side combined; norms attach via
-    broadcast-size joins."""
+    broadcast-size joins.  The postings list (``terms``/``kept``) is
+    consumed by five downstream subtrees (df table, norms, both join
+    sides); both are ``localCheckpoint``-ed once so the
+    tokenize+window chain runs a single time instead of re-scanning
+    the corpus per consumer (r8 plan audit: 8 scans/0 reuse)."""
     from ..tables import scale_out
 
     d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
@@ -2614,13 +2626,14 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()
     )
     df_tbl = terms.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     kept = terms.join(
         F.broadcast(df_tbl.filter(F.col("df") <= _SC_DF_CAP)), "term"
-    ).select("doc_id", "term", "tf")
+    ).select("doc_id", "term", "tf").localCheckpoint()
     norms = kept.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("norm_sq")
     )
