@@ -272,10 +272,18 @@ def _write_full_artifact(payload: dict) -> None:
         # driver_rows regen yet; uncommitted = the driver is closing
         # the current round right now, keep its stamp.
         try:
-            committed = subprocess.run(
-                ["git", "-C", here, "ls-files", "CORRECTNESS_r*.json"],
-                capture_output=True, text=True, check=True,
-            ).stdout
+            # `git ls-tree HEAD` reflects actual commits; `ls-files`
+            # would also match a staged-but-uncommitted artifact and
+            # mislabel the closing round's BENCH_FULL file.
+            committed = "\n".join(
+                ln
+                for ln in subprocess.run(
+                    ["git", "-C", here, "ls-tree", "-r", "HEAD",
+                     "--name-only"],
+                    capture_output=True, text=True, check=True,
+                ).stdout.splitlines()
+                if re.fullmatch(r"CORRECTNESS_r\d+\.json", ln)
+            )
             newest_committed = max(
                 (
                     int(m.group(1))
@@ -292,6 +300,14 @@ def _write_full_artifact(payload: dict) -> None:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"full per-key artifact: {out}", file=sys.stderr)
+    # ready-to-paste BENCH_NOTES line, stamped FROM the artifact so the
+    # notes figure can never drift from the committed value (r8 review:
+    # a hand-typed total disagreed with the artifact)
+    print(
+        f"notes line: {len(payload['queries'])} keys, "
+        f"{payload['value']} s total (BENCH_FULL_r{int(rnd):02d}.json)",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":

@@ -13,6 +13,9 @@ write-observed and spark.sql-addressable):
 - ``corpus.documents``      (doc_id, text, content_hash)
 - ``corpus.minhash_sigs``   (doc_id, mh_0..mh_{N-1})
 - ``corpus.minhash_bands``  (doc_id, bucket)   — LSH incidence list
+- ``corpus.bucket_counts``  (bucket, n_docs)   — per-bucket membership
+  count, maintained incrementally (invariant: equals ``GROUP BY
+  bucket`` over ``corpus.minhash_bands`` after every batch)
 
 Per batch the plan is:
 
@@ -58,6 +61,17 @@ connectivity the linear incidence + connected-components path
 (``dup_clusters``) recovers without ever enumerating pairs.  The cap
 is applied at JOIN time only — the persisted index stays uncapped, so
 tightening or loosening it never invalidates stored tables.
+
+Incremental cap bookkeeping (round 9): the combined membership check
+reads the persisted ``corpus.bucket_counts`` table (one row per
+distinct bucket, upserted additively per batch) instead of
+re-aggregating the FULL stored incidence list — the r8 form was
+O(corpus) per batch, O(n^2) over a long ingest history; this one is
+O(batch) plus a linear read of the much smaller counts table.  Stores
+created before the counts table existed are migrated by a one-time
+recount from the incidence list (``_ensure_bucket_counts``); the
+invariant (counts == GROUP BY over the incidence list) is asserted by
+``tests/test_corpus_counts.py`` after multiple batches.
 """
 
 from __future__ import annotations
@@ -89,11 +103,48 @@ MAX_BUCKET = 64
 DOCS = "corpus.documents"
 SIGS = "corpus.minhash_sigs"
 BANDS = "corpus.minhash_bands"
+COUNTS = "corpus.bucket_counts"
 
 
 def _signatures(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sh = dedup_ops.char_shingles(batch, text_col, id_col, k=MH_K)
     return dedup_ops.minhash_signatures(sh, id_col, n_hashes=MH_N)
+
+
+def _recount_buckets(bands: DataFrame) -> DataFrame:
+    return bands.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+def _ensure_bucket_counts(store: TableStore) -> None:
+    """Migrate a pre-counts store: recount ONCE from the incidence
+    list and persist.  Must run before any append that the recount
+    should not include (call order in ``ingest_batch`` guarantees it).
+    """
+    if store.exists(BANDS) and not store.exists(COUNTS):
+        store.overwrite(COUNTS, _recount_buckets(store.read(BANDS)))
+
+
+def _add_bucket_counts(store: TableStore, new_bands: DataFrame) -> None:
+    """Additively upsert the per-bucket membership delta for freshly
+    appended incidence rows — O(batch) bookkeeping that keeps the cap
+    check from ever re-aggregating the full incidence list."""
+    delta = _recount_buckets(new_bands).withColumnRenamed("n_docs", "n_new")
+    if store.exists(COUNTS):
+        merged = (
+            delta.join(store.read(COUNTS), "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("n_new")
+                    + F.coalesce(F.col("n_docs"), F.lit(0).cast("bigint"))
+                ).cast("bigint").alias("n_docs"),
+            )
+        )
+        store.upsert(COUNTS, merged, keys=["bucket"])
+    else:
+        store.append(COUNTS, delta.withColumnRenamed("n_new", "n_docs"))
 
 
 def ingest_batch(
@@ -147,29 +198,36 @@ def ingest_batch(
 
     stored_bands = store.read(BANDS) if store.exists(BANDS) else None
 
-    # hot-bucket cap: count COMBINED (batch + stored) membership per
-    # bucket and semi-join the batch side down to in-cap buckets —
-    # every pair requires a batch-side row, so filtering one join side
-    # kills the whole bucket.  The agg and the semi-join shuffle on
-    # the SAME key the candidate joins use (co-partitioned, no new
-    # exchange pattern), identical to minhash_candidate_pairs' rule.
+    # hot-bucket cap: combined (batch + stored) membership per bucket,
+    # batch side semi-joined down to in-cap buckets — every pair
+    # requires a batch-side row, so filtering one join side kills the
+    # whole bucket.  Stored membership comes from the INCREMENTAL
+    # counts table (one row per distinct bucket), never from
+    # re-aggregating the full incidence list: the check is O(batch)
+    # work regardless of how many batches preceded it.
     bands_joinable = bands_new
     if max_bucket is not None:
-        combined = (
-            bands_new
-            if stored_bands is None
-            else bands_new.unionByName(stored_bands)
+        batch_counts = _recount_buckets(bands_new).withColumnRenamed(
+            "n_docs", "n_batch"
         )
-        small = (
-            combined.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
-            .drop("__n")
-        )
+        if stored_bands is not None:
+            _ensure_bucket_counts(store)
+            combined_n = F.col("n_batch") + F.coalesce(
+                F.col("n_docs"), F.lit(0).cast("bigint")
+            )
+            small = (
+                batch_counts.join(store.read(COUNTS), "bucket", "left")
+                .filter(combined_n <= max_bucket)
+                .select("bucket")
+            )
+        else:
+            small = batch_counts.filter(
+                F.col("n_batch") <= max_bucket
+            ).select("bucket")
         # materialize: the intra self-join consumes this subtree twice
         # and the cross join a third time — without a checkpoint each
-        # consumer re-runs the O(corpus) stored-incidence scan + agg
-        # (bands_new itself is already checkpointed above)
+        # consumer re-runs the counts join (bands_new itself is
+        # already checkpointed above)
         bands_joinable = bands_new.join(
             small, "bucket", "left_semi"
         ).localCheckpoint()
@@ -229,11 +287,16 @@ def ingest_batch(
     accepted = fresh.join(near_ids, "doc_id", "left_anti").localCheckpoint()
     n_near = n_batch - n_exact_batch - n_exact_corpus - accepted.count()
 
-    # 5. append survivors + index rows (write-observed counts)
+    # 5. append survivors + index rows (write-observed counts); the
+    # counts table migrates (pre-append recount) then upserts the
+    # delta so its invariant vs the incidence list holds per batch
     n_accepted = store.append(DOCS, accepted.select("doc_id", "text", "content_hash"))
     keep_ids = accepted.select("doc_id")
     store.append(SIGS, sigs_new.join(keep_ids, "doc_id", "left_semi"))
-    store.append(BANDS, bands_new.join(keep_ids, "doc_id", "left_semi"))
+    kept_bands = bands_new.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
+    _ensure_bucket_counts(store)
+    store.append(BANDS, kept_bands)
+    _add_bucket_counts(store, kept_bands)
 
     return {
         "batch": n_batch,
@@ -287,4 +350,10 @@ def rebuild_index(store: TableStore) -> dict:
             sigs, "doc_id", n_hashes=MH_N, band_size=MH_BAND
         ),
     )
-    return {"docs": store.count(DOCS), "sigs": n_sigs, "bands": n_bands}
+    n_counts = store.overwrite(COUNTS, _recount_buckets(store.read(BANDS)))
+    return {
+        "docs": store.count(DOCS),
+        "sigs": n_sigs,
+        "bands": n_bands,
+        "buckets": n_counts,
+    }

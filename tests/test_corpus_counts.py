@@ -1,0 +1,127 @@
+"""Incremental bucket-count bookkeeping for the corpus-ingest
+hot-bucket cap (round 9): the persisted ``corpus.bucket_counts`` table
+must equal a from-scratch ``GROUP BY bucket`` recount of the incidence
+list after every batch, legacy stores must migrate once, and
+``rebuild_index`` must rebuild it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_gcp_implementation_spark.operators import dedup as dedup_ops
+from delta_lake_gcp_implementation_spark.pipeline import corpus
+from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+
+# same corpus fixtures as test_corpus_ingest (tests/ is not a package,
+# so they are restated rather than imported)
+A = ("the quick brown fox jumps over the lazy dog while the band plays "
+     "a slow waltz under clear autumn skies near the old stone bridge")
+B = ("distributed query engines shuffle hash partitions across executor "
+     "nodes to aggregate massive tables with minimal network transfer cost")
+B_NEAR = B[:-4] + "fees"  # last word tweaked: near-dup, not exact
+C = ("parquet row groups store columnar statistics enabling predicate "
+     "pushdown so scans skip entire chunks without touching the data pages")
+D = ("minhash signatures estimate jaccard similarity between shingle sets "
+     "allowing locality sensitive hashing to bucket similar documents")
+E = ("columnar execution engines vectorize expression evaluation across "
+     "record batches so tight loops stay inside cpu caches at full speed")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "corpus_counts_wh"))
+
+
+def _counts_rows(store):
+    return sorted(
+        (r.bucket, r.n_docs) for r in store.read(corpus.COUNTS).collect()
+    )
+
+
+def _recount_rows(store):
+    return sorted(
+        (r.bucket, r.n_docs)
+        for r in store.read(corpus.BANDS)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .collect()
+    )
+
+
+def test_counts_match_recount_after_three_batches(spark, store):
+    """The verdict's invariant: after several batches (including
+    absorbed duplicates, whose band rows never land), the incremental
+    counts table equals a from-scratch recount of the incidence list."""
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B)]))
+    corpus.ingest_batch(store, _df(spark, [(11, A), (12, B_NEAR), (13, D)]))
+    corpus.ingest_batch(store, _df(spark, [(21, C), (22, D), (23, E)]))
+    rows = _counts_rows(store)
+    assert rows == _recount_rows(store)
+    # sanity: the counts really cover the accepted corpus (docs x bands)
+    assert sum(n for _, n in rows) == store.count(corpus.BANDS)
+    assert all(n >= 1 for _, n in rows)
+
+
+def _legacy_ingest(store, df):
+    """Persist exactly what the pre-r9 (no counts table) ingest wrote:
+    docs, signatures, band incidence."""
+    store.append(
+        corpus.DOCS,
+        df.withColumn("content_hash", F.md5("text")).select(
+            "doc_id", "text", "content_hash"
+        ),
+    )
+    sigs = corpus._signatures(df, "doc_id", "text").localCheckpoint()
+    store.append(corpus.SIGS, sigs)
+    store.append(
+        corpus.BANDS,
+        dedup_ops.minhash_band_incidence(
+            sigs, "doc_id", n_hashes=corpus.MH_N, band_size=corpus.MH_BAND
+        ),
+    )
+
+
+def test_legacy_store_migrates_then_stays_incremental(spark, store):
+    """A store created before the counts table existed gains it via a
+    one-time recount (on the next ingest), after which the invariant
+    holds batch over batch."""
+    _legacy_ingest(store, _df(spark, [(1, A), (2, B), (3, C)]))
+    assert not store.exists(corpus.COUNTS)
+
+    r = corpus.ingest_batch(store, _df(spark, [(11, D), (12, B_NEAR)]))
+    assert r["near_dups"] == 1 and r["accepted"] == 1
+    assert store.exists(corpus.COUNTS)
+    assert _counts_rows(store) == _recount_rows(store)
+
+    corpus.ingest_batch(store, _df(spark, [(21, E)]))
+    assert _counts_rows(store) == _recount_rows(store)
+
+
+def test_capped_ingest_reads_counts_not_incidence(spark, store):
+    """The cap decision must come from the counts table: poison the
+    incidence-derived recount by upserting an inflated count for every
+    bucket and require the next batch's near-dup join to be skipped
+    (cap engaged) even though the true incidence is tiny — proving the
+    check is O(batch) bookkeeping, not an O(corpus) re-aggregation."""
+    corpus.ingest_batch(store, _df(spark, [(1, B)]))
+    inflated = store.read(corpus.COUNTS).select(
+        "bucket", (F.col("n_docs") + F.lit(1000)).cast("bigint").alias("n_docs")
+    )
+    store.upsert(corpus.COUNTS, inflated, keys=["bucket"])
+    r = corpus.ingest_batch(store, _df(spark, [(2, B_NEAR)]))
+    # every shared bucket now reads >MAX_BUCKET members: near-dup missed
+    assert r["near_dups"] == 0 and r["accepted"] == 1
+
+
+def test_rebuild_index_rebuilds_counts(spark, store):
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B)]))
+    corpus.ingest_batch(store, _df(spark, [(3, C), (4, D)]))
+    inc = _counts_rows(store)
+    r = corpus.rebuild_index(store)
+    assert r["buckets"] == len(inc)
+    assert _counts_rows(store) == inc == _recount_rows(store)

@@ -215,7 +215,7 @@ def test_streaming_ingest_recovers_after_midstream_crash(spark, tmp_path):
     batch_store = TableStore(spark, str(tmp_path / "wh_batch_ref"))
     for rows in (f1, f2, f3):
         corpus.ingest_batch(batch_store, _df(spark, rows))
-    for table in (corpus.DOCS, corpus.SIGS, corpus.BANDS):
+    for table in (corpus.DOCS, corpus.SIGS, corpus.BANDS, corpus.COUNTS):
         got = sorted(tuple(r) for r in store.read(table).collect())
         want = sorted(tuple(r) for r in batch_store.read(table).collect())
         assert got == want, f"{table} diverged after crash-restart"
