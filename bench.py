@@ -236,6 +236,41 @@ def main() -> None:
     spark.stop()
 
 
+def _detect_round(here: str, by_rows: int) -> int:
+    """Round number to stamp on the full artifact (see
+    ``_write_full_artifact``): ``by_rows`` (= max LAST_GREEN + 1, the
+    round being built per the round-start regen) — unless a newer
+    CORRECTNESS file is already COMMITTED, in which case that round
+    closed without a regen yet and the stamp advances past it.
+    Commit state means commits: ``git ls-tree -r HEAD``, never
+    ``ls-files`` (the index) — a staged-but-uncommitted artifact is
+    the driver mid-close and must NOT advance the stamp (r8 ADVICE)."""
+    import re
+    import subprocess
+
+    try:
+        committed = [
+            ln
+            for ln in subprocess.run(
+                ["git", "-C", here, "ls-tree", "-r", "HEAD",
+                 "--name-only"],
+                capture_output=True, text=True, check=True,
+            ).stdout.splitlines()
+            if re.fullmatch(r"CORRECTNESS_r\d+\.json", ln)
+        ]
+        newest_committed = max(
+            (
+                int(m.group(1))
+                for ln in committed
+                if (m := re.search(r"r(\d+)", ln))
+            ),
+            default=0,
+        )
+    except Exception:  # not a git checkout: fall back to LAST_GREEN
+        newest_committed = 0
+    return max(by_rows, newest_committed + 1)
+
+
 def _write_full_artifact(payload: dict) -> None:
     """Persist the COMPLETE per-key timings as BENCH_FULL_r{N}.json in
     the repo (r6 verdict item 4: the driver's BENCH_r*.json keeps only
@@ -261,40 +296,10 @@ def _write_full_artifact(payload: dict) -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if not rnd:
-        import re
-        import subprocess
-
         from delta_lake_gcp_implementation_spark.plans import driver_rows
 
         by_rows = max(driver_rows.LAST_GREEN.values(), default=0) + 1
-        # Advance past any round whose CORRECTNESS file is COMMITTED
-        # (see docstring): committed = that round closed without a
-        # driver_rows regen yet; uncommitted = the driver is closing
-        # the current round right now, keep its stamp.
-        try:
-            # `git ls-tree HEAD` reflects actual commits; `ls-files`
-            # would also match a staged-but-uncommitted artifact and
-            # mislabel the closing round's BENCH_FULL file.
-            committed = "\n".join(
-                ln
-                for ln in subprocess.run(
-                    ["git", "-C", here, "ls-tree", "-r", "HEAD",
-                     "--name-only"],
-                    capture_output=True, text=True, check=True,
-                ).stdout.splitlines()
-                if re.fullmatch(r"CORRECTNESS_r\d+\.json", ln)
-            )
-            newest_committed = max(
-                (
-                    int(m.group(1))
-                    for ln in committed.splitlines()
-                    if (m := re.search(r"r(\d+)", ln))
-                ),
-                default=0,
-            )
-        except Exception:  # not a git checkout: fall back to LAST_GREEN
-            newest_committed = 0
-        rnd = str(max(by_rows, newest_committed + 1))
+        rnd = str(_detect_round(here, by_rows))
     out = os.path.join(here, f"BENCH_FULL_r{int(rnd):02d}.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
