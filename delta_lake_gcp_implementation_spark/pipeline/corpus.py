@@ -129,7 +129,12 @@ def _ensure_bucket_counts(store: TableStore) -> None:
 def _add_bucket_counts(store: TableStore, new_bands: DataFrame) -> None:
     """Additively upsert the per-bucket membership delta for freshly
     appended incidence rows — O(batch) bookkeeping that keeps the cap
-    check from ever re-aggregating the full incidence list."""
+    check from ever re-aggregating (and at cluster scale, re-shuffling)
+    the full incidence list.  Same persisted-bookmark shape as the
+    reference's incremental watermark
+    (`shared/write_watermark.py:59-65`: derive the new state from the
+    batch, persist it, read it back next run instead of re-scanning
+    history)."""
     delta = _recount_buckets(new_bands).withColumnRenamed("n_docs", "n_new")
     if store.exists(COUNTS):
         merged = (

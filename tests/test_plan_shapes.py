@@ -1,0 +1,61 @@
+"""Executed-plan shape pins for the multi-consumer recompute class
+(r7-r9 finding lineage): a shared subtree feeding N consumers must be
+materialized once, not re-scanned per consumer.  These bounds are the
+values the round-9 plan audit certified; if a localCheckpoint is
+dropped (or a builder edit re-introduces per-consumer recompute) the
+scan count jumps well past the bound and this fails long before the
+bench or the judge notices.
+
+Scan counts are plan properties, independent of scale factor — built
+at sf0.001 so the checkpoint materializations stay cheap."""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_gcp_implementation_spark.plans import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+#: key -> max allowed "Scan parquet" nodes in the executed plan.
+#: Bound = the r9-audited value (0 means every consumer reads a
+#: checkpointed intermediate; small positives are genuine source
+#: reads: weighted_sample's single corpus scan, rolling_wau_hll's
+#: exact companion arm).
+SCAN_BOUNDS = {
+    # round-9 fixes
+    "sparse_cosine_pairs": 0,
+    "ann_recall_eval": 0,
+    "bigram_pmi_topk": 0,
+    "weighted_sample": 1,
+    "rolling_wau_hll": 2,
+    # round-8 fixes that must not regress either
+    "ann_pq_recall": 0,
+    "semantic_dedup": 0,
+    "embedding_near_dups": 0,
+    "lsh_dedup_recall": 0,
+    "corpus_ingest_verdict": 0,
+}
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = CATALOG[name].builder(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BOUNDS))
+def test_scan_count_within_audited_bound(spark, name):
+    plan = _executed_plan(spark, name)
+    scans = plan.count("Scan parquet")
+    assert scans <= SCAN_BOUNDS[name], (
+        f"{name}: {scans} parquet scans (audited bound "
+        f"{SCAN_BOUNDS[name]}) — a shared subtree is being recomputed "
+        f"per consumer; restore the localCheckpoint"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BOUNDS))
+def test_no_python_eval_nodes(spark, name):
+    """The zero-UDF property (SURVEY §2.10) for the same key set —
+    cheap to assert while the plans are already built."""
+    assert "EvalPython" not in _executed_plan(spark, name)
