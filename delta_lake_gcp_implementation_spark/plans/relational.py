@@ -1988,30 +1988,41 @@ _FUZZY_LB_WIDTH = _FUZZY_MAX_DIST + 1
 
 def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     """Entity-resolution fuzzy join: part-name pairs within Levenshtein
-    distance 3, candidate-generated by a compound blocking key — first
-    name token PLUS an overlapping name-length bucket — so the
-    quadratic comparison only runs inside (token, bucket) cells, not
-    whole token blocks (which grow quadratically with the corpus:
-    measured ~100x pairs for 10x rows on token-only blocking).  The
-    overlap (each left row explodes to buckets lb-1..lb+1) keeps the
-    join EXACT: levenshtein <= 3 implies a length difference <= 3,
-    which with bucket width 4 implies same-or-adjacent buckets.  A
-    length-difference guard runs before ``levenshtein`` so the O(n*m)
-    edit-distance kernel is never evaluated on pairs the length bound
-    already refutes.  Both the equi-join and ``levenshtein`` are
-    JVM-side built-ins on both engines.
+    distance 3.  Round-9 rewrite after the full-catalog 100x sweep
+    TIMED THIS OUT (>300 s; the r6 form compared row pairs inside
+    (first-token, length-bucket) blocks, and the 100x part table has
+    2M rows over only 64 DISTINCT names — 4.2e11 candidate pairs, all
+    duplication):
 
-    The probe side is ``scale_out``-repartitioned first: the dim-sized
-    build side broadcasts, so without it the join inherits the scan's
-    partitioning — a single-file local scan would run every
-    edit-distance evaluation on ONE core (measured 23 s single-core vs
-    ~1 s spread at sf0.1)."""
+    1. Dedupe to DISTINCT names first — edit distance is a function of
+       the name, never the row.  The fuzzy comparison runs on the
+       distinct-name relation inside the same exact blocking key
+       (first token + overlapping name-length bucket: levenshtein <= 3
+       implies length difference <= 3, so bucket width 4 with the
+       probe side exploded to lb-1..lb+1 loses nothing; a length guard
+       still precedes the levenshtein kernel).  Candidate work is now
+       quadratic in DISTINCT names, linear in rows.
+    2. Expand matched name pairs back to id pairs with two equi-joins.
+       The matched-pair side is small (broadcast); the second join
+       keys on name_b, whose 64 distinct values are the textbook
+       hot-key regime — it goes through ``operators.joins.salted_join``
+       (result-identical to the plain join, proven by
+       ``test_salted_join_equals_plain_join``), spreading each hot
+       name over n_salts reducers instead of one.
+
+    On high-cardinality registries (distinct ~ rows) step 1 degrades
+    gracefully to the r6 plan; on duplicate-heavy ones it collapses
+    the edit-distance work entirely.  100x: >300 s -> seconds of
+    fuzzy work + output-bound expansion (the result set itself is
+    quadratic in ids-per-name — that is the answer's size, not plan
+    waste)."""
+    from ..operators.joins import salted_join
     from ..tables import scale_out
 
     p = load_table(spark, sf, "part")
+    ids = p.select("p_partkey", "p_name")
     lb = F.floor(F.length("p_name") / _FUZZY_LB_WIDTH)
-    named = p.select(
-        "p_partkey",
+    named = ids.select("p_name").distinct().select(
         "p_name",
         F.split(F.col("p_name"), " ").getItem(0).alias("block"),
         lb.alias("lb"),
@@ -2021,30 +2032,37 @@ def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(
             F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
         ).alias("lbk"),
-        F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
     )
     right = named.select(
         F.col("block"),
         F.col("lb").alias("lbk"),
-        F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
-    return (
+    name_pairs = (
         left.join(right, ["block", "lbk"])
-        .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.col("name_a") != F.col("name_b"))
         .filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_MAX_DIST
         )
         .select(
-            "key_a",
-            "key_b",
             "name_a",
             "name_b",
             F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+        .localCheckpoint()  # distinct-name pairs: tiny, feeds two joins
+    )
+    a_side = ids.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    ).join(F.broadcast(name_pairs), "name_a")
+    b_side = ids.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        salted_join(a_side, b_side, "name_b", n_salts=32)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
 
 
@@ -2602,20 +2620,76 @@ _EDB_BINS = 8
 def q_equi_depth_bins(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-depth (quantile) binning of order totals — the feature-
     engineering discretizer (each bin holds ~the same row count, so
-    skewed value distributions don't starve bins).  ``ntile`` over a
-    DETERMINISTIC order (value, then key — ties must not depend on
-    partitioning) + per-bin stats in exact cents.
+    skewed value distributions don't starve bins) over a DETERMINISTIC
+    order (value, then key — ties must not depend on partitioning) +
+    per-bin stats in exact cents.
 
-    Scale shape: ntile is one global sort — the honest cost of exact
-    equi-depth; the approximate path at 100 TB is percentile_approx
-    cut points (``q_approx_quantile_verdict``), this operator is the
-    exact twin."""
+    Scale shape (round-9 rewrite; the r5 form ran ``ntile`` over a
+    global window = every row through ONE partition, flagged by the
+    full-catalog 100x sweep as the only remaining single-partition
+    cliff): exact global rank without a global sort —
+    ``repartitionByRange`` on the sort key gives ordered partition
+    ranges, ranks are computed per partition in parallel, and each
+    partition's global offset is the running sum of the tiny
+    per-partition counts (broadcast back).  The ntile bucket is then
+    integer arithmetic on the global rank (first N%k buckets take one
+    extra row — Spark/DuckDB ntile semantics reproduced exactly).
+    One range shuffle + parallel windows; nothing single-partition.
+    The approximate path at 100 TB is percentile_approx cut points
+    (``q_approx_quantile_verdict``); this operator is the exact twin."""
     o = load_table(spark, sf, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-    w = Window.orderBy(F.col("cents"), F.col("o_orderkey"))
-    binned = o.select(
-        "o_orderkey", cents.alias("cents")
-    ).withColumn("bin", F.ntile(_EDB_BINS).over(w).cast("bigint"))
+    vals = o.select("o_orderkey", cents.alias("cents"))
+    # ordered range partitions, materialized once for the two
+    # consumers (per-partition counts; per-partition ranking)
+    ranged = (
+        vals.repartitionByRange("cents", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = ranged.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    ow = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "pid",
+        F.coalesce(F.sum("n_part").over(ow), F.lit(0).cast("bigint")).alias(
+            "offset"
+        ),
+        F.sum("n_part").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    lw = Window.partitionBy("pid").orderBy("cents", "o_orderkey")
+    ranked = (
+        ranged.withColumn("lrn", F.row_number().over(lw).cast("bigint"))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "cents",
+            (F.col("lrn") + F.col("offset")).alias("rn"),
+            "n_total",
+        )
+    )
+    k = F.lit(_EDB_BINS).cast("bigint")
+    q = F.expr(f"n_total DIV {_EDB_BINS}")
+    r = F.col("n_total") % k
+    head = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    bin_col = F.when(
+        F.col("rn") <= head,
+        F.expr(f"(rn + (n_total DIV {_EDB_BINS})) DIV "
+               f"((n_total DIV {_EDB_BINS}) + 1)"),
+    ).otherwise(
+        r + F.expr(
+            f"(rn - (n_total % {_EDB_BINS}) * ((n_total DIV {_EDB_BINS}) + 1)"
+            f" + (n_total DIV {_EDB_BINS}) - 1) DIV (n_total DIV {_EDB_BINS})"
+        )
+    ).cast("bigint")
+    binned = ranked.withColumn("bin", bin_col)
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (F.min("cents").cast("double") / 100).alias("lo_price"),
@@ -2720,9 +2794,21 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     suffix), account-balance proximity (exact cents), plus the
     blocking field itself.  All-integer scoring — exact cross-engine.
 
-    Scale shape: block sizes are the quadratic knob (same role as the
-    LSH bucket cap); production blocks on finer keys (nation x name
-    prefix).  Pairs below the possible threshold are dropped early."""
+    Scale shape (round-9 rewrite — the full-catalog 100x sweep TIMED
+    OUT the r5 form, which joined on nation alone: 25 fixed blocks
+    mean pairs grow n^2 with BOTH registries): the possible threshold
+    (8) is unreachable without the entity-number agreeing within edit
+    distance 1 (w_bal + blocking = 6 < 8), so the candidate join is
+    EXACT on a 1-deletion-neighborhood key — two strings within edit
+    distance 1 always share a member of {s} UNION {s minus one
+    character} (equal: s itself; substitution at i: both i-deletions
+    equal; insert/delete: the shorter string is a deletion of the
+    longer).  Each side explodes
+    to length+1 keys, the join runs on (nation, key) — linear in rows
+    — and the exact levenshtein verifies the survivors; false
+    neighborhood collisions (ED=2 pairs sharing a key) are filtered by
+    the same score threshold as before.  The oracle keeps the naive
+    nation-block form: DuckDB verifies RESULTS at sf0.01, not plans."""
     c = load_table(spark, sf, "customer").select(
         "c_custkey",
         F.col("c_nationkey").alias("nation"),
@@ -2735,7 +2821,27 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_extract("s_name", r"(\d+)$", 1).alias("s_num"),
         F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("s_bal"),
     )
-    pairs = c.join(F.broadcast(s), "nation")
+
+    def del_neighborhood(col: str):
+        # the string plus every 1-deletion variant, deduplicated
+        return F.expr(
+            f"array_union(array({col}), transform(sequence(1, "
+            f"greatest(length({col}), 1)), i -> concat(substring({col}, "
+            f"1, i - 1), substring({col}, i + 1, length({col})))))"
+        )
+
+    c_keys = c.select(
+        "c_custkey", "nation", "c_num", "c_bal",
+        F.explode(del_neighborhood("c_num")).alias("nk"),
+    )
+    s_keys = s.select(
+        "s_suppkey", "nation", "s_num", "s_bal",
+        F.explode(del_neighborhood("s_num")).alias("nk"),
+    )
+    pairs = (
+        c_keys.join(s_keys, ["nation", "nk"])
+        .dropDuplicates(["c_custkey", "s_suppkey"])
+    )
     lev = F.levenshtein("c_num", "s_num")
     w_num = (
         F.when(lev == 0, F.lit(12))

@@ -1,0 +1,87 @@
+"""Full-catalog 100x rehearsal (round 9): run EVERY catalog key once
+against the 100x dataset and record wall time + rows + the factor vs
+the committed sf0.1 artifact.  Prior rounds rehearsed families; this
+sweeps the whole surface so no key's scale behavior is unmeasured.
+
+Resumable: results append to a JSONL file and already-recorded keys
+are skipped, so the sweep can be re-invoked after an interruption.
+Each key runs inside its own Spark job group with a watchdog that
+cancels the group at the per-key budget — a key that blows up at 100x
+is recorded as TIMEOUT (that IS the finding) instead of stalling the
+sweep.
+
+Usage:
+    python tools/gen_scale_rel.py  /tmp/sfrel100   100   # once
+    python tools/gen_scale_docs.py /tmp/sfscale100 100   # once
+    # /tmp/sf100 = symlinks: rel tables from sfrel100,
+    #              documents/embeddings from sfscale100
+    python tools/rehearse_catalog_100x.py [sf100_dir] [out_jsonl] [budget_s]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rehearse_100x.jsonl"
+    budget_s = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+
+    from delta_lake_gcp_implementation_spark.plans import CATALOG
+    from delta_lake_gcp_implementation_spark.session import get_spark
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_FULL_r09.json")) as f:
+        sf01 = json.load(f)["queries"]
+
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            done = {json.loads(ln)["key"] for ln in f if ln.strip()}
+
+    spark = get_spark(app_name="rehearse_catalog_100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    # cheapest-first (by the committed sf0.1 time) so an interrupted
+    # sweep still covers most of the surface
+    order = sorted(CATALOG, key=lambda k: sf01.get(k, 1e9))
+    with open(out_path, "a") as out:
+        for key in order:
+            if key in done:
+                continue
+            rec: dict = {"key": key, "sf01_s": sf01.get(key)}
+            sc.setJobGroup(key, f"100x rehearsal {key}", True)
+            cancel = threading.Timer(
+                budget_s, lambda: sc.cancelJobGroup(key)
+            )
+            cancel.start()
+            t0 = time.perf_counter()
+            try:
+                rec["rows"] = CATALOG[key].builder(spark, sf100).count()
+                rec["s100x"] = round(time.perf_counter() - t0, 2)
+                if sf01.get(key):
+                    rec["factor"] = round(rec["s100x"] / sf01[key], 1)
+            except Exception as e:
+                dt = time.perf_counter() - t0
+                kind = "TIMEOUT" if dt >= budget_s - 1 else type(e).__name__
+                rec["error"] = kind
+                rec["s100x"] = round(dt, 2)
+            finally:
+                cancel.cancel()
+                sc.setJobGroup("", "")
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(rec, flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
