@@ -2320,15 +2320,47 @@ def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     — the pre-publish gate every warehouse load runs (the reference's
     tier-1 validation generalized to declarative expectations).
 
-    Scale shape: each expectation is one aggregation or one anti-join
-    count; the suite unions 1-row frames (driver-side cheap, no data
-    movement between checks).  Violations counted, not materialized —
-    the quarantine path (`validation_quarantine`) is the row-level
-    twin.
+    Scale shape (round-9 fusion; the r6 form scanned orders 5x,
+    lineitem 4x, customer 2x — one scan per expectation arm): each
+    table's row count AND its predicate-violation counts come from ONE
+    conditional aggregation (count_if), checkpointed as a 1-row frame
+    its expectations share; only the two structurally different checks
+    keep their own subtree (the pk dup-agg needs a groupBy, the fk
+    check an anti-join).  11 scans -> 6 executed (3 in the returned
+    plan — one per distinct table).  Violations counted, not
+    materialized — the quarantine path (`validation_quarantine`) is
+    the row-level twin.
     """
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
     c = load_table(spark, sf, "customer")
+
+    one = F.count(F.lit(1)).cast("bigint")
+    # one pass per table: total + every filter-shaped violation count
+    o_stats = o.agg(
+        one.alias("checked"),
+        F.sum(F.col("o_orderstatus").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("nn_viol"),
+    ).localCheckpoint()
+    li_stats = li.agg(
+        one.alias("checked"),
+        F.sum(
+            (
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rng_viol"),
+    ).localCheckpoint()
+    c_stats = c.agg(
+        one.alias("checked"),
+        F.sum((~F.col("c_mktsegment").isin(*_DQ_SEGMENTS)).cast("bigint"))
+        .cast("bigint")
+        .alias("seg_viol"),
+    ).localCheckpoint()
 
     def row(name: str, checked, violations):
         return (
@@ -2343,7 +2375,7 @@ def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
 
     pk = row(
         "orders_pk_unique",
-        o.agg(F.count(F.lit(1)).alias("checked")),
+        o_stats.select("checked"),
         o.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > 1)
@@ -2351,32 +2383,24 @@ def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     )
     fk = row(
         "lineitem_fk_orders",
-        li.agg(F.count(F.lit(1)).alias("checked")),
+        li_stats.select("checked"),
         li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("violations")),
     )
     seg = row(
         "customer_segment_accepted",
-        c.agg(F.count(F.lit(1)).alias("checked")),
-        c.filter(~F.col("c_mktsegment").isin(*_DQ_SEGMENTS)).agg(
-            F.count(F.lit(1)).alias("violations")
-        ),
+        c_stats.select("checked"),
+        c_stats.select(F.col("seg_viol").alias("violations")),
     )
     nn = row(
         "orders_status_not_null",
-        o.agg(F.count(F.lit(1)).alias("checked")),
-        o.filter(F.col("o_orderstatus").isNull()).agg(
-            F.count(F.lit(1)).alias("violations")
-        ),
+        o_stats.select("checked"),
+        o_stats.select(F.col("nn_viol").alias("violations")),
     )
     rng = row(
         "lineitem_quantity_range",
-        li.agg(F.count(F.lit(1)).alias("checked")),
-        li.filter(
-            F.col("l_quantity").isNull()
-            | (F.col("l_quantity") < 1)
-            | (F.col("l_quantity") > 50)
-        ).agg(F.count(F.lit(1)).alias("violations")),
+        li_stats.select("checked"),
+        li_stats.select(F.col("rng_viol").alias("violations")),
     )
     out = pk
     for nxt in (fk, seg, nn, rng):

@@ -35,6 +35,13 @@ SCAN_BOUNDS = {
     "embedding_near_dups": 0,
     "lsh_dedup_recall": 0,
     "corpus_ingest_verdict": 0,
+    # round-9 late additions: dq fusion (3 = one per distinct table),
+    # the 100x-sweep rewrites (record_linkage: customer + supplier;
+    # fuzzy: ids + the distinct-name arm; equi-depth: checkpointed)
+    "dq_expectations": 3,
+    "record_linkage": 2,
+    "fuzzy_name_match": 2,
+    "equi_depth_bins": 0,
 }
 
 
