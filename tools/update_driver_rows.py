@@ -138,10 +138,58 @@ def collect_hashes(
     return out
 
 
+def purge_retired(last_green: dict[str, int]) -> dict[str, int]:
+    """Drop LAST_GREEN rows for keys no longer in the catalog (r9
+    VERDICT: retired ``*_capped``/``*_tuned`` aliases survived two
+    regens).  A retired key cannot be ranked or re-verified, so its
+    row is pure noise."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from delta_lake_gcp_implementation_spark.plans import catalog as cat
+
+    kept = {k: v for k, v in last_green.items() if k in cat._SPECS}
+    dropped = sorted(set(last_green) - set(kept))
+    if dropped:
+        print(f"purged retired keys: {', '.join(dropped)}")
+    return kept
+
+
+def assert_freshness(last_green: dict[str, int], max_age: int = 3) -> None:
+    """Fail the regen when any catalog key's green row is older than
+    ``newest_round - max_age`` (r9 VERDICT item 4): with a full window
+    rotation this means a key silently fell out of the driver window
+    for several consecutive rounds.  Never-verified keys are exempt --
+    they sort to the window front automatically."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from delta_lake_gcp_implementation_spark.plans import catalog as cat
+
+    if not last_green:
+        return
+    newest = max(last_green.values())
+    floor = newest - max_age
+    stale = sorted(
+        (rnd, name)
+        for name, rnd in last_green.items()
+        if name in cat._SPECS and rnd < floor
+    )
+    if stale:
+        listing = ", ".join(f"{n} (r{r})" for r, n in stale)
+        print(
+            f"FRESHNESS VIOLATION: catalog keys with LAST_GREEN older "
+            f"than r{floor} (newest r{newest} - {max_age}): {listing}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+
+
 def main() -> None:
     import sys
 
-    last_green = collect()
+    last_green = purge_retired(collect())
+    assert_freshness(last_green)
     clean, detail = engine_tree_matches_correctness_commit()
     if not clean:
         print(f"WARNING: {detail}", file=sys.stderr)
