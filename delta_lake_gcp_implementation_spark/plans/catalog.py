@@ -39,6 +39,8 @@ from ..operators import bpe as OBPE
 from ..operators import cms as OCMS
 from ..operators import curation as OCUR
 from ..operators import dedup as ODED
+from ..operators import joins as OJ
+from ..operators import sizing as OSZ
 
 
 @dataclass(frozen=True)
@@ -59,7 +61,8 @@ _SPECS: dict[str, QuerySpec] = {
     "funnel_analysis": QuerySpec(R.q_funnel_analysis, R.ORACLE_FUNNEL_ANALYSIS),
     "dense_grid_fill": QuerySpec(R.q_dense_grid_fill, R.ORACLE_DENSE_GRID_FILL),
     "fuzzy_name_match": QuerySpec(
-        R.q_fuzzy_name_match, R.ORACLE_FUZZY_NAME_MATCH
+        R.q_fuzzy_name_match, R.ORACLE_FUZZY_NAME_MATCH,
+        extra_sources=(OJ.salted_join, OSZ.maybe_broadcast),
     ),
     "event_path_topk": QuerySpec(R.q_event_path_topk, R.ORACLE_EVENT_PATH_TOPK),
     "dup_clusters": QuerySpec(X.q_dup_clusters, X.ORACLE_DUP_CLUSTERS),

@@ -551,17 +551,23 @@ def q_mix_weights_temperature(spark: SparkSession, sf: str) -> DataFrame:
     (alpha=1, big domains dominate) and uniformly (alpha=0, tiny
     domains oversampled to death).  w_d = sqrt(share_d), normalized.
 
-    Plan shape: one grouped count per (lang, source) domain, the 1-row
-    corpus total and quantized weight-sum attach via broadcast cross
-    join — aggregations are map-side combined; nothing single-partition
-    scales with the corpus (domain count is bounded)."""
+    Plan shape (round-10 fusion; the r4 form re-derived the grouped
+    count for each of the corpus total, the quantized weight-sum, and
+    the final projection — 4 scans and 3 single-partition exchanges
+    per run): ONE map-side-combined grouped count per (lang, source)
+    domain, ``localCheckpoint``-ed, then both totals come from
+    unpartitioned window sums over that frame — exact integer sums, so
+    still shuffle-order-proof.  The single-partition window is over
+    the BOUNDED domain relation (|lang| x |source| rows), never the
+    corpus, so the shape holds at any corpus size."""
     d = load_table(spark, sf, "documents")
     per = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
-    tot = F.broadcast(per.agg(F.sum("n_docs").cast("bigint").alias("n_tot")))
-    share = F.col("n_docs").cast("double") / F.col("n_tot").cast("double")
-    w = per.crossJoin(tot).select(
+    ).localCheckpoint()
+    all_rows = Window.partitionBy()
+    n_tot = F.sum("n_docs").over(all_rows).cast("bigint")
+    share = F.col("n_docs").cast("double") / n_tot.cast("double")
+    w = per.select(
         "lang",
         "source",
         "n_docs",
@@ -571,19 +577,16 @@ def q_mix_weights_temperature(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("wq"),
     )
-    denom = F.broadcast(w.agg(F.sum("wq").cast("bigint").alias("wq_tot")))
-    return (
-        w.crossJoin(denom)
-        .select(
-            "lang",
-            "source",
-            "n_docs",
-            "doc_share",
-            "temp_weight",
-            (F.col("wq").cast("double") / F.col("wq_tot").cast("double")).alias(
-                "norm_weight"
-            ),
-        )
+    wq_tot = F.sum("wq").over(all_rows).cast("bigint")
+    return w.select(
+        "lang",
+        "source",
+        "n_docs",
+        "doc_share",
+        "temp_weight",
+        (F.col("wq").cast("double") / wq_tot.cast("double")).alias(
+            "norm_weight"
+        ),
     )
 
 

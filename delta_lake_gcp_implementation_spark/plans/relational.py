@@ -987,42 +987,44 @@ _TIER_SQL = """CASE WHEN cnt >= 15 THEN 'Platinum'
 def q_scd2_delta(spark: SparkSession, sf: str) -> DataFrame:
     """C7 SCD2 delta computation as a pure query: 'current dim' = tier
     rollup over pre-1997 orders; 'incoming aggregates' = rollup over
-    all orders; emit INSERT_NEW_MEMBER rows (J3 anti join) and
-    CLOSE_AND_INSERT rows (J2 change detection) — the exact merge-input
-    the SCD2 maintenance jobs compute
-    (``gold_dim_customer_scd2.py:76-121``)."""
+    all orders; emit INSERT_NEW_MEMBER rows (new members, J3 anti-join
+    semantics) and CLOSE_AND_INSERT rows (J2 change detection) — the
+    exact merge-input the SCD2 maintenance jobs compute
+    (``gold_dim_customer_scd2.py:76-121``).
+
+    Round-10 fusion: the r2 form computed the two rollups as separate
+    aggregations and reconciled them with an anti join + an inner join
+    (4 scans of orders, 3 shuffles).  Because both rollups group by the
+    SAME key over the SAME table, one conditional aggregation computes
+    the all-time count and the pre-cutoff count in a single pass — ONE
+    scan, ONE shuffle, zero joins; anti-join membership degenerates to
+    ``cnt_old = 0``.  The mutation-path twin in ``pipeline/medallion``
+    keeps the real two-table merge-input joins (there the 'current dim'
+    is a separately stored table, not a slice of the same source)."""
     o = load_table(spark, sf, "orders")
-    cur = (
-        o.filter(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        .groupBy("o_custkey")
-        .agg(F.count("*").alias("cnt"))
-        .select("o_custkey", _TIER(F.col("cnt")).alias("old_tier"))
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt_all"),
+        F.count(F.when(F.col("o_orderdate") < cutoff, F.lit(1))).alias(
+            "cnt_old"
+        ),
     )
-    new = (
-        o.groupBy("o_custkey")
-        .agg(F.count("*").alias("cnt"))
-        .select("o_custkey", _TIER(F.col("cnt")).alias("new_tier"))
-    )
-    inserts = (
-        new.join(cur, "o_custkey", "left_anti")
+    is_new = F.col("cnt_old") == 0
+    new_tier = _TIER(F.col("cnt_all"))
+    old_tier = _TIER(F.col("cnt_old"))
+    return (
+        per_cust.filter(is_new | (new_tier != old_tier))
         .select(
             "o_custkey",
-            F.lit("INSERT_NEW_MEMBER").alias("action"),
-            "new_tier",
-            F.lit(None).cast("string").alias("old_tier"),
+            F.when(is_new, "INSERT_NEW_MEMBER")
+            .otherwise("CLOSE_AND_INSERT")
+            .alias("action"),
+            new_tier.alias("new_tier"),
+            F.when(is_new, F.lit(None).cast("string"))
+            .otherwise(old_tier)
+            .alias("old_tier"),
         )
     )
-    changes = (
-        new.join(cur, "o_custkey")
-        .filter(F.col("new_tier") != F.col("old_tier"))
-        .select(
-            "o_custkey",
-            F.lit("CLOSE_AND_INSERT").alias("action"),
-            "new_tier",
-            "old_tier",
-        )
-    )
-    return inserts.unionByName(changes)
 
 
 ORACLE_SCD2_DELTA = f"""
@@ -1647,12 +1649,19 @@ FROM clicks c ASOF LEFT JOIN purchases p
 def q_above_avg_spenders(spark: SparkSession, sf: str) -> DataFrame:
     """Correlated scalar-subquery shape (``WHERE total > (SELECT
     avg(...) ... WHERE same nation)``), written the way Catalyst
-    decorrelates it: per-customer order totals, per-nation average of
-    those totals, tiny per-nation aggregate broadcast back, keep
-    customers above their nation's average.  Money goes through exact
-    integer cents (sum is associative — shuffle-order-proof) and the
-    avg stays an exact-int division, so the > comparison is
-    cross-engine deterministic with no decimal boundary risk."""
+    decorrelates it: per-customer order totals, the nation's average
+    attached by an unpartitioned-frame window over c_nationkey, keep
+    customers above their nation's average.  Round-10 fusion: the r3
+    form re-derived the per-customer rollup for both the per-nation
+    aggregate and the probe side it joined back to (4 scans — 2 of
+    each source); the window computes the nation average from the
+    SAME per-customer stream in one pass — one scan per source, one
+    exchange on the bounded nation key instead of a second rollup +
+    join.  Money goes through exact integer cents (sum is associative
+    — shuffle-order-proof; the window sum is the identical bigint sum
+    the grouped form produced) and the avg stays an exact-int
+    division, so the > comparison is cross-engine deterministic with
+    no decimal boundary risk."""
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -1664,11 +1673,13 @@ def q_above_avg_spenders(spark: SparkSession, sf: str) -> DataFrame:
             "o_custkey",
         )
     )
-    per_nation = per_cust.groupBy("c_nationkey").agg(
-        (F.sum("total_cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    nation_w = Window.partitionBy("c_nationkey")
+    avg_cents = (
+        F.sum("total_cents").over(nation_w).cast("double")
+        / F.count(F.lit(1)).over(nation_w)
     )
     return (
-        per_cust.join(F.broadcast(per_nation), "c_nationkey")
+        per_cust.withColumn("avg_cents", avg_cents)
         .filter(F.col("total_cents") > F.col("avg_cents"))
         .select(
             F.col("o_custkey").alias("c_custkey"),
@@ -1984,6 +1995,12 @@ _FUZZY_MAX_DIST = 3
 # bucket, so joining each row against buckets {lb-1, lb, lb+1} loses
 # nothing while cutting within-block pair enumeration ~bucket-fold
 _FUZZY_LB_WIDTH = _FUZZY_MAX_DIST + 1
+# Salted 32x replication of the id table only pays when the matched
+# names are FEW and hot (the 100x part table: 64 distinct names over
+# 2M rows).  Past this many distinct matched names the keys are no
+# longer individually hot and the plain equi-join + AQE skew split
+# wins — replication would cost 32x shuffle volume for nothing.
+_FUZZY_SALT_MAX_NAMES = 4096
 
 
 def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
@@ -2015,8 +2032,19 @@ def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     the edit-distance work entirely.  100x: >300 s -> seconds of
     fuzzy work + output-bound expansion (the result set itself is
     quadratic in ids-per-name — that is the answer's size, not plan
-    waste)."""
+    waste).
+
+    Round-10 gates (ADVICE r9): the matched-pair frame broadcasts via
+    ``maybe_broadcast`` (Catalyst size estimate of the MATERIALIZED
+    checkpoint, so a quadratic pair blowup on a high-cardinality
+    registry falls back to a shuffle join instead of a driver OOM),
+    and the 32x salted replication only engages in the regime it
+    exists for — few distinct matched names (hot keys); otherwise the
+    plain equi-join runs and AQE's skew split handles the residue.
+    Both gates read the checkpointed frame, so the probes are a
+    metadata lookup + one tiny agg, never a source re-scan."""
     from ..operators.joins import salted_join
+    from ..operators.sizing import maybe_broadcast
     from ..tables import scale_out
 
     p = load_table(spark, sf, "part")
@@ -2055,12 +2083,19 @@ def q_fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
     )
     a_side = ids.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
-    ).join(F.broadcast(name_pairs), "name_a")
+    ).join(maybe_broadcast(name_pairs), "name_a")
     b_side = ids.select(
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
     )
+    n_hot_names = (
+        name_pairs.select("name_b").distinct().limit(_FUZZY_SALT_MAX_NAMES + 1).count()
+    )
+    if n_hot_names <= _FUZZY_SALT_MAX_NAMES:
+        expanded = salted_join(a_side, b_side, "name_b", n_salts=32)
+    else:
+        expanded = a_side.join(b_side, "name_b")
     return (
-        salted_join(a_side, b_side, "name_b", n_salts=32)
+        expanded
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
@@ -2336,30 +2371,31 @@ def q_dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer")
 
     one = F.count(F.lit(1)).cast("bigint")
+
+    def viol_sum(cond):
+        # F.sum over an empty table is NULL, not 0; the DuckDB oracle's
+        # count-based arms return 0/true on empty inputs (ADVICE r9) —
+        # coalesce keeps the two engines aligned there.
+        return F.coalesce(
+            F.sum(cond.cast("bigint")), F.lit(0).cast("bigint")
+        ).cast("bigint")
+
     # one pass per table: total + every filter-shaped violation count
     o_stats = o.agg(
         one.alias("checked"),
-        F.sum(F.col("o_orderstatus").isNull().cast("bigint"))
-        .cast("bigint")
-        .alias("nn_viol"),
+        viol_sum(F.col("o_orderstatus").isNull()).alias("nn_viol"),
     ).localCheckpoint()
     li_stats = li.agg(
         one.alias("checked"),
-        F.sum(
-            (
-                F.col("l_quantity").isNull()
-                | (F.col("l_quantity") < 1)
-                | (F.col("l_quantity") > 50)
-            ).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("rng_viol"),
+        viol_sum(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("rng_viol"),
     ).localCheckpoint()
     c_stats = c.agg(
         one.alias("checked"),
-        F.sum((~F.col("c_mktsegment").isin(*_DQ_SEGMENTS)).cast("bigint"))
-        .cast("bigint")
-        .alias("seg_viol"),
+        viol_sum(~F.col("c_mktsegment").isin(*_DQ_SEGMENTS)).alias("seg_viol"),
     ).localCheckpoint()
 
     def row(name: str, checked, violations):
@@ -3874,13 +3910,18 @@ def q_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
     join a day spine covering their next 7 days, then one distinct
     count per day.  Exact, linear at 7x the pair count.
 
+    The distinct-pair frame is ``localCheckpoint``-ed once (round-10;
+    the r3 form re-ran the full distinct — a whole-corpus shuffle —
+    for both the date-bounds arm and the window fan-out): bounds and
+    contributions read the same materialized pairs.
+
     Scale note: the 7x fan-out is the honest exact algorithm; the
     sketch path at 100 TB merges per-day HLL registers
-    (``q_hll_verdict``'s registers combine by max across days)."""
+    (``q_rolling_wau_hll``'s registers combine by max across days)."""
     ev = load_table(spark, sf, "events")
     pairs = ev.select(
         F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    ).distinct().localCheckpoint()
     offsets = spark.range(7).select(F.col("id").cast("int").alias("off"))
     contrib = pairs.crossJoin(F.broadcast(offsets)).select(
         F.date_add("day", F.col("off")).alias("as_of_day"), "user_id"

@@ -1374,11 +1374,16 @@ _BM25_K = 20
 
 def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 top-k document retrieval for a fixed conjunctive term set.
-    Plan shape built for corpus scale: one token explode feeding two
-    hash aggs (per-doc tf over only the query terms; per-doc length),
-    a 3-row document-frequency table and a 1-row corpus-stats frame
-    joined back by broadcast, and a TakeOrdered top-k — the only
-    full-corpus shuffle is the per-doc aggregation.  Scoring sums the
+    Plan shape built for corpus scale (round-10 fusion; the r3 form
+    re-derived the token explode for each of per-doc-length, per-term
+    tf, corpus stats, and df — 4 scans of documents per run): ONE token
+    explode feeds ONE map-side-combined hash agg computing the per-doc
+    length AND each query term's tf as conditional counts in the same
+    pass; that per-doc frame is ``localCheckpoint``-ed once and every
+    downstream input — the 1-row corpus-stats frame, the unpivoted
+    per-(doc, term) tf relation, the 3-row document-frequency table —
+    derives from it without touching the source again.  The only
+    full-corpus shuffle is the per-doc aggregation; scoring sums the
     per-term BM25 contributions in fixed syntactic order (conditional
     sums), so no shuffle-order float drift exists anywhere."""
     from ..tables import scale_out
@@ -1388,21 +1393,24 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("token") == t, F.lit(1))).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).localCheckpoint()
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
     )
-    tf = (
-        toks.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS))
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.expr(f"stack({len(BM25_TERMS)}, {stack_args}) AS (token, tf)"),
+    ).filter(F.col("tf") > 0)
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_t), "token")
-        .join(F.broadcast(stats))
-    )
+    scored = tf.join(F.broadcast(df_t), "token").join(F.broadcast(stats))
     idf = (
         (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
         / (2 * F.col("df") + 1).cast("double")
@@ -2487,10 +2495,15 @@ def q_domain_kl(spark: SparkSession, sf: str) -> DataFrame:
     bit-length device of ``q_unigram_surprisal`` — no cross-engine
     transcendentals, no float accumulation order).
 
-    Scale shape: both distributions come from the same single token
-    explode; everything after is map-side-combined hash aggs over
-    (token) and (source, token) plus broadcast joins of the bounded
-    vocab/totals — linear in tokens, no windows, no pair expansion."""
+    Scale shape (round-10 fusion; the r5 form re-derived the token
+    explode for each of the (source, token) counts, the vocab counts,
+    and their totals — 4 scans of documents per run): ONE token
+    explode feeds ONE map-side-combined hash agg over (source, token),
+    ``localCheckpoint``-ed; the corpus-wide vocab distribution is then
+    a second tiny agg over that frame (sums of per-source counts equal
+    the corpus counts exactly — integer arithmetic, no float order),
+    as are both totals.  Linear in tokens, one full-corpus shuffle,
+    no windows, no pair expansion."""
     from ..tables import scale_out
 
     d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
@@ -2502,9 +2515,9 @@ def q_domain_kl(spark: SparkSession, sf: str) -> DataFrame:
     )
     per_src = tok.groupBy("source", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt_sw")
-    )
-    vocab = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt_w")
+    ).localCheckpoint()
+    vocab = per_src.groupBy("token").agg(
+        F.sum("cnt_sw").cast("bigint").alias("cnt_w")
     )
     total = F.broadcast(
         vocab.agg(F.sum("cnt_w").cast("bigint").alias("n_tot"))
@@ -2930,8 +2943,14 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: both arms are existing bounded plans (broadcast
     queries / bucket equi-join); fusion is one (query, neighbor) full
-    outer join + the per-query top-k window."""
-    e = load_table(spark, sf, "embeddings")
+    outer join + the per-query top-k window.  The (vec_id, embedding)
+    projection is ``localCheckpoint``-ed once (round-10; the r5 form
+    re-scanned embeddings for each arm's corpus AND query side — 4
+    scans per run) so both arms and both query sides read the same
+    materialized frame."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).localCheckpoint()
     q = e.filter(F.col("vec_id") < _Q_CUT)
     exact = sim.brute_force_topk(e, q, "vec_id", "embedding", k=_RRF_ARM_K).select(
         "query_id", "neighbor_id", F.col("rank").alias("rank_exact")

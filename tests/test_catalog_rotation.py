@@ -235,3 +235,43 @@ def test_engine_tree_guard_fails_closed_on_uncommitted_correctness(
     ok, detail = reg.engine_tree_matches_correctness_commit()
     assert not ok
     assert "not committed" in detail
+
+
+def test_purge_retired_drops_keys_absent_from_catalog():
+    """r9 VERDICT: retired ``*_capped``/``*_tuned`` alias rows survived
+    two regens because collect() carries every name any CORRECTNESS
+    file ever greened.  purge_retired keeps only current catalog keys
+    (and says which it dropped)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import update_driver_rows as reg
+
+    live = next(iter(cat._SPECS))
+    out = reg.purge_retired({live: 5, "retired_alias_xyz": 5})
+    assert live in out
+    assert "retired_alias_xyz" not in out
+
+
+def test_assert_freshness_fails_on_stale_catalog_key():
+    """r9 VERDICT item 4: a catalog key whose green row is older than
+    newest-3 rounds fell out of the driver window silently; the regen
+    must fail loudly with the offending list instead."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import update_driver_rows as reg
+
+    names = list(cat._SPECS)
+    fresh, stale = names[0], names[1]
+    # age gap of exactly max_age is tolerated (strict <)
+    reg.assert_freshness({fresh: 9, stale: 6}, max_age=3)
+    # one round older than the floor fails
+    with pytest.raises(SystemExit):
+        reg.assert_freshness({fresh: 9, stale: 5}, max_age=3)
+    # never-in-catalog names are exempt (retired rows can't re-verify)
+    reg.assert_freshness({fresh: 9, "retired_alias_xyz": 1}, max_age=3)
