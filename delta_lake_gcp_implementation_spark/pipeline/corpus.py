@@ -14,8 +14,11 @@ write-observed and spark.sql-addressable):
 - ``corpus.minhash_sigs``   (doc_id, mh_0..mh_{N-1})
 - ``corpus.minhash_bands``  (doc_id, bucket)   — LSH incidence list
 - ``corpus.bucket_counts``  (bucket, n_docs)   — per-bucket membership
-  count, maintained incrementally (invariant: equals ``GROUP BY
-  bucket`` over ``corpus.minhash_bands`` after every batch)
+  DELTA LOG (round 10): each batch appends its per-bucket deltas,
+  readers sum per bucket, and the log compacts back to one row per
+  bucket once it outgrows ``_COUNTS_COMPACT_FACTOR`` x its
+  post-compaction size (invariant: the per-bucket SUM equals
+  ``GROUP BY bucket`` over ``corpus.minhash_bands`` after every batch)
 
 Per batch the plan is:
 
@@ -62,16 +65,23 @@ connectivity the linear incidence + connected-components path
 is applied at JOIN time only — the persisted index stays uncapped, so
 tightening or loosening it never invalidates stored tables.
 
-Incremental cap bookkeeping (round 9): the combined membership check
-reads the persisted ``corpus.bucket_counts`` table (one row per
-distinct bucket, upserted additively per batch) instead of
-re-aggregating the FULL stored incidence list — the r8 form was
-O(corpus) per batch, O(n^2) over a long ingest history; this one is
-O(batch) plus a linear read of the much smaller counts table.  Stores
-created before the counts table existed are migrated by a one-time
-recount from the incidence list (``_ensure_bucket_counts``); the
-invariant (counts == GROUP BY over the incidence list) is asserted by
-``tests/test_corpus_counts.py`` after multiple batches.
+Incremental cap bookkeeping (round 9, reworked round 10): the combined
+membership check reads the persisted ``corpus.bucket_counts`` delta
+log instead of re-aggregating the FULL stored incidence list — the r8
+form was O(corpus) per batch, O(n^2) over a long ingest history.  The
+r9 form read the counts table but UPSERTED the delta, which stages and
+swaps the whole counts table per batch — O(distinct buckets) write
+amplification however small the batch; round 10 makes the write a pure
+APPEND of delta rows (flat in corpus size) with an amortized
+compaction (``_add_bucket_counts``).  Stores created before the counts
+table existed are migrated by a one-time recount from the incidence
+list, and a sync sidecar (BANDS row count the log reflects, written
+only after the bookkeeping it describes) lets ``_ensure_bucket_counts``
+detect a crash between the BANDS append and the counts append and
+self-heal by the same recount (ADVICE r9).  The invariant (per-bucket
+SUM of the log == GROUP BY over the incidence list) is asserted by
+``tests/test_corpus_counts.py`` after multiple batches, crashes, and
+compactions.
 """
 
 from __future__ import annotations
@@ -117,39 +127,113 @@ def _recount_buckets(bands: DataFrame) -> DataFrame:
     )
 
 
+#: COUNTS delta-log compaction trigger: compact when the log holds
+#: more than this many times the rows it held right after the last
+#: compaction.  Each bucket row is then rewritten once per ~3x log
+#: growth — amortized O(1) write cost per appended delta row.
+_COUNTS_COMPACT_FACTOR = 4
+
+
+def _counts_sync_path(store: TableStore) -> str:
+    return store.path(COUNTS) + ".__sync__.json"
+
+
+def _load_counts_sync(store: TableStore) -> dict | None:
+    import json
+
+    try:
+        with open(_counts_sync_path(store)) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _save_counts_sync(store: TableStore, base_rows: int) -> None:
+    """Record (a) the BANDS row count the COUNTS log reflects and
+    (b) the log size at the last compaction (compaction-trigger
+    baseline).  Written AFTER the COUNTS append/compaction it
+    describes, so any crash window leaves the sidecar STALE and the
+    next ``_ensure_bucket_counts`` self-heals by recount (ADVICE r9:
+    a crash between the BANDS append and the counts bookkeeping used
+    to understate the cap forever with no self-heal)."""
+    import json
+
+    with open(_counts_sync_path(store), "w") as f:
+        json.dump(
+            {
+                "bands_rows": store.count(BANDS),
+                "base_rows": int(base_rows),
+            },
+            f,
+        )
+
+
+def _stored_bucket_counts(store: TableStore) -> DataFrame:
+    """Aggregated read of the COUNTS delta log: one (bucket, n_docs)
+    row per bucket.  Map-side-combined sum over a table that is at
+    most ``_COUNTS_COMPACT_FACTOR`` x the distinct-bucket count."""
+    return store.read(COUNTS).groupBy("bucket").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
 def _ensure_bucket_counts(store: TableStore) -> None:
-    """Migrate a pre-counts store: recount ONCE from the incidence
-    list and persist.  Must run before any append that the recount
-    should not include (call order in ``ingest_batch`` guarantees it).
-    """
-    if store.exists(BANDS) and not store.exists(COUNTS):
-        store.overwrite(COUNTS, _recount_buckets(store.read(BANDS)))
+    """Make the COUNTS log trustworthy before it is read or appended:
+
+    * pre-counts store (migration): recount ONCE from the incidence
+      list and persist — must run before any append the recount should
+      not include (call order in ``ingest_batch`` guarantees it);
+    * stale log (ADVICE r9 self-heal): the sync sidecar records which
+      BANDS row count the log reflects; a crash between the BANDS
+      append and the counts bookkeeping leaves them out of sync, so a
+      sidecar/meta mismatch (both O(1) reads) triggers the same
+      recount instead of silently understating the cap forever."""
+    if not store.exists(BANDS):
+        return
+    sync = _load_counts_sync(store)
+    if (
+        store.exists(COUNTS)
+        and sync is not None
+        and sync.get("bands_rows") == store.count(BANDS)
+    ):
+        return
+    compacted = _recount_buckets(store.read(BANDS))
+    n = store.overwrite(COUNTS, compacted)
+    _save_counts_sync(store, base_rows=n)
 
 
 def _add_bucket_counts(store: TableStore, new_bands: DataFrame) -> None:
-    """Additively upsert the per-bucket membership delta for freshly
-    appended incidence rows — O(batch) bookkeeping that keeps the cap
-    check from ever re-aggregating (and at cluster scale, re-shuffling)
-    the full incidence list.  Same persisted-bookmark shape as the
-    reference's incremental watermark
+    """Append the per-bucket membership delta for freshly appended
+    incidence rows — O(batch) bookkeeping that never reads, joins, or
+    rewrites existing counts (the r9 form upserted, which staged and
+    swapped the WHOLE counts table per batch: O(distinct buckets)
+    write amplification however small the batch).  COUNTS is an
+    LSM-style delta log — readers sum per bucket
+    (``_stored_bucket_counts``) — compacted back to one row per bucket
+    when it outgrows ``_COUNTS_COMPACT_FACTOR`` x its post-compaction
+    size, so the full rewrite cost amortizes across batches.  Same
+    persisted-bookmark shape as the reference's incremental watermark
     (`shared/write_watermark.py:59-65`: derive the new state from the
     batch, persist it, read it back next run instead of re-scanning
-    history)."""
-    delta = _recount_buckets(new_bands).withColumnRenamed("n_docs", "n_new")
+    history).
+
+    (Bucket-RANGE partitioning was considered and rejected: bucket ids
+    are md5-uniform, so any real batch touches every range shard and
+    partition pruning never engages — the delta log is what actually
+    makes the per-batch write cost flat in corpus size.)"""
+    delta = _recount_buckets(new_bands)
     if store.exists(COUNTS):
-        merged = (
-            delta.join(store.read(COUNTS), "bucket", "left")
-            .select(
-                "bucket",
-                (
-                    F.col("n_new")
-                    + F.coalesce(F.col("n_docs"), F.lit(0).cast("bigint"))
-                ).cast("bigint").alias("n_docs"),
-            )
-        )
-        store.upsert(COUNTS, merged, keys=["bucket"])
+        store.append(COUNTS, delta)
     else:
-        store.append(COUNTS, delta.withColumnRenamed("n_new", "n_docs"))
+        store.overwrite(COUNTS, delta)
+    sync = _load_counts_sync(store) or {}
+    base = max(int(sync.get("base_rows", 0)), 1)
+    log_rows = store.count(COUNTS)
+    if log_rows > _COUNTS_COMPACT_FACTOR * base:
+        base = store.overwrite(COUNTS, _stored_bucket_counts(store))
+    else:
+        base = sync.get("base_rows", log_rows)
+    _save_counts_sync(store, base_rows=base)
 
 
 def ingest_batch(
@@ -221,7 +305,7 @@ def ingest_batch(
                 F.col("n_docs"), F.lit(0).cast("bigint")
             )
             small = (
-                batch_counts.join(store.read(COUNTS), "bucket", "left")
+                batch_counts.join(_stored_bucket_counts(store), "bucket", "left")
                 .filter(combined_n <= max_bucket)
                 .select("bucket")
             )
@@ -293,8 +377,9 @@ def ingest_batch(
     n_near = n_batch - n_exact_batch - n_exact_corpus - accepted.count()
 
     # 5. append survivors + index rows (write-observed counts); the
-    # counts table migrates (pre-append recount) then upserts the
-    # delta so its invariant vs the incidence list holds per batch
+    # counts log migrates/self-heals (pre-append, so the recount
+    # excludes this batch) then appends the delta so its per-bucket
+    # sum vs the incidence list holds per batch
     n_accepted = store.append(DOCS, accepted.select("doc_id", "text", "content_hash"))
     keep_ids = accepted.select("doc_id")
     store.append(SIGS, sigs_new.join(keep_ids, "doc_id", "left_semi"))
@@ -356,6 +441,7 @@ def rebuild_index(store: TableStore) -> dict:
         ),
     )
     n_counts = store.overwrite(COUNTS, _recount_buckets(store.read(BANDS)))
+    _save_counts_sync(store, base_rows=n_counts)
     return {
         "docs": store.count(DOCS),
         "sigs": n_sigs,

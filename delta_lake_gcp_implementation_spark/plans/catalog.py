@@ -65,8 +65,17 @@ _SPECS: dict[str, QuerySpec] = {
         extra_sources=(OJ.salted_join, OSZ.maybe_broadcast),
     ),
     "event_path_topk": QuerySpec(R.q_event_path_topk, R.ORACLE_EVENT_PATH_TOPK),
-    "dup_clusters": QuerySpec(X.q_dup_clusters, X.ORACLE_DUP_CLUSTERS),
-    "corpus_curation": QuerySpec(X.q_corpus_curation, X.ORACLE_CORPUS_CURATION),
+    "dup_clusters": QuerySpec(
+        X.q_dup_clusters, X.ORACLE_DUP_CLUSTERS,
+        extra_sources=(
+            ODED.minhash_band_incidence,
+            ODED.connected_components_groups,
+        ),
+    ),
+    "corpus_curation": QuerySpec(
+        X.q_corpus_curation, X.ORACLE_CORPUS_CURATION,
+        extra_sources=(TXT.lang_id, TXT.quality_metrics),
+    ),
     "doc_chunking": QuerySpec(X.q_doc_chunking, X.ORACLE_DOC_CHUNKING),
     "vocab_topk": QuerySpec(X.q_vocab_topk, X.ORACLE_VOCAB_TOPK),
     "tfidf_topk": QuerySpec(X.q_tfidf_topk, X.ORACLE_TFIDF_TOPK),
@@ -82,16 +91,30 @@ _SPECS: dict[str, QuerySpec] = {
         X.q_semantic_dedup, X.ORACLE_SEMANTIC_DEDUP,
         extra_sources=(X._tuned_near_dup_pairs, ODED.connected_components),
     ),
-    "text_normalize": QuerySpec(C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE),
-    "pii_scrub": QuerySpec(C.q_pii_scrub, C.ORACLE_PII_SCRUB),
+    "text_normalize": QuerySpec(
+        C.q_text_normalize, C.ORACLE_TEXT_NORMALIZE,
+        extra_sources=(TXT.normalize_text,),
+    ),
+    "pii_scrub": QuerySpec(
+        C.q_pii_scrub, C.ORACLE_PII_SCRUB,
+        extra_sources=(TXT.pii_counts, TXT.scrub_pii),
+    ),
     "stratified_sample": QuerySpec(
-        C.q_stratified_sample, C.ORACLE_STRATIFIED_SAMPLE
+        C.q_stratified_sample, C.ORACLE_STRATIFIED_SAMPLE,
+        extra_sources=(OCUR.stratified_sample,),
     ),
-    "token_packing": QuerySpec(C.q_token_packing, C.ORACLE_TOKEN_PACKING),
+    "token_packing": QuerySpec(
+        C.q_token_packing, C.ORACLE_TOKEN_PACKING,
+        extra_sources=(TXT.token_count, OCUR.pack_sequences),
+    ),
     "contamination_check": QuerySpec(
-        C.q_contamination_check, C.ORACLE_CONTAMINATION_CHECK
+        C.q_contamination_check, C.ORACLE_CONTAMINATION_CHECK,
+        extra_sources=(OCUR.contamination_pairs,),
     ),
-    "domain_mix": QuerySpec(C.q_domain_mix, C.ORACLE_DOMAIN_MIX),
+    "domain_mix": QuerySpec(
+        C.q_domain_mix, C.ORACLE_DOMAIN_MIX,
+        extra_sources=(TXT.token_count, OCUR.domain_mix),
+    ),
     "repetition_metrics": QuerySpec(
         C.q_repetition_metrics, C.ORACLE_REPETITION_METRICS
     ),
@@ -337,6 +360,10 @@ _SPECS: dict[str, QuerySpec] = {
     "percentile_stats": QuerySpec(R.q_percentile_stats, R.ORACLE_PERCENTILE_STATS),
     "asof_join": QuerySpec(R.q_asof_join, R.ORACLE_ASOF_JOIN),
     "interval_join": QuerySpec(R.q_interval_join, R.ORACLE_INTERVAL_JOIN),
+    "two_phase_skew_agg": QuerySpec(
+        R.q_two_phase_skew_agg, R.ORACLE_TWO_PHASE_SKEW_AGG,
+        extra_sources=(OJ.two_phase_aggregate,),
+    ),
     "above_avg_spenders": QuerySpec(
         R.q_above_avg_spenders, R.ORACLE_ABOVE_AVG_SPENDERS
     ),
@@ -381,7 +408,8 @@ _SPECS: dict[str, QuerySpec] = {
         extra_sources=(ODED.simhash_bits,),
     ),
     "simhash_near_dups": QuerySpec(
-        X.q_simhash_near_dups, X.ORACLE_SIMHASH_NEAR_DUPS
+        X.q_simhash_near_dups, X.ORACLE_SIMHASH_NEAR_DUPS,
+        extra_sources=(ODED.simhash_hamming_pairs,),
     ),
     # similarity search (embeddings)
     "cosine_topk": QuerySpec(

@@ -4302,3 +4302,50 @@ WHERE NOT (value <= {_QREPROC_V1_CAP} AND event_type <> 'error')
   AND (value <= {_QREPROC_V2_CAP}
        AND (event_type <> 'error' OR value <= {_QREPROC_ERROR_CAP}))
 """
+
+
+# --------------------------------------- skew-safe two-phase aggregation (round 10)
+
+
+def q_two_phase_skew_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe grouped rollup over the event stream via
+    ``operators.joins.two_phase_aggregate``: events carry a handful of
+    hot event_type keys (millions of rows over <10 distinct values —
+    the textbook aggregation-skew regime), so the rollup
+    partial-aggregates on (event_type, salt) first — every hot key
+    spread over 32 reducers — then final-aggregates on event_type.
+    Map-side combine already absorbs most of the skew for pure counts;
+    the two-phase shape is what survives when the per-key state is too
+    wide to combine early or AQE cannot split the hot partition (the
+    r9 ``salted_join`` story, aggregation-shaped).  Equivalence to the
+    plain groupBy is pytest-proven
+    (``test_two_phase_aggregate_equals_plain``); this key pins the
+    oracle row so the audited catalog demonstrates the operator.
+
+    Money goes through exact integer cents BEFORE the decimal partial
+    sums (associative, shuffle-order-proof; the decimal cast of an
+    integral cents value is exact), so the final bigint is
+    cross-engine deterministic."""
+    from ..operators.joins import two_phase_aggregate
+
+    ev = load_table(spark, sf, "events")
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    agg = two_phase_aggregate(cents, "event_type", "cents", n_salts=32)
+    return agg.select(
+        "event_type",
+        F.col("cnt").cast("bigint").alias("n_events"),
+        F.col("total").cast("bigint").alias("sum_cents"),
+    )
+
+
+ORACLE_TWO_PHASE_SKEW_AGG = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM events
+GROUP BY event_type
+"""

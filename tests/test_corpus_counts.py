@@ -38,8 +38,11 @@ def store(spark, tmp_path):
 
 
 def _counts_rows(store):
+    # COUNTS is a delta log since r10: the invariant is on the
+    # per-bucket SUM, which _stored_bucket_counts materializes
     return sorted(
-        (r.bucket, r.n_docs) for r in store.read(corpus.COUNTS).collect()
+        (r.bucket, r.n_docs)
+        for r in corpus._stored_bucket_counts(store).collect()
     )
 
 
@@ -125,3 +128,46 @@ def test_rebuild_index_rebuilds_counts(spark, store):
     r = corpus.rebuild_index(store)
     assert r["buckets"] == len(inc)
     assert _counts_rows(store) == inc == _recount_rows(store)
+
+
+def test_crash_between_bands_append_and_counts_self_heals(spark, store):
+    """ADVICE r9: a crash after ``store.append(BANDS, ...)`` but before
+    the counts bookkeeping used to leave the log understated FOREVER
+    (the migration recount only fired when COUNTS was absent).  The
+    sync sidecar now detects the divergence and the next ingest
+    recounts."""
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B)]))
+    # simulate the crash window: extra incidence rows land, counts
+    # bookkeeping never runs
+    sigs = corpus._signatures(
+        _df(spark, [(99, C)]), "doc_id", "text"
+    ).localCheckpoint()
+    store.append(
+        corpus.BANDS,
+        dedup_ops.minhash_band_incidence(
+            sigs, "doc_id", n_hashes=corpus.MH_N, band_size=corpus.MH_BAND
+        ),
+    )
+    assert _counts_rows(store) != _recount_rows(store)  # broken state
+    corpus.ingest_batch(store, _df(spark, [(11, D)]))
+    assert _counts_rows(store) == _recount_rows(store)  # healed
+
+
+def test_counts_log_appends_then_compacts(spark, store, monkeypatch):
+    """Per-batch bookkeeping must APPEND delta rows (no table rewrite);
+    once the log outgrows the compaction factor it collapses back to
+    one row per bucket, invariant intact throughout."""
+    corpus.ingest_batch(store, _df(spark, [(1, A)]))
+    base_rows = store.count(corpus.COUNTS)
+    corpus.ingest_batch(store, _df(spark, [(11, B)]))
+    # factor 4 not yet exceeded: the log holds BOTH batches' delta rows
+    assert store.count(corpus.COUNTS) > base_rows
+    assert _counts_rows(store) == _recount_rows(store)
+    # force the threshold: the next batch's bookkeeping must compact
+    monkeypatch.setattr(corpus, "_COUNTS_COMPACT_FACTOR", 1)
+    corpus.ingest_batch(store, _df(spark, [(21, C)]))
+    distinct_buckets = (
+        store.read(corpus.COUNTS).select("bucket").distinct().count()
+    )
+    assert store.count(corpus.COUNTS) == distinct_buckets  # compacted
+    assert _counts_rows(store) == _recount_rows(store)
