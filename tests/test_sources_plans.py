@@ -270,3 +270,37 @@ def test_tpch_classic_plans(spark):
     assert "EvalPython" not in p
     p = _plan(spark, "dormant_rich_customers")
     assert "PushedFilters" in p or "o_orderdate" in p  # pushdown visible
+
+
+def test_fuzzy_gate_plain_join_branch_equals_salted(spark, monkeypatch):
+    """r10 ADVICE gates: above the distinct-name threshold the fuzzy
+    join must take the PLAIN equi-join branch (no 32x replication) and
+    return exactly the salted branch's rows."""
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    salted = R.q_fuzzy_name_match(spark, sf)
+    rows_salted = sorted(map(tuple, salted.collect()))
+    monkeypatch.setattr(R, "_FUZZY_SALT_MAX_NAMES", 0)  # force plain branch
+    plain = R.q_fuzzy_name_match(spark, sf)
+    rows_plain = sorted(map(tuple, plain.collect()))
+    assert rows_plain == rows_salted and rows_salted  # non-empty at sf0.001
+
+
+def test_dq_expectations_zero_not_null_on_empty_tables(spark, tmp_path):
+    """r9 ADVICE: F.sum over an empty table is NULL; the fused
+    violation counters must coalesce to 0 so `violations`/`passed`
+    match the oracle's count-based 0/true on empty inputs."""
+    from delta_lake_gcp_implementation_spark.plans import relational as R
+
+    src = "/root/testdata/sf0.001"
+    for t in ("orders", "lineitem", "customer"):
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    out = R.q_dq_expectations(spark, str(tmp_path)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.checked == 0
+        assert r.violations == 0, f"{r.expectation}: violations={r.violations}"
+        assert r.passed is True
