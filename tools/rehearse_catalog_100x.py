@@ -38,7 +38,14 @@ def main() -> None:
     from delta_lake_gcp_implementation_spark.session import get_spark
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "BENCH_FULL_r09.json")) as f:
+    import glob
+    import re
+
+    newest = max(
+        glob.glob(os.path.join(here, "BENCH_FULL_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    with open(newest) as f:
         sf01 = json.load(f)["queries"]
 
     done = set()
