@@ -42,6 +42,17 @@ SCAN_BOUNDS = {
     "record_linkage": 2,
     "fuzzy_name_match": 2,
     "equi_depth_bins": 0,
+    # round-10 recompute-tier fixes (audited values; scd2_delta's 1 is
+    # its single conditional-agg pass, above_avg_spenders' 2 is one
+    # per source table)
+    "bm25_topk": 0,
+    "domain_kl": 0,
+    "hybrid_rrf_topk": 0,
+    "rolling_wau": 0,
+    "mix_weights_temperature": 0,
+    "scd2_delta": 1,
+    "above_avg_spenders": 2,
+    "two_phase_skew_agg": 1,
 }
 
 
