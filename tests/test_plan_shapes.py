@@ -48,7 +48,9 @@ SCAN_BOUNDS = {
     "bm25_topk": 0,
     "domain_kl": 0,
     "hybrid_rrf_topk": 0,
-    "rolling_wau": 0,
+    # 2 = the single-consumer distinct + the column-pruned min/max
+    # bounds scan (measured cheaper than materializing the distinct)
+    "rolling_wau": 2,
     "mix_weights_temperature": 0,
     "scd2_delta": 1,
     "above_avg_spenders": 2,
