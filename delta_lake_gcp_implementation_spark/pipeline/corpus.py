@@ -75,11 +75,16 @@ amplification however small the batch; round 10 makes the write a pure
 APPEND of delta rows (flat in corpus size) with an amortized
 compaction (``_add_bucket_counts``).  Stores created before the counts
 table existed are migrated by a one-time recount from the incidence
-list, and a sync sidecar (BANDS row count the log reflects, written
-only after the bookkeeping it describes) lets ``_ensure_bucket_counts``
-detect a crash between the BANDS append and the counts append and
-self-heal by the same recount (ADVICE r9).  The invariant (per-bucket
-SUM of the log == GROUP BY over the incidence list) is asserted by
+list, and a sync sidecar (the committed BANDS version the log
+reflects, written only after the bookkeeping it describes) lets
+``_ensure_bucket_counts`` detect a crash between the BANDS append and
+the counts append and self-heal by the same recount (ADVICE r9;
+version-keyed rather than count-keyed, and manifest-less orphan data
+files are adopted into committed state first, per ADVICE r10 — see
+``_save_counts_sync``).  Compaction triggers on row growth OR append
+count, so small-file accumulation is bounded even when batches are
+tiny relative to the bucket population.  The invariant (per-bucket SUM
+of the log == GROUP BY over the incidence list) is asserted by
 ``tests/test_corpus_counts.py`` after multiple batches, crashes, and
 compactions.
 """
@@ -132,6 +137,13 @@ def _recount_buckets(bands: DataFrame) -> DataFrame:
 #: compaction.  Each bucket row is then rewritten once per ~3x log
 #: growth — amortized O(1) write cost per appended delta row.
 _COUNTS_COMPACT_FACTOR = 4
+#: Secondary compaction trigger (ADVICE r10): compact after this many
+#: APPENDS since the last compaction regardless of row growth.  Each
+#: append adds a parquet file-set + commit manifest, so many small
+#: batches over a large bucket population would otherwise accumulate
+#: thousands of small files before the row-factor trigger ever fires;
+#: this bounds file/manifest count independently of row count.
+_COUNTS_COMPACT_APPENDS = 32
 
 
 def _counts_sync_path(store: TableStore) -> str:
@@ -148,21 +160,35 @@ def _load_counts_sync(store: TableStore) -> dict | None:
         return None
 
 
-def _save_counts_sync(store: TableStore, base_rows: int) -> None:
-    """Record (a) the BANDS row count the COUNTS log reflects and
-    (b) the log size at the last compaction (compaction-trigger
-    baseline).  Written AFTER the COUNTS append/compaction it
+def _save_counts_sync(
+    store: TableStore, base_rows: int, appends: int = 0
+) -> None:
+    """Record (a) the committed BANDS version the COUNTS log reflects,
+    (b) the log size at the last compaction (row-factor trigger
+    baseline) and (c) appends since that compaction (file-count
+    trigger).  Written AFTER the COUNTS append/compaction it
     describes, so any crash window leaves the sidecar STALE and the
     next ``_ensure_bucket_counts`` self-heals by recount (ADVICE r9:
     a crash between the BANDS append and the counts bookkeeping used
-    to understate the cap forever with no self-heal)."""
+    to understate the cap forever with no self-heal).
+
+    The sync key is ``store.current_version(BANDS)`` — COMMITTED
+    state — not the meta-sidecar row count (ADVICE r10): the count
+    answers from a sidecar written after the parquet job commits, so
+    a crash in between leaves orphan data files that ``read()`` sees
+    but ``count()`` does not, and a count-keyed check would pass while
+    the counts-vs-incidence invariant silently broke.  Versions only
+    advance on a durable manifest commit, and ``_ensure_bucket_counts``
+    separately adopts any manifest-less orphan files (which itself
+    advances the version and forces the recount)."""
     import json
 
     with open(_counts_sync_path(store), "w") as f:
         json.dump(
             {
-                "bands_rows": store.count(BANDS),
+                "bands_version": store.current_version(BANDS),
                 "base_rows": int(base_rows),
+                "appends": int(appends),
             },
             f,
         )
@@ -184,17 +210,26 @@ def _ensure_bucket_counts(store: TableStore) -> None:
       list and persist — must run before any append the recount should
       not include (call order in ``ingest_batch`` guarantees it);
     * stale log (ADVICE r9 self-heal): the sync sidecar records which
-      BANDS row count the log reflects; a crash between the BANDS
-      append and the counts bookkeeping leaves them out of sync, so a
-      sidecar/meta mismatch (both O(1) reads) triggers the same
-      recount instead of silently understating the cap forever."""
+      committed BANDS version the log reflects; a crash between the
+      BANDS append and the counts bookkeeping leaves them out of sync,
+      so a sidecar/manifest mismatch (both O(1) metadata reads)
+      triggers the same recount instead of silently understating the
+      cap forever;
+    * orphaned data files (ADVICE r10, the narrower crash class): a
+      crash BETWEEN the BANDS parquet job commit and its manifest
+      write leaves files that ``read()`` sees but committed state does
+      not — neither a count- nor a version-keyed check alone would
+      notice.  ``adopt_uncommitted`` folds them into committed state
+      first (advancing the version), so the version check below then
+      forces the recount and both sides see the same rows again."""
     if not store.exists(BANDS):
         return
+    store.adopt_uncommitted(BANDS)
     sync = _load_counts_sync(store)
     if (
         store.exists(COUNTS)
         and sync is not None
-        and sync.get("bands_rows") == store.count(BANDS)
+        and sync.get("bands_version") == store.current_version(BANDS)
     ):
         return
     compacted = _recount_buckets(store.read(BANDS))
@@ -222,18 +257,29 @@ def _add_bucket_counts(store: TableStore, new_bands: DataFrame) -> None:
     partition pruning never engages — the delta log is what actually
     makes the per-batch write cost flat in corpus size.)"""
     delta = _recount_buckets(new_bands)
-    if store.exists(COUNTS):
-        store.append(COUNTS, delta)
-    else:
-        store.overwrite(COUNTS, delta)
+    if not store.exists(COUNTS):
+        # first-ever batch: the freshly written table IS its own
+        # compaction (one row per bucket) — record it as the baseline
+        # and skip the trigger check (ADVICE r10: defaulting base to 1
+        # made any >4-bucket first batch immediately rewrite the table
+        # it just wrote, a no-op compaction on every fresh store)
+        n = store.overwrite(COUNTS, delta)
+        _save_counts_sync(store, base_rows=n)
+        return
+    store.append(COUNTS, delta)
     sync = _load_counts_sync(store) or {}
     base = max(int(sync.get("base_rows", 0)), 1)
+    appends = int(sync.get("appends", 0)) + 1
     log_rows = store.count(COUNTS)
-    if log_rows > _COUNTS_COMPACT_FACTOR * base:
+    if (
+        log_rows > _COUNTS_COMPACT_FACTOR * base
+        or appends >= _COUNTS_COMPACT_APPENDS
+    ):
         base = store.overwrite(COUNTS, _stored_bucket_counts(store))
+        appends = 0
     else:
         base = sync.get("base_rows", log_rows)
-    _save_counts_sync(store, base_rows=base)
+    _save_counts_sync(store, base_rows=base, appends=appends)
 
 
 def ingest_batch(

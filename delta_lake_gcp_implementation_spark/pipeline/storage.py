@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -304,6 +305,47 @@ class TableStore:
         mutation's ``expected_version`` for full OCC."""
         latest = self._latest_manifest(name)
         return latest["version"] if latest else 0
+
+    def uncommitted_files(self, name: str) -> list[str]:
+        """Data files present in the live dir but absent from the
+        latest manifest's file list — the residue of a write whose
+        parquet job committed but whose manifest never landed (crash
+        between ``_write_counted`` and ``_commit``).  Plain-parquet
+        ``read()`` SEES these rows while ``count()``/``versions()`` do
+        not, so downstream bookkeeping keyed on committed state
+        silently diverges from what readers observe (ADVICE r10).
+        O(directory listing); no data scan.  A table with files but no
+        manifest at all reports every file (pre-manifest legacy
+        layout)."""
+        self._heal(name)
+        if not self.exists(name):
+            return []
+        latest = self._latest_manifest(name)
+        committed = set(latest["files"]) if latest else set()
+        return [
+            f
+            for f in self._list_data_files(self.path(name))
+            if f not in committed
+        ]
+
+    def adopt_uncommitted(self, name: str) -> bool:
+        """Crash repair: fold orphaned (job-committed, manifest-less)
+        data files into the table's committed state by committing one
+        ``adopt`` manifest over the directory as it stands, with a
+        freshly scanned row count.  The orphan rows were produced by
+        THIS table's own crashed append — the data is real, only the
+        metadata transaction was lost — so adoption (not deletion) is
+        the lossless repair, after which committed state and
+        ``read()`` agree again.  Returns True when anything was
+        adopted.  Metadata-only except for the one counting scan, and
+        only ever taken on a crash-recovery path."""
+        orphans = self.uncommitted_files(name)
+        if not orphans:
+            return False
+        n = self.read(name).count()
+        self._save_count(name, n)
+        self._commit(name, "adopt", n, new_lineage=False)
+        return True
 
     @staticmethod
     def _txn_sidecars(table_dir: str) -> dict[str, int]:
@@ -773,10 +815,12 @@ class TableStore:
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
         """Delta-VACUUM analog: remove orphaned artifacts under the
         store root — staging dirs left by a crashed ``_replace`` (the
-        swap never ran) and meta sidecars whose table dir is gone.
-        Live tables are never touched: staging dirs are only ever
-        *renamed into place* on success, so any ``.__stage__`` dir that
-        still exists is by definition abandoned.
+        swap never ran) and ``<table>.__*__.json`` sidecars (meta row
+        counts, corpus counts-sync markers, any future sidecar kind)
+        whose table dir is gone.  Live tables are never touched:
+        staging dirs are only ever *renamed into place* on success, so
+        any ``.__stage__`` dir that still exists is by definition
+        abandoned.
 
         ``retain_versions=k`` additionally expires history: for every
         table, manifests older than the newest ``k`` are dropped and
@@ -790,9 +834,14 @@ class TableStore:
             if ".__stage__" in entry and os.path.isdir(full):
                 shutil.rmtree(full)
                 removed.append(full)
-            elif entry.endswith(".__meta__.json"):
-                table_dir = full[: -len(".__meta__.json")]
-                if not os.path.isdir(table_dir):
+            else:
+                # any "<table>.__<kind>__.json" sidecar (meta row
+                # counts, corpus .__sync__.json, ...) orphaned by its
+                # table dir's removal (ADVICE r10: the sweep used to
+                # know only .__meta__.json and left .__sync__.json
+                # behind when a corpus store root was replaced)
+                m = re.fullmatch(r"(.+)\.__\w+__\.json", entry)
+                if m and not os.path.isdir(os.path.join(self.root, m.group(1))):
                     os.remove(full)
                     removed.append(full)
         if retain_versions is not None and retain_versions >= 1:

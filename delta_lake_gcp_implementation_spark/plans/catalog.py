@@ -41,6 +41,7 @@ from ..operators import curation as OCUR
 from ..operators import dedup as ODED
 from ..operators import joins as OJ
 from ..operators import sizing as OSZ
+from ..pipeline import corpus as PCORP
 
 
 @dataclass(frozen=True)
@@ -242,11 +243,17 @@ _SPECS: dict[str, QuerySpec] = {
     # extra_sources: the builder delegates ALL drop logic to the
     # pipeline (r8 lesson — the hot-bucket cap edit was only caught by
     # its oracle half; a Spark-side-only edit to ingest_batch or the
-    # dedup primitives it composes must flip the hash too)
+    # dedup primitives it composes must flip the hash too).  The
+    # counts-log helpers are listed since r11: the hot-bucket cap
+    # decision READS the counts table they maintain, so a bookkeeping
+    # edit can change verdicts and must re-verify.
     "corpus_ingest_verdict": QuerySpec(
         CQ.q_corpus_ingest_verdict, CQ.ORACLE_CORPUS_INGEST_VERDICT,
         extra_sources=(
             CQ.ingest_batch,
+            PCORP._ensure_bucket_counts,
+            PCORP._add_bucket_counts,
+            PCORP._save_counts_sync,
             ODED.char_shingles,
             ODED.minhash_signatures,
             ODED.minhash_band_incidence,

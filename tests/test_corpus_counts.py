@@ -153,6 +153,62 @@ def test_crash_between_bands_append_and_counts_self_heals(spark, store):
     assert _counts_rows(store) == _recount_rows(store)  # healed
 
 
+def test_orphan_bands_files_adopted_and_healed(spark, store):
+    """ADVICE r10 (the narrower crash class): a crash BETWEEN the BANDS
+    parquet job commit and its manifest/meta writes leaves orphan data
+    files that ``read()`` sees but committed state does not — the old
+    count-keyed sidecar check passed right through that state.  The
+    version-keyed check plus ``adopt_uncommitted`` must detect it and
+    recount on the next ingest."""
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B)]))
+    sigs = corpus._signatures(
+        _df(spark, [(99, C)]), "doc_id", "text"
+    ).localCheckpoint()
+    bands = dedup_ops.minhash_band_incidence(
+        sigs, "doc_id", n_hashes=corpus.MH_N, band_size=corpus.MH_BAND
+    )
+    # raw spark append: parquet files land, NO meta update, NO manifest
+    bands.write.mode("append").parquet(store.path(corpus.BANDS))
+    spark.catalog.refreshByPath(store.path(corpus.BANDS))
+    # the old check's exact blind spot: sidecar vs committed state
+    # still agree, yet read() diverges from the counts log
+    assert store.uncommitted_files(corpus.BANDS) != []
+    assert _counts_rows(store) != _recount_rows(store)  # broken state
+    corpus.ingest_batch(store, _df(spark, [(11, D)]))
+    assert store.uncommitted_files(corpus.BANDS) == []
+    assert _counts_rows(store) == _recount_rows(store)  # healed
+
+
+def test_first_batch_skips_noop_compaction(spark, store):
+    """ADVICE r10: with no sync sidecar, base defaulted to 1, so any
+    first batch with >4 buckets immediately rewrote the COUNTS table it
+    had just created.  The creating overwrite must now be the ONLY
+    commit, with the baseline recorded at the written row count."""
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B), (3, C)]))
+    assert store.count(corpus.COUNTS) > corpus._COUNTS_COMPACT_FACTOR
+    assert store.current_version(corpus.COUNTS) == 1  # one commit only
+    sync = corpus._load_counts_sync(store)
+    assert sync["base_rows"] == store.count(corpus.COUNTS)
+    assert sync["appends"] == 0
+
+
+def test_counts_log_compacts_on_append_count(spark, store, monkeypatch):
+    """ADVICE r10: many tiny batches over a large bucket population
+    accumulate a parquet file-set + manifest per append long before the
+    row-factor trigger fires; the append-count trigger bounds that."""
+    corpus.ingest_batch(store, _df(spark, [(1, A)]))
+    monkeypatch.setattr(corpus, "_COUNTS_COMPACT_APPENDS", 1)
+    corpus.ingest_batch(store, _df(spark, [(11, B)]))
+    # row factor (4x) is nowhere near exceeded by two similar batches,
+    # so only the append-count trigger explains a compacted log
+    distinct_buckets = (
+        store.read(corpus.COUNTS).select("bucket").distinct().count()
+    )
+    assert store.count(corpus.COUNTS) == distinct_buckets
+    assert _counts_rows(store) == _recount_rows(store)
+    assert corpus._load_counts_sync(store)["appends"] == 0
+
+
 def test_counts_log_appends_then_compacts(spark, store, monkeypatch):
     """Per-batch bookkeeping must APPEND delta rows (no table rewrite);
     once the log outgrows the compaction factor it collapses back to

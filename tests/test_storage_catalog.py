@@ -281,11 +281,48 @@ def test_vacuum_removes_only_orphans(spark, store):
     orphan_meta = store._meta_path("bronze.gone_table")
     with open(orphan_meta, "w") as f:
         f.write('{"row_count": 5}')
+    # ADVICE r10: non-meta sidecar kinds (the corpus counts-sync
+    # marker) must be swept too when their table dir is gone
+    orphan_sync = store.path("bronze.gone_table") + ".__sync__.json"
+    with open(orphan_sync, "w") as f:
+        f.write('{"bands_version": 3}')
+    live_sync = store.path("bronze.vac_probe") + ".__sync__.json"
+    with open(live_sync, "w") as f:
+        f.write('{"bands_version": 1}')
     removed = store.vacuum()
     assert stale_stage in removed and orphan_meta in removed
-    # live table, its sidecar, and its data are untouched
+    assert orphan_sync in removed
+    # live table, its sidecars, and its data are untouched
     assert store.count("bronze.vac_probe") == 1
     assert os.path.exists(store._meta_path("bronze.vac_probe"))
+    assert os.path.exists(live_sync)
+
+
+def test_adopt_uncommitted_folds_orphan_files_into_committed_state(
+    spark, store
+):
+    """Crash window between a write's parquet job commit and its
+    manifest write (ADVICE r10): ``read()`` sees the orphan rows while
+    committed state (``count``/``current_version``) does not.
+    ``adopt_uncommitted`` commits the directory as it stands so both
+    sides agree again."""
+    name = "bronze.adopt_probe"
+    store.overwrite(name, spark.createDataFrame([(1,), (2,)], ["k"]))
+    assert store.uncommitted_files(name) == []
+    assert store.adopt_uncommitted(name) is False  # no-op when clean
+    v0 = store.current_version(name)
+    # simulate the crash: raw spark append, no meta, no manifest
+    spark.createDataFrame([(3,)], ["k"]).write.mode("append").parquet(
+        store.path(name)
+    )
+    spark.catalog.refreshByPath(store.path(name))
+    assert store.read(name).count() == 3
+    assert store.count(name) == 2  # committed state lags
+    assert store.uncommitted_files(name) != []
+    assert store.adopt_uncommitted(name) is True
+    assert store.uncommitted_files(name) == []
+    assert store.current_version(name) == v0 + 1
+    assert store.count(name) == 3 == store.read(name).count()
 
 
 # ------------------------------------------------------- quadratic guard
