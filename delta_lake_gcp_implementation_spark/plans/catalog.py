@@ -278,6 +278,14 @@ _SPECS: dict[str, QuerySpec] = {
     "winnowing_containment": QuerySpec(
         X.q_winnowing_containment, X.ORACLE_WINNOWING_CONTAINMENT
     ),
+    # exact >=k-token substring dedup (Lee et al. ExactSubstr) — the
+    # within-document duplicated-run detector none of the other dedup
+    # families reproduce (r10 verdict item 3)
+    "substring_dedup": QuerySpec(
+        X.q_substring_dedup,
+        X.ORACLE_SUBSTRING_DEDUP,
+        extra_sources=(ODED.substring_dup_positions,),
+    ),
     "dup_ngram_fraction": QuerySpec(
         X.q_dup_ngram_fraction, X.ORACLE_DUP_NGRAM_FRACTION
     ),

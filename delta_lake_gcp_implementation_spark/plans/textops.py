@@ -1863,6 +1863,113 @@ GROUP BY doc_id
 """
 
 
+#: exact-substring dedup knobs: gram width in tokens (Lee et al. use a
+#: 50-token minimum at corpus scale; 8 keeps sf-test documents in
+#: range) and the drop verdict's minimum duplicated-run length.
+_SUBSTR_K = 8
+_SUBSTR_MIN_RUN = 20
+
+
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact >=k-token substring dedup verdict (Lee et al.'s
+    ExactSubstr, arXiv:2107.06499) — the one production dedup pass the
+    set-based (MinHash/Jaccard), bit-sampled (SimHash), fingerprint
+    (winnowing/CDC), embedding (SemDeDup) and block (chunk_dedup)
+    families all miss: literal >=k-token spans repeated verbatim
+    anywhere in the corpus, localized WITHIN each document.  Per
+    document: gram-position counts, the maximal duplicated runs
+    (gaps-and-islands over flagged positions — each run of g
+    consecutive flagged starts is a duplicated substring of g+k-1
+    tokens), and a drop verdict for any run of >= 20 tokens.
+
+    Scale shape: one corpus scan into a fixed-width (doc, pos, hash)
+    frame, one map-side-combined occurrence agg, one hash equi-join
+    back (all inside :func:`...operators.dedup.substring_dup_positions`,
+    checkpointed), then one per-doc window + two per-doc aggs over the
+    checkpointed flag frame.  Linear in corpus tokens; no pair join
+    exists to cap.
+    """
+    from ..operators import dedup as dedup_ops
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    flagged = dedup_ops.substring_dup_positions(
+        d, "text", "doc_id", k=_SUBSTR_K
+    ).localCheckpoint()  # feeds the run window AND the per-doc totals
+    runs = (
+        flagged.filter(F.col("is_dup"))
+        .withColumn(
+            "g",
+            F.col("p")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("run_grams"))
+    )
+    per_run = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("run_grams").cast("bigint").alias("n_dup_grams"),
+        (F.max("run_grams") + F.lit(_SUBSTR_K - 1))
+        .cast("bigint")
+        .alias("max_run_tokens"),
+    )
+    totals = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    return totals.join(per_run, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("n_runs", F.lit(0)).cast("bigint").alias("n_runs"),
+        F.coalesce("max_run_tokens", F.lit(0))
+        .cast("bigint")
+        .alias("max_run_tokens"),
+        (F.coalesce("max_run_tokens", F.lit(0)) >= _SUBSTR_MIN_RUN).alias(
+            "drop_candidate"
+        ),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH tl AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+    FROM documents WHERE trim(text) <> ''
+), b AS (
+    SELECT doc_id, t FROM tl WHERE len(t) >= {_SUBSTR_K}
+), pos AS (
+    SELECT doc_id, CAST(s AS BIGINT) AS p,
+           ('0x' || substr(md5(array_to_string(
+                t[CAST(s AS INT) + 1 : CAST(s AS INT) + {_SUBSTR_K}], ' ')),
+                1, 15))::BIGINT AS gh
+    FROM b, unnest(range(0, len(t) - {_SUBSTR_K} + 1)) AS u(s)
+), occ AS (
+    SELECT gh, count(*) AS n_occ FROM pos GROUP BY gh
+), flagged AS (
+    SELECT doc_id, p FROM pos JOIN occ USING (gh) WHERE n_occ >= 2
+), grouped AS (
+    SELECT doc_id, p,
+           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+    FROM flagged
+), runs AS (
+    SELECT doc_id, count(*) AS run_grams FROM grouped GROUP BY doc_id, g
+), per_run AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(run_grams) AS BIGINT) AS n_dup_grams,
+           CAST(max(run_grams) + {_SUBSTR_K - 1} AS BIGINT) AS max_run_tokens
+    FROM runs GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM pos GROUP BY doc_id
+)
+SELECT totals.doc_id, n_grams,
+       CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(coalesce(max_run_tokens, 0) AS BIGINT) AS max_run_tokens,
+       coalesce(max_run_tokens, 0) >= {_SUBSTR_MIN_RUN} AS drop_candidate
+FROM totals LEFT JOIN per_run ON totals.doc_id = per_run.doc_id
+"""
+
+
 def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     """Unigram language-model surprisal — the KenLM-style perplexity
     quality filter reduced to exact integer arithmetic.  Token

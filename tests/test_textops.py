@@ -1098,3 +1098,78 @@ def test_repeat_purchase_interval_matches_manual(spark, sf_dir):
         assert got[s].min_gap_days == min(g)
         assert abs(got[s].avg_gap_days - sum(g) / len(g)) < 1e-12
     assert set(got) == set(gaps)
+
+
+def test_substring_dup_positions_flags_shared_and_intra_doc_runs(spark):
+    """ExactSubstr semantics (Lee et al.): a 10-token span shared by
+    two docs flags exactly its 3 fully-contained 8-gram start
+    positions in EACH doc; a gram repeated twice INSIDE one doc is
+    flagged too (the paper counts any second occurrence); docs under
+    k tokens produce no positions at all."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rep = " ".join(f"r{i}" for i in range(8))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + shared + " "
+            + " ".join(f"b{i}" for i in range(5))),
+        (2, " ".join(f"c{i}" for i in range(5)) + " " + shared + " "
+            + " ".join(f"d{i}" for i in range(5))),
+        (3, rep + " z " + rep),
+        (4, "one two three"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flagged = dedup_ops.substring_dup_positions(df, "text", "doc_id", k=8)
+    got = {
+        (r.doc_id, r.p): r.is_dup for r in flagged.collect()
+    }
+    # docs 1/2: 20 tokens -> positions 0..12; only 5,6,7 lie fully
+    # inside the shared span
+    for doc in (1, 2):
+        assert {p for (d, p) in got if d == doc} == set(range(13))
+        assert {p for (d, p), v in got.items() if d == doc and v} == {5, 6, 7}
+    # doc 3: r0..r7 z r0..r7 -> positions 0..9; the identical grams at
+    # 0 and 9 are mutual duplicates (intra-doc rule), nothing else
+    assert {p for (d, p), v in got.items() if d == 3 and v} == {0, 9}
+    # doc 4: under k tokens -> no gram positions at all
+    assert not any(d == 4 for (d, _) in got)
+    # xxhash64 production knob flags the identical position set
+    fast = dedup_ops.substring_dup_positions(
+        df, "text", "doc_id", k=8, algo="xxhash64"
+    )
+    assert {(r.doc_id, r.p): r.is_dup for r in fast.collect()} == got
+
+
+def test_substring_dedup_run_stats(spark, tmp_path):
+    """The catalog plan's gaps-and-islands math: a run of g consecutive
+    flagged positions reports a duplicated substring of g+k-1 tokens,
+    exact-duplicate docs report a full-length run and trip the drop
+    verdict."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    full = " ".join(f"f{i}" for i in range(25))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(5)) + " " + shared + " "
+            + " ".join(f"b{i}" for i in range(5))),
+        (2, " ".join(f"c{i}" for i in range(5)) + " " + shared + " "
+            + " ".join(f"d{i}" for i in range(5))),
+        (3, full),
+        (4, full),
+        (5, " ".join(f"u{i}" for i in range(12))),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in X.q_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for doc in (1, 2):  # one 10-token run = 3 grams at k=8
+        r = got[doc]
+        assert (r.n_grams, r.n_dup_grams, r.n_runs) == (13, 3, 1)
+        assert r.max_run_tokens == 10 and not r.drop_candidate
+    for doc in (3, 4):  # exact dup: every gram flagged, full-length run
+        r = got[doc]
+        assert (r.n_grams, r.n_dup_grams, r.n_runs) == (18, 18, 1)
+        assert r.max_run_tokens == 25 and r.drop_candidate
+    r = got[5]  # wholly unique doc
+    assert (r.n_dup_grams, r.n_runs, r.max_run_tokens) == (0, 0, 0)
+    assert not r.drop_candidate
