@@ -42,6 +42,7 @@ from ..operators import dedup as ODED
 from ..operators import joins as OJ
 from ..operators import sizing as OSZ
 from ..pipeline import corpus as PCORP
+from ..pipeline import maintenance as PMAINT
 
 
 @dataclass(frozen=True)
@@ -378,6 +379,15 @@ _SPECS: dict[str, QuerySpec] = {
     "two_phase_skew_agg": QuerySpec(
         R.q_two_phase_skew_agg, R.ORACLE_TWO_PHASE_SKEW_AGG,
         extra_sources=(OJ.two_phase_aggregate,),
+    ),
+    # incremental materialized-view maintenance demonstrated in an
+    # oracle-checked plan: three real delta folds through the
+    # TableStore upsert path vs a from-scratch GROUP BY (r10 verdict
+    # item 6)
+    "incremental_rollup_verdict": QuerySpec(
+        R.q_incremental_rollup_verdict,
+        R.ORACLE_INCREMENTAL_ROLLUP_VERDICT,
+        extra_sources=(PMAINT.refresh_agg_incremental,),
     ),
     "above_avg_spenders": QuerySpec(
         R.q_above_avg_spenders, R.ORACLE_ABOVE_AVG_SPENDERS

@@ -4354,3 +4354,71 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def q_incremental_rollup_verdict(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance, demonstrated in
+    an oracle-checked plan (r10 verdict item 6): fold the orders table
+    into a stored per-customer SUM/COUNT rollup as THREE append-only
+    delta batches through
+    :func:`..pipeline.maintenance.refresh_agg_incremental` (the Delta
+    Live Tables / Materialize additive-view pattern — each fold costs
+    O(delta + touched keys), never O(base)), then return the persisted
+    rollup.  The DuckDB oracle recomputes the rollup from scratch with
+    one GROUP BY, so a green row IS the incremental-vs-full-recompute
+    equivalence, end-to-end through the real TableStore upsert path.
+
+    Money folds as exact integer cents (associative, shuffle-order- and
+    batch-order-proof), per the module header's cross-engine money
+    rule.  Same throwaway-store device as ``corpus_ingest_verdict``:
+    the verdict frame is localCheckpoint-materialized before the store
+    root is deleted."""
+    import shutil
+    import tempfile
+
+    from ..pipeline.maintenance import refresh_agg_incremental
+    from ..pipeline.storage import TableStore
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("sum_price_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="rollup_verdict_")
+    try:
+        store = TableStore(spark, root)
+        for b in range(3):
+            refresh_agg_incremental(
+                store,
+                "gold.cust_rollup",
+                orders.filter(F.col("o_orderkey") % 3 == b).select(
+                    "o_custkey", "sum_price_cents"
+                ),
+                keys=["o_custkey"],
+                sum_cols=["sum_price_cents"],
+            )
+        return (
+            store.read("gold.cust_rollup")
+            .select(
+                "o_custkey",
+                F.col("sum_price_cents").cast("bigint").alias(
+                    "sum_price_cents"
+                ),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE_INCREMENTAL_ROLLUP_VERDICT = """
+SELECT o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY o_custkey
+"""

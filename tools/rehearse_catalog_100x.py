@@ -29,6 +29,64 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+#: sf0.1 dir whose eval-shaped side inputs stay PINNED while the corpus
+#: scales (see _pinned_builders below).
+SF01_DIR = "/root/testdata/sf0.1"
+
+
+def _pinned_builders() -> dict:
+    """Keys whose catalog definition derives an EVAL-SHAPED side input
+    from the same scaled table, so the naive sweep scales that side
+    input 100x too and measures a benchmark-construction artifact
+    instead of the production regime (r10 verdict item 2 — the
+    committed contamination_check row was a 300 s TIMEOUT while the
+    fixed-eval rehearsal measures the real shape linear: 1.8/3.2/31 s
+    at 1x/10x/100x corpus).  Each entry returns (builder, note): the
+    builder runs the PRODUCTION regime — side input pinned at the
+    sf0.1 catalog split, corpus from the scaled dir — and the note is
+    written into the artifact row so the measurement is explained
+    in-place rather than in BENCH_NOTES prose."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_gcp_implementation_spark.operators import (
+        curation as cur_ops,
+    )
+    from delta_lake_gcp_implementation_spark.plans.curation import (
+        CONTAM_EVAL_MOD,
+        CONTAM_K,
+        CONTAM_THRESHOLD,
+    )
+
+    def contamination_fixed_eval(spark, sf100):
+        eval_set = (
+            spark.read.parquet(f"{SF01_DIR}/documents.parquet")
+            .filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+            .select("doc_id", "text")
+            .localCheckpoint()
+        )
+        corpus = (
+            spark.read.parquet(f"{sf100}/documents.parquet")
+            .filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+            .select("doc_id", "text")
+        )
+        return cur_ops.contamination_pairs(
+            corpus, eval_set, "text", "doc_id", CONTAM_K, CONTAM_THRESHOLD
+        )
+
+    return {
+        "contamination_check": (
+            contamination_fixed_eval,
+            "eval set pinned at the sf0.1 catalog split (fixed benchmark "
+            "regime, operators/curation.py contamination_pairs); the "
+            "catalog definition derives eval from the scaled table, which "
+            "grows the candidate space quadratically with the sweep — a "
+            "benchmark-construction artifact, not a scale defect "
+            "(tools/rehearse_contam_fixed_eval.py measures the step "
+            "linearity)",
+        ),
+    }
+
+
 def main() -> None:
     sf100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rehearse_100x.jsonl"
@@ -36,6 +94,8 @@ def main() -> None:
 
     from delta_lake_gcp_implementation_spark.plans import CATALOG
     from delta_lake_gcp_implementation_spark.session import get_spark
+
+    pinned = _pinned_builders()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import glob
@@ -65,6 +125,9 @@ def main() -> None:
             if key in done:
                 continue
             rec: dict = {"key": key, "sf01_s": sf01.get(key)}
+            builder = CATALOG[key].builder
+            if key in pinned:
+                builder, rec["note"] = pinned[key]
             sc.setJobGroup(key, f"100x rehearsal {key}", True)
             cancel = threading.Timer(
                 budget_s, lambda: sc.cancelJobGroup(key)
@@ -72,7 +135,7 @@ def main() -> None:
             cancel.start()
             t0 = time.perf_counter()
             try:
-                rec["rows"] = CATALOG[key].builder(spark, sf100).count()
+                rec["rows"] = builder(spark, sf100).count()
                 rec["s100x"] = round(time.perf_counter() - t0, 2)
                 if sf01.get(key):
                     rec["factor"] = round(rec["s100x"] / sf01[key], 1)
