@@ -6,14 +6,24 @@ tables from ``gen_scale_rel.py``.
 
 Usage:
     python tools/gen_scale_rel.py /tmp/sfrel100 100   # once
-    python tools/rehearse_pipeline.py [n_rows] [rel_dir]
+    python tools/rehearse_pipeline.py [n_rows] [rel_dir] [out_jsonl] [label]
 
 Prints one wall-time line per stage; factors vs the sf0.1/90k bench
 row are the scale verdict (linear = factor <= data growth).
+
+With ``out_jsonl``/``label`` set, each stage also appends a JSON row
+``{"stage", "scale", "rows_per_day", "s"}`` so the pipeline-scale
+claims live in a committed artifact (``BENCH_PIPELINE_100X_r{N}.jsonl``)
+checkable like the catalog-scale sweep, not only in BENCH_NOTES prose
+(r10 verdict item 7).  Run once per scale:
+
+    python tools/rehearse_pipeline.py 90000   /root/testdata/sf0.1 out.jsonl 1x
+    python tools/rehearse_pipeline.py 9000000 /tmp/sfrel100        out.jsonl 100x
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import tempfile
@@ -34,6 +44,8 @@ REL_QUERIES = [
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 9_000_000
     rel_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfrel100"
+    out_jsonl = sys.argv[3] if len(sys.argv) > 3 else None
+    scale_label = sys.argv[4] if len(sys.argv) > 4 else None
 
     from delta_lake_gcp_implementation_spark.pipeline import (
         fixtures,
@@ -47,16 +59,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     medallion.RESULT_JSON_ENABLED = False
 
+    def record(stage: str, secs: float) -> None:
+        print(f"{stage}: {secs:.1f}s", flush=True)
+        if out_jsonl:
+            with open(out_jsonl, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "stage": stage,
+                            "scale": scale_label,
+                            "rows_per_day": n_rows,
+                            "s": round(secs, 1),
+                        }
+                    )
+                    + "\n"
+                )
+
     def clock(label: str, fn) -> None:
         t0 = time.perf_counter()
         fn()
-        print(f"{label}: {time.perf_counter() - t0:.1f}s", flush=True)
+        record(label, time.perf_counter() - t0)
 
     with tempfile.TemporaryDirectory() as tmp:
         store = TableStore(spark, tmp)
         raw = fixtures.generate_day_spark(spark, 1, n_rows)
         clock(
-            f"medallion_incremental_{n_rows}",
+            "medallion_incremental",
             lambda: medallion.run_incremental(store, raw),
         )
         raw2 = fixtures.generate_day_spark(spark, 2, n_rows)
@@ -106,7 +134,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
-            print(f"{name}: {best:.1f}s", flush=True)
+            record(name, best)
     else:
         print(f"(skipping relational queries: {rel_dir} missing)")
     spark.stop()
