@@ -392,3 +392,75 @@ def test_second_wave_doc_queries_match_duckdb_fuzz(spark, texts):
             "token_pagerank",
         ],
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet=_DOC_ALPHABET, min_size=0, max_size=40),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_substring_dedup_matches_duckdb_fuzz(spark, texts):
+    """Cross-engine parity for the r11 ExactSubstr key on adversarial
+    corpora: sub-k-token and empty docs (excluded on both sides), mixed
+    whitespace classes, plus a guaranteed long exact-duplicate pair
+    (the fuzz texts joined, twice) so maximal runs actually form."""
+    joined = " ".join(texts)
+    texts = list(texts) + [joined, joined]
+    _fuzz_docs_compare(spark, texts, ["substring_dedup"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_substring_dup_positions_match_python_reference(spark, docs):
+    """Independent-of-both-engines reference: with a tiny 4-token
+    alphabet and k=3, duplicated grams are common, so the flagged
+    position set is checked against a brute-force Python dict count —
+    guarding against a construction bug both the Spark plan and its
+    DuckDB oracle could share."""
+    from collections import Counter
+
+    from delta_lake_gcp_implementation_spark.operators import (
+        dedup as dedup_ops,
+    )
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.p): r.is_dup
+        for r in dedup_ops.substring_dup_positions(
+            df, "text", "doc_id", k=k
+        ).collect()
+    }
+    occ = Counter(
+        tuple(toks[p : p + k])
+        for toks in docs
+        for p in range(len(toks) - k + 1)
+    )
+    want = {
+        (i, p): occ[tuple(toks[p : p + k])] >= 2
+        for i, toks in enumerate(docs)
+        for p in range(len(toks) - k + 1)
+    }
+    assert got == want
