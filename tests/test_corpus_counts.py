@@ -227,3 +227,23 @@ def test_counts_log_appends_then_compacts(spark, store, monkeypatch):
     )
     assert store.count(corpus.COUNTS) == distinct_buckets  # compacted
     assert _counts_rows(store) == _recount_rows(store)
+
+
+def test_missing_sync_sidecar_forces_recount(spark, store):
+    """A deleted/lost sync sidecar (e.g. a pre-sidecar store, or a
+    partial restore) must force a recount on the next ingest rather
+    than trusting the existing COUNTS log blindly."""
+    import os
+
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B)]))
+    os.remove(corpus._counts_sync_path(store))
+    # poison the log so only a recount can restore the invariant
+    store.append(
+        corpus.COUNTS,
+        store.read(corpus.COUNTS).limit(1).select(
+            "bucket", (F.col("n_docs") + 500).cast("bigint").alias("n_docs")
+        ),
+    )
+    assert _counts_rows(store) != _recount_rows(store)
+    corpus.ingest_batch(store, _df(spark, [(11, C)]))
+    assert _counts_rows(store) == _recount_rows(store)
