@@ -41,6 +41,7 @@ from ..operators import curation as OCUR
 from ..operators import dedup as ODED
 from ..operators import joins as OJ
 from ..operators import sizing as OSZ
+from ..operators import windows as OWIN
 from ..pipeline import corpus as PCORP
 from ..pipeline import maintenance as PMAINT
 
@@ -388,6 +389,14 @@ _SPECS: dict[str, QuerySpec] = {
         R.q_incremental_rollup_verdict,
         R.ORACLE_INCREMENTAL_ROLLUP_VERDICT,
         extra_sources=(PMAINT.refresh_agg_incremental,),
+    ),
+    # W3 verdict: countDistinct over BOTH surrogate-key strategies vs
+    # count(*) — proves monotonically_increasing_id global uniqueness
+    # and full dense-window coverage (r10 verdict item 6, second half)
+    "scalable_keys_verdict": QuerySpec(
+        R.q_scalable_keys_verdict,
+        R.ORACLE_SCALABLE_KEYS_VERDICT,
+        extra_sources=(OWIN.scalable_keys, OWIN.surrogate_keys),
     ),
     "above_avg_spenders": QuerySpec(
         R.q_above_avg_spenders, R.ORACLE_ABOVE_AVG_SPENDERS

@@ -4422,3 +4422,36 @@ SELECT o_custkey,
 FROM orders
 GROUP BY o_custkey
 """
+
+
+def q_scalable_keys_verdict(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 verdict: both surrogate-key strategies really assign one
+    globally unique key per row (``gold_dim_customer_scd2.py:79``).
+
+    Per market segment we compare ``count(*)`` against
+    ``countDistinct`` of (a) ``scalable_keys`` —
+    ``monotonically_increasing_id``, the shuffle-free 100 TB path —
+    and (b) ``surrogate_keys`` — the reference's dense single-window
+    ints.  The oracle is ``count(*)`` three ways, so the hash matches
+    iff both strategies were collision-free over every row.
+    """
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    keyed = win_ops.scalable_keys(
+        win_ops.surrogate_keys(c, order_by=["c_custkey"], key_col="dense_key"),
+        key_col="scalable_key",
+    )
+    return keyed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("scalable_key").cast("bigint").alias("n_scalable"),
+        F.countDistinct("dense_key").cast("bigint").alias("n_dense"),
+    )
+
+
+ORACLE_SCALABLE_KEYS_VERDICT = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_scalable,
+       CAST(count(*) AS BIGINT) AS n_dense
+FROM customer
+GROUP BY c_mktsegment
+"""
