@@ -769,11 +769,16 @@ def substring_dup_positions(
     Language Models Better", arXiv:2107.06499): flag every token
     position whose k-token gram occurs MORE THAN ONCE anywhere in the
     corpus (including a second time inside the same document — the
-    paper's rule).  Maximal runs of flagged positions are exactly the
-    duplicated substrings a suffix array reports for minimum match
-    length k: a shared span of m >= k tokens flags its m-k+1 start
-    positions, and the caller's gaps-and-islands pass recovers the
-    span length as ``run_grams + k - 1``.
+    paper's rule).  A single shared span of m >= k tokens flags its
+    m-k+1 start positions, so the caller's gaps-and-islands pass
+    recovers its length as ``run_grams + k - 1``; maximal runs in
+    general are the UNION of duplicated spans, which may merge
+    overlapping duplicates matching *different* sources.  The flagged
+    token coverage is therefore exact (identical to what a suffix
+    array flags at minimum match length k), while a per-run length is
+    an upper bound on the longest single verbatim duplicate inside it
+    — callers thresholding on run length (e.g. a drop-if->=20-tokens
+    rule) are conservative, never lossy.
 
     The suffix-array construction itself is a single-machine design
     (the paper shards suffixes); the Spark-native equivalent for a

@@ -328,24 +328,58 @@ class TableStore:
             if f not in committed
         ]
 
-    def adopt_uncommitted(self, name: str) -> bool:
+    def adopt_uncommitted(self, name: str, attempts: int = 3) -> bool:
         """Crash repair: fold orphaned (job-committed, manifest-less)
         data files into the table's committed state by committing one
         ``adopt`` manifest over the directory as it stands, with a
         freshly scanned row count.  The orphan rows were produced by
-        THIS table's own crashed append — the data is real, only the
+        this table's own crashed append — the data is real, only the
         metadata transaction was lost — so adoption (not deletion) is
         the lossless repair, after which committed state and
         ``read()`` agree again.  Returns True when anything was
         adopted.  Metadata-only except for the one counting scan, and
-        only ever taken on a crash-recovery path."""
-        orphans = self.uncommitted_files(name)
-        if not orphans:
-            return False
-        n = self.read(name).count()
-        self._save_count(name, n)
-        self._commit(name, "adopt", n, new_lineage=False)
-        return True
+        only ever taken on a crash-recovery path.
+
+        Concurrency (ADVICE r11): a directory listing cannot
+        distinguish a crashed append's residue from a CONCURRENT
+        in-flight append whose parquet job has committed but whose
+        manifest has not yet landed.  The adopt commit therefore
+        carries ``expected_version`` from a read taken BEFORE the
+        orphan listing: if any commit lands in between, this adopt
+        aborts (``ConcurrentWriteError``) and re-evaluates orphans
+        against the new manifest instead of silently folding the
+        other writer's mid-flight files into its own count.  The
+        residual window — our adopt commits first, the in-flight
+        writer's manifest lands after — is closed only by the
+        per-table single-writer contract the ingest paths already
+        honor (one ``ingest_batch`` caller per corpus store)."""
+        for _ in range(attempts):
+            expected = self.current_version(name)
+            orphans = self.uncommitted_files(name)
+            if not orphans:
+                return False
+            n = self.read(name).count()
+            self._save_count(name, n)
+            try:
+                self._commit(
+                    name, "adopt", n, new_lineage=False,
+                    expected_version=expected,
+                )
+            except ConcurrentWriteError:
+                # the freshly scanned count may include the concurrent
+                # writer's mid-flight rows — drop the sidecar so
+                # count() re-derives instead of serving the skew
+                try:
+                    os.remove(self._meta_path(name))
+                except OSError:
+                    pass
+                continue
+            return True
+        raise ConcurrentWriteError(
+            f"{name}: adopt_uncommitted lost the commit race "
+            f"{attempts} times — a concurrent writer is active; "
+            "adoption requires the single-writer contract"
+        )
 
     @staticmethod
     def _txn_sidecars(table_dir: str) -> dict[str, int]:
@@ -841,7 +875,11 @@ class TableStore:
                 # know only .__meta__.json and left .__sync__.json
                 # behind when a corpus store root was replaced)
                 m = re.fullmatch(r"(.+)\.__\w+__\.json", entry)
-                if m and not os.path.isdir(os.path.join(self.root, m.group(1))):
+                if (
+                    m
+                    and os.path.isfile(full)
+                    and not os.path.isdir(os.path.join(self.root, m.group(1)))
+                ):
                     os.remove(full)
                     removed.append(full)
         if retain_versions is not None and retain_versions >= 1:

@@ -823,3 +823,89 @@ def test_last_txn_version_manifest_fallback_without_sidecars(spark, store):
     assert store.last_txn_version("gold.out", "app_a") == 1
     assert store.last_txn_version("gold.out", "app_b") == 5
     assert store.last_txn_version("gold.out", "app_c") is None
+
+
+# ------------------------------------------- ADVICE r11: adopt OCC guard
+
+
+def _raw_orphan(spark, store, name, value):
+    """Simulate the crash window: parquet job committed, no manifest."""
+    spark.createDataFrame([(value,)], ["k"]).write.mode("append").parquet(
+        store.path(name)
+    )
+    spark.catalog.refreshByPath(store.path(name))
+
+
+def test_adopt_uncommitted_retries_past_concurrent_commit(
+    spark, store, monkeypatch
+):
+    """ADVICE r11: a commit landing between adopt's version read and
+    its adopt commit must abort that attempt (OCC expected_version)
+    instead of silently folding the concurrent writer's files into a
+    skewed count.  The retry then re-evaluates orphans against the
+    NEW manifest — here the racing append's listing-based manifest
+    absorbed the orphan, so adopt correctly becomes a no-op and the
+    invalidated count sidecar self-heals by scan."""
+    name = "bronze.adopt_race"
+    store.overwrite(name, spark.createDataFrame([(1,), (2,)], ["k"]))
+    _raw_orphan(spark, store, name, 3)
+    other = TableStore(spark, store.root)
+    fired = {"n": 0}
+    real_uf = store.uncommitted_files
+
+    def racing_uf(nm):
+        orphans = real_uf(nm)
+        if nm == name and orphans and fired["n"] == 0:
+            fired["n"] += 1
+            other.append(name, spark.createDataFrame([(4,)], ["k"]))
+        return orphans
+
+    monkeypatch.setattr(store, "uncommitted_files", racing_uf)
+    assert store.adopt_uncommitted(name) is False
+    assert fired["n"] == 1  # the race really happened
+    # committed state, sidecar count, and readers all agree post-heal
+    assert store.uncommitted_files(name) == []
+    assert store.count(name) == 4 == store.read(name).count()
+
+
+def test_adopt_uncommitted_raises_after_persistent_races(
+    spark, store, monkeypatch
+):
+    """A writer that keeps committing mid-adoption exhausts the
+    bounded retries: adopt surfaces ConcurrentWriteError (the
+    single-writer contract is broken) rather than looping forever or
+    committing over the other writer."""
+    from delta_lake_gcp_implementation_spark.pipeline.storage import (
+        ConcurrentWriteError,
+    )
+
+    name = "bronze.adopt_storm"
+    store.overwrite(name, spark.createDataFrame([(1,)], ["k"]))
+    other = TableStore(spark, store.root)
+    state = {"next": 100}
+    real_uf = store.uncommitted_files
+
+    def storming_uf(nm):
+        _raw_orphan(spark, store, nm, state["next"])
+        state["next"] += 1
+        orphans = real_uf(nm)
+        other.append(nm, spark.createDataFrame([(state["next"],)], ["k"]))
+        state["next"] += 1
+        return orphans
+
+    monkeypatch.setattr(store, "uncommitted_files", storming_uf)
+    with pytest.raises(ConcurrentWriteError, match="single-writer"):
+        store.adopt_uncommitted(name, attempts=2)
+
+
+def test_vacuum_tolerates_directory_matching_sidecar_pattern(spark, store):
+    """ADVICE r11: a DIRECTORY whose name matches the orphan-sidecar
+    regex must not crash the sweep (os.remove on a dir raises)."""
+    import os
+
+    store.overwrite("bronze.vac_live", spark.createDataFrame([(1,)], ["k"]))
+    trap = os.path.join(store.root, "bronze__gone.__meta__.json")
+    os.makedirs(trap)
+    removed = store.vacuum()
+    assert os.path.isdir(trap)  # left alone, sweep completed
+    assert trap not in removed
