@@ -1,0 +1,51 @@
+"""100x-sweep tool guards (VERDICT r11 item 6 + ADVICE r11): the
+in-sweep variance rerun decision and the prior-factor loader, so
+artifact rows never need manual outlier-correction notes and pinned
+keys compare like-with-like."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from rehearse_catalog_100x import (  # noqa: E402
+    load_prior_factors,
+    should_rerun,
+)
+
+
+def test_should_rerun_fires_only_on_genuine_outliers():
+    # the r11 cheapest_supplier case: committed 1.3x, in-sweep 10.5x
+    assert should_rerun(10.5, 1.3)
+    # at or under the 3x band: trust the single run
+    assert not should_rerun(3.8, 1.3)
+    assert not should_rerun(5.2, 5.0)
+    # no prior (new key) or no factor (error row): nothing to compare
+    assert not should_rerun(None, 1.3)
+    assert not should_rerun(10.5, None)
+    assert not should_rerun(10.5, 0.0)
+
+
+def test_load_prior_factors_reads_newest_round_and_skips_errors(tmp_path):
+    old = tmp_path / "BENCH_100X_r10.jsonl"
+    old.write_text(json.dumps({"key": "a", "factor": 99.0}) + "\n")
+    new = tmp_path / "BENCH_100X_r11.jsonl"
+    rows = [
+        {"key": "a", "sf01_s": 1.0, "s100x": 5.0, "factor": 5.0},
+        {"key": "b", "sf01_s": 1.0, "s100x": 300.0, "error": "TIMEOUT"},
+        {"key": "c", "sf01_s": None, "s100x": 2.0},  # no factor
+    ]
+    new.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    # a non-canonical variant file must not be picked as "newest"
+    (tmp_path / "BENCH_100X_r11_changed.jsonl").write_text(
+        json.dumps({"key": "a", "factor": 1.0}) + "\n"
+    )
+    factors = load_prior_factors(str(tmp_path))
+    assert factors == {"a": 5.0}
+
+
+def test_load_prior_factors_empty_dir(tmp_path):
+    assert load_prior_factors(str(tmp_path)) == {}

@@ -87,6 +87,50 @@ def _pinned_builders() -> dict:
     }
 
 
+def should_rerun(
+    factor: float | None, prior_factor: float | None, ratio: float = 3.0
+) -> bool:
+    """In-sweep variance guard (VERDICT r11 item 6): a single run whose
+    100x factor exceeds ``ratio`` x the key's committed prior-round
+    factor is a suspected GC/JIT/contention outlier (the r11
+    ``cheapest_supplier`` 78.7 s single vs 9.9 s quiet best-of-3), so
+    the sweep re-measures best-of-2 BEFORE writing the row instead of
+    shipping an artifact that needs a manual correction note."""
+    return (
+        factor is not None
+        and prior_factor is not None
+        and prior_factor > 0
+        and factor > ratio * prior_factor
+    )
+
+
+def load_prior_factors(repo_root: str) -> dict[str, float]:
+    """Per-key factor from the newest committed BENCH_100X_r*.jsonl
+    (error rows carry no factor and are skipped)."""
+    import glob
+    import re
+
+    priors = glob.glob(os.path.join(repo_root, "BENCH_100X_r*.jsonl"))
+    priors = [p for p in priors if re.fullmatch(
+        r"BENCH_100X_r\d+\.jsonl", os.path.basename(p)
+    )]
+    if not priors:
+        return {}
+    newest = max(
+        priors,
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    out: dict[str, float] = {}
+    with open(newest) as f:
+        for ln in f:
+            if not ln.strip():
+                continue
+            row = json.loads(ln)
+            if row.get("factor") is not None and "error" not in row:
+                out[row["key"]] = row["factor"]
+    return out
+
+
 def main() -> None:
     sf100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rehearse_100x.jsonl"
@@ -117,6 +161,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
 
+    prior_factors = load_prior_factors(here)
+
+    def timed_run(builder, key: str, data_dir: str) -> tuple[int, float]:
+        sc.setJobGroup(key, f"100x rehearsal {key}", True)
+        cancel = threading.Timer(budget_s, lambda: sc.cancelJobGroup(key))
+        cancel.start()
+        t0 = time.perf_counter()
+        try:
+            rows = builder(spark, data_dir).count()
+            return rows, round(time.perf_counter() - t0, 2)
+        finally:
+            cancel.cancel()
+            sc.setJobGroup("", "")
+
     # cheapest-first (by the committed sf0.1 time) so an interrupted
     # sweep still covers most of the surface
     order = sorted(CATALOG, key=lambda k: sf01.get(k, 1e9))
@@ -128,25 +186,34 @@ def main() -> None:
             builder = CATALOG[key].builder
             if key in pinned:
                 builder, rec["note"] = pinned[key]
-            sc.setJobGroup(key, f"100x rehearsal {key}", True)
-            cancel = threading.Timer(
-                budget_s, lambda: sc.cancelJobGroup(key)
-            )
-            cancel.start()
-            t0 = time.perf_counter()
+                # ADVICE r11: the pinned regime diverges from the
+                # catalog definition as the corpus scales, so the
+                # factor must compare against a baseline measured
+                # under the SAME pinned regime, not the committed
+                # catalog-definition sf0.1 time
+                try:
+                    _, rec["sf01_pinned_s"] = timed_run(
+                        builder, key, SF01_DIR
+                    )
+                except Exception as e:  # noqa: BLE001 - recorded in-row
+                    rec["sf01_pinned_error"] = type(e).__name__
+            base = rec.get("sf01_pinned_s") or sf01.get(key)
+            t_start = time.perf_counter()
             try:
-                rec["rows"] = builder(spark, sf100).count()
-                rec["s100x"] = round(time.perf_counter() - t0, 2)
-                if sf01.get(key):
-                    rec["factor"] = round(rec["s100x"] / sf01[key], 1)
+                rec["rows"], rec["s100x"] = timed_run(builder, key, sf100)
+                if base:
+                    rec["factor"] = round(rec["s100x"] / base, 1)
+                if should_rerun(rec.get("factor"), prior_factors.get(key)):
+                    rec["s100x_first"] = rec["s100x"]
+                    rec["rows"], second = timed_run(builder, key, sf100)
+                    rec["s100x"] = min(rec["s100x"], second)
+                    rec["factor"] = round(rec["s100x"] / base, 1)
+                    rec["variance_rerun"] = True
             except Exception as e:
-                dt = time.perf_counter() - t0
+                dt = time.perf_counter() - t_start
                 kind = "TIMEOUT" if dt >= budget_s - 1 else type(e).__name__
                 rec["error"] = kind
                 rec["s100x"] = round(dt, 2)
-            finally:
-                cancel.cancel()
-                sc.setJobGroup("", "")
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(rec, flush=True)
