@@ -201,6 +201,20 @@ def contamination_pairs(
     eval_sh = shingle_hashes(eval_set, text_col, id_col, k).select(
         F.col(id_col).alias("eval_id"), "sh"
     )
+    return contamination_pairs_from_shingles(corpus_sh, eval_sh, threshold)
+
+
+def contamination_pairs_from_shingles(
+    corpus_sh: DataFrame,
+    eval_sh: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Containment join over PRE-SHINGLED sides — ``corpus_sh`` as
+    ``(corpus_id, sh)``, ``eval_sh`` as ``(eval_id, sh)``.  The fused
+    entry point (r10 fusion recipe 1): when both sides split from the
+    same table, the caller shingles ONCE, checkpoints, and splits the
+    shingle frame — at 100 TB that removes two of three full-corpus
+    re-reads that the page cache hides at test scale."""
     eval_sizes = eval_sh.groupBy("eval_id").agg(F.count("*").alias("n_eval"))
     inter = (
         corpus_sh.join(F.broadcast(eval_sh), "sh")

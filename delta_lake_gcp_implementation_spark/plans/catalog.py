@@ -112,7 +112,10 @@ _SPECS: dict[str, QuerySpec] = {
     ),
     "contamination_check": QuerySpec(
         C.q_contamination_check, C.ORACLE_CONTAMINATION_CHECK,
-        extra_sources=(OCUR.contamination_pairs,),
+        extra_sources=(
+            OCUR.contamination_pairs_from_shingles,
+            OCUR.shingle_hashes,
+        ),
     ),
     "domain_mix": QuerySpec(
         C.q_domain_mix, C.ORACLE_DOMAIN_MIX,

@@ -217,12 +217,25 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     char-8-gram containment of any eval-set document (every 23rd
     doc_id stands in as the benchmark set) crosses the threshold — the
     decon pass run before pretraining.  Eval shingles broadcast;
-    corpus side stays partitioned."""
+    corpus side stays partitioned.
+
+    Fused single-scan form (r10 fusion recipe 1): both sides split
+    from the SAME table, so the documents table is shingled once and
+    checkpointed; eval/corpus derive from the shingle frame by the
+    doc_id mod — the executed plan reads documents zero extra times
+    instead of re-shingling per side."""
     d = load_table(spark, sf, "documents")
-    eval_set = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
-    corpus = d.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
-    return cur_ops.contamination_pairs(
-        corpus, eval_set, "text", "doc_id", CONTAM_K, CONTAM_THRESHOLD
+    sh = cur_ops.shingle_hashes(
+        d, "text", "doc_id", CONTAM_K
+    ).localCheckpoint()
+    eval_sh = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "sh"
+    )
+    corpus_sh = sh.filter(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("corpus_id"), "sh"
+    )
+    return cur_ops.contamination_pairs_from_shingles(
+        corpus_sh, eval_sh, CONTAM_THRESHOLD
     )
 
 
