@@ -117,9 +117,15 @@ def kmeans_fit(
     """
     from ..tables import scale_out
 
+    # materialize the projected (id, double-vector) frame ONCE: every
+    # Lloyd's iteration re-reads it, and without the checkpoint each
+    # iteration re-runs scan + cast from the source (r11 verdict item
+    # 4: 3 iterations at 100x measured 74.6 s unmaterialized vs 15.3 s
+    # checkpointed — the per-iteration source re-read was the cost,
+    # not the argmin)
     v = scale_out(vectors).select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
-    )
+    ).localCheckpoint()
     w_init = Window.orderBy("_id")  # k rows only — single partition is fine
     cents = (
         v.orderBy("_id")
@@ -234,6 +240,15 @@ def ivf_topk(
     brute force."""
     from ..tables import scale_out
 
+    # materialize the assignment — this IS the index-build step.  Left
+    # lazy, the probe join's implicit isnotnull(cell) filter re-runs
+    # the full argmin AND predicate-pushes it below scale_out's
+    # repartition into the raw scan, where a one-row-group file
+    # single-threads 100% of the assignment work (r11 verdict item 4:
+    # 21.5 s vs 8 s at 100x, the (12+1)/13 straggler stage).  At
+    # cluster scale the assignment is persisted once as the index
+    # table (the corpus_ingest BANDS pattern) and amortized across
+    # queries; the per-call checkpoint is the ephemeral equivalent.
     c = (
         scale_out(corpus).select(
             F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v")
@@ -245,6 +260,7 @@ def ivf_topk(
             "cell",
         )
         .withColumn("cn", norm(F.col("cv_vec")))
+        .localCheckpoint()
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
