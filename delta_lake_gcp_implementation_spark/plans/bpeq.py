@@ -186,3 +186,87 @@ GROUP BY w.doc_id
 
 
 ORACLE_BPE_ENCODE_TOKENS = _oracle_bpe_encode()
+
+
+#: context length for the packing-statistics report (matches the
+#: packing query's PACK_BUDGET) and the fixed token-count bin width.
+#: Both powers of two, so every float division below is binary-exact.
+PACKING_CTX = 512
+PACKING_BIN = 128
+
+
+def q_packing_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-aware packing statistics (r11 verdict item 7): the
+    report every pretraining data team produces before fixing a
+    context length — the BPE-token sequence-length histogram plus the
+    padding waste of the pad-to-context (unpacked) regime.
+
+    Composes the trained tokenizer (``q_bpe_encode_tokens``: per-doc
+    exact BPE token counts after ``N_MERGES`` merges) with the packing
+    arithmetic: a doc of n tokens fills ``ceil(n / CTX)`` padded
+    training sequences, wasting ``ceil(n / CTX) * CTX - n`` pad
+    tokens.  Per 128-token length bin: doc count, token mass, padded
+    sequence count, pad tokens, and the pad fraction (a double
+    division of exact BIGINTs — bit-identical across engines; the
+    bin width and context are powers of two, so the float divisions
+    are exact too).
+
+    Contrast with ``token_packing`` (concat-and-chunk): that query
+    emits the packed layout, where waste is only the per-partition
+    stream tail; this one quantifies what packing SAVES.
+    """
+    from pyspark.sql import functions as F
+
+    enc = q_bpe_encode_tokens(spark, sf)
+    n = F.col("n_bpe_tokens")
+    per = enc.select(
+        F.floor(n / F.lit(float(PACKING_BIN))).cast("bigint").alias(
+            "len_bin"
+        ),
+        n.alias("n"),
+        F.floor(
+            (n + F.lit(PACKING_CTX - 1)) / F.lit(float(PACKING_CTX))
+        )
+        .cast("bigint")
+        .alias("nseq"),
+    )
+    return (
+        per.groupBy("len_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum("nseq").cast("bigint").alias("n_seqs"),
+            (F.sum("nseq") * PACKING_CTX - F.sum("n"))
+            .cast("bigint")
+            .alias("n_pad"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.col("n_pad").cast("double")
+            / (F.col("n_seqs") * PACKING_CTX).cast("double"),
+        )
+    )
+
+
+ORACLE_PACKING_STATS = f"""
+WITH enc AS MATERIALIZED (
+    SELECT * FROM ({ORACLE_BPE_ENCODE_TOKENS})
+),
+per AS (
+    SELECT CAST(floor(n_bpe_tokens / {float(PACKING_BIN)}) AS BIGINT)
+               AS len_bin,
+           n_bpe_tokens AS n,
+           CAST(floor((n_bpe_tokens + {PACKING_CTX - 1})
+                      / {float(PACKING_CTX)}) AS BIGINT) AS nseq
+    FROM enc
+)
+SELECT len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(nseq) AS BIGINT) AS n_seqs,
+       CAST(sum(nseq) * {PACKING_CTX} - sum(n) AS BIGINT) AS n_pad,
+       CAST(sum(nseq) * {PACKING_CTX} - sum(n) AS DOUBLE)
+           / CAST(sum(nseq) * {PACKING_CTX} AS DOUBLE) AS pad_frac
+FROM per
+GROUP BY len_bin
+"""

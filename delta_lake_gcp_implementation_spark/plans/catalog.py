@@ -160,6 +160,14 @@ _SPECS: dict[str, QuerySpec] = {
         B.q_bpe_encode_tokens, B.ORACLE_BPE_ENCODE_TOKENS,
         extra_sources=(OBPE.bpe_train, OBPE.word_freqs),
     ),
+    # tokenizer-aware packing statistics (r11 verdict item 7): BPE
+    # sequence-length histogram + pad-to-context waste; delegates its
+    # token counts to q_bpe_encode_tokens, so the trainer helpers are
+    # hashed here too
+    "packing_stats": QuerySpec(
+        B.q_packing_stats, B.ORACLE_PACKING_STATS,
+        extra_sources=(B.q_bpe_encode_tokens, OBPE.bpe_train, OBPE.word_freqs),
+    ),
     # fixed-point integer PageRank (TextRank keywords), 5 exact rounds
     "token_pagerank": QuerySpec(
         X.q_token_pagerank, X.ORACLE_TOKEN_PAGERANK,
