@@ -88,3 +88,48 @@ def test_bpe_merge_counts_monotone_nonincreasing(spark, sf_dir):
     assert all(c > 0 for c in counts)
     assert all(r.merged_sym == r.left_sym + r.right_sym for r in rows)
     assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_packing_stats_arithmetic_invariants(spark, sf_dir):
+    """packing_stats (r12): per bin, the padded-sequence count and pad
+    mass must satisfy the exact ceil arithmetic — n_seqs*CTX covers
+    n_tokens, pad never reaches one full context per doc, and the
+    boundary cases (n == CTX exactly -> zero pad) hold."""
+    from delta_lake_gcp_implementation_spark.plans import bpeq
+
+    rows = bpeq.q_packing_stats(spark, sf_dir).collect()
+    assert rows
+    ctx = bpeq.PACKING_CTX
+    for r in rows:
+        assert r.n_pad == r.n_seqs * ctx - r.n_tokens
+        assert 0 <= r.n_pad < r.n_docs * ctx  # < one context per doc
+        assert r.n_seqs >= r.n_docs  # every doc fills >= 1 sequence
+        assert abs(r.pad_frac - r.n_pad / (r.n_seqs * ctx)) < 1e-15
+
+
+def test_packing_stats_exact_on_known_counts(spark, monkeypatch, tmp_path):
+    """Constructed corpus with hand-computable BPE token counts: one
+    word 'aa' repeated — after >=1 merge 'aa</w>' is a single token, so
+    a doc of w words has exactly w BPE tokens; docs sized to straddle
+    the context boundary pin the ceil arithmetic."""
+    from delta_lake_gcp_implementation_spark.plans import bpeq
+
+    ctx, bw = bpeq.PACKING_CTX, bpeq.PACKING_BIN
+    docs = [  # word counts chosen to land in three DISTINCT bins
+        (1, "aa " * ctx),              # exactly CTX tokens -> 1 seq, 0 pad
+        (2, "aa " * (2 * ctx + 1)),    # 2*CTX+1 -> 3 seqs, CTX-1 pad
+        (3, "aa " * 3),                # tiny -> 1 seq, CTX-3 pad
+    ]
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.len_bin: r
+        for r in bpeq.q_packing_stats(spark, str(tmp_path)).collect()
+    }
+    b1 = out[ctx // bw]          # doc 1: n = ctx
+    assert (b1.n_tokens, b1.n_seqs, b1.n_pad) == (ctx, 1, 0)
+    b2 = out[(2 * ctx + 1) // bw]  # doc 2: n = 2*ctx + 1
+    assert (b2.n_seqs, b2.n_pad) == (3, ctx - 1)
+    b3 = out[3 // bw]            # doc 3: n = 3
+    assert (b3.n_seqs, b3.n_pad) == (1, ctx - 3)
