@@ -386,6 +386,7 @@ def test_second_wave_doc_queries_match_duckdb_fuzz(spark, texts):
         [
             "bpe_merges",
             "bpe_encode_tokens",
+            "packing_stats",
             "cdc_chunks",
             "domain_kl",
             "sparse_cosine_pairs",
