@@ -20,6 +20,7 @@ Usage:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -217,6 +218,15 @@ def main() -> None:
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(rec, flush=True)
+            # r12: drop the key's leftovers before the next one runs.
+            # localCheckpoint blocks (ANN codebooks/assignments, fused
+            # shingle frames) persist until the driver GCs the Python
+            # DataFrame and the ContextCleaner runs; across 151 keys
+            # they pile into executor storage memory and show up as
+            # 2-3x inflation on later keys (seven r12 rows needed
+            # manual quiet re-times below the 3x auto-guard).
+            spark.catalog.clearCache()
+            gc.collect()
     spark.stop()
 
 
