@@ -13,6 +13,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from rehearse_catalog_100x import (  # noqa: E402
     load_prior_factors,
+    load_prior_rows,
     should_rerun,
 )
 
@@ -49,3 +50,27 @@ def test_load_prior_factors_reads_newest_round_and_skips_errors(tmp_path):
 
 def test_load_prior_factors_empty_dir(tmp_path):
     assert load_prior_factors(str(tmp_path)) == {}
+
+
+def test_should_rerun_time_arm_catches_sub3x_inflation():
+    """r12 second trigger: 1.8-3.2x absolute-time inflation below the
+    3x factor guard re-measures when it costs real seconds."""
+    # the r12 record_linkage case: prior 18.5 s -> in-sweep 59.3 s
+    assert should_rerun(81.2, 31.0, s100x=59.3, prior_s100x=18.5)
+    # big ratio but tiny absolute delta: leave it (sub-second noise)
+    assert not should_rerun(2.0, 1.0, s100x=0.9, prior_s100x=0.3)
+    # modest ratio under both arms: trust the single run
+    assert not should_rerun(6.0, 5.0, s100x=22.0, prior_s100x=18.0)
+    # no prior time recorded: only the factor arm can fire
+    assert not should_rerun(5.0, 4.0, s100x=50.0, prior_s100x=None)
+
+
+def test_load_prior_rows_exposes_times(tmp_path):
+    import json as j
+
+    (tmp_path / "BENCH_100X_r11.jsonl").write_text(
+        j.dumps({"key": "a", "sf01_s": 1.0, "s100x": 5.0, "factor": 5.0})
+        + "\n"
+    )
+    rows = load_prior_rows(str(tmp_path))
+    assert rows["a"]["s100x"] == 5.0

@@ -89,24 +89,45 @@ def _pinned_builders() -> dict:
 
 
 def should_rerun(
-    factor: float | None, prior_factor: float | None, ratio: float = 3.0
+    factor: float | None,
+    prior_factor: float | None,
+    ratio: float = 3.0,
+    s100x: float | None = None,
+    prior_s100x: float | None = None,
+    time_ratio: float = 1.7,
+    min_delta_s: float = 5.0,
 ) -> bool:
     """In-sweep variance guard (VERDICT r11 item 6): a single run whose
     100x factor exceeds ``ratio`` x the key's committed prior-round
     factor is a suspected GC/JIT/contention outlier (the r11
     ``cheapest_supplier`` 78.7 s single vs 9.9 s quiet best-of-3), so
     the sweep re-measures best-of-2 BEFORE writing the row instead of
-    shipping an artifact that needs a manual correction note."""
-    return (
+    shipping an artifact that needs a manual correction note.
+
+    Second trigger (r12): in-sweep inflation proved stochastic and
+    often lands BELOW 3x — eight r12 rows at 1.8-3.2x the prior
+    round's time needed manual quiet re-times.  A run that is both
+    ``time_ratio`` x the prior round's absolute time AND more than
+    ``min_delta_s`` slower re-measures too; the absolute floor keeps
+    sub-second keys from re-running on noise."""
+    if (
         factor is not None
         and prior_factor is not None
         and prior_factor > 0
         and factor > ratio * prior_factor
+    ):
+        return True
+    return (
+        s100x is not None
+        and prior_s100x is not None
+        and prior_s100x > 0
+        and s100x > time_ratio * prior_s100x
+        and s100x - prior_s100x > min_delta_s
     )
 
 
-def load_prior_factors(repo_root: str) -> dict[str, float]:
-    """Per-key factor from the newest committed BENCH_100X_r*.jsonl
+def load_prior_rows(repo_root: str) -> dict[str, dict]:
+    """Per-key row from the newest committed BENCH_100X_r*.jsonl
     (error rows carry no factor and are skipped)."""
     import glob
     import re
@@ -121,15 +142,20 @@ def load_prior_factors(repo_root: str) -> dict[str, float]:
         priors,
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
-    out: dict[str, float] = {}
+    out: dict[str, dict] = {}
     with open(newest) as f:
         for ln in f:
             if not ln.strip():
                 continue
             row = json.loads(ln)
             if row.get("factor") is not None and "error" not in row:
-                out[row["key"]] = row["factor"]
+                out[row["key"]] = row
     return out
+
+
+def load_prior_factors(repo_root: str) -> dict[str, float]:
+    """Per-key factor view of :func:`load_prior_rows`."""
+    return {k: r["factor"] for k, r in load_prior_rows(repo_root).items()}
 
 
 def main() -> None:
@@ -162,7 +188,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
 
-    prior_factors = load_prior_factors(here)
+    prior_rows = load_prior_rows(here)
 
     def timed_run(builder, key: str, data_dir: str) -> tuple[int, float]:
         sc.setJobGroup(key, f"100x rehearsal {key}", True)
@@ -204,7 +230,13 @@ def main() -> None:
                 rec["rows"], rec["s100x"] = timed_run(builder, key, sf100)
                 if base:
                     rec["factor"] = round(rec["s100x"] / base, 1)
-                if should_rerun(rec.get("factor"), prior_factors.get(key)):
+                prior = prior_rows.get(key, {})
+                if should_rerun(
+                    rec.get("factor"),
+                    prior.get("factor"),
+                    s100x=rec["s100x"],
+                    prior_s100x=prior.get("s100x"),
+                ):
                     rec["s100x_first"] = rec["s100x"]
                     rec["rows"], second = timed_run(builder, key, sf100)
                     rec["s100x"] = min(rec["s100x"], second)
