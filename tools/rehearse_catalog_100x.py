@@ -238,10 +238,17 @@ def main() -> None:
                     prior_s100x=prior.get("s100x"),
                 ):
                     rec["s100x_first"] = rec["s100x"]
-                    rec["rows"], second = timed_run(builder, key, sf100)
-                    rec["s100x"] = min(rec["s100x"], second)
-                    rec["factor"] = round(rec["s100x"] / base, 1)
                     rec["variance_rerun"] = True
+                    # a failed rerun must not clobber the first run's
+                    # valid numbers with an error row
+                    try:
+                        rec["rows"], second = timed_run(builder, key, sf100)
+                    except Exception as e:  # noqa: BLE001 - recorded
+                        rec["rerun_error"] = type(e).__name__
+                    else:
+                        rec["s100x"] = min(rec["s100x"], second)
+                        if base:
+                            rec["factor"] = round(rec["s100x"] / base, 1)
             except Exception as e:
                 dt = time.perf_counter() - t_start
                 kind = "TIMEOUT" if dt >= budget_s - 1 else type(e).__name__
