@@ -359,6 +359,12 @@ class TableStore:
             if not orphans:
                 return False
             n = self.read(name).count()
+            # sidecar BEFORE commit (append's convention) on purpose:
+            # a crash in between leaves the sidecar equal to what
+            # read() serves (orphans are real rows) and the missing
+            # adopt manifest is retried on the next recovery pass;
+            # the reverse order would leave a committed manifest with
+            # a stale-low sidecar that count() then serves forever.
             self._save_count(name, n)
             try:
                 self._commit(

@@ -810,13 +810,20 @@ def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     itself stays numpy-parity-tested (``test_kmeans_*``)."""
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < _Q_CUT)
-    cents = sim.kmeans_fit(e, "vec_id", "embedding", k=_IVF_K, iters=3)
+    # project the corpus ONCE and share it between the fit and the
+    # index build — two separate checkpoints would scan, cast, and pin
+    # the corpus twice (r12 review finding)
+    pv = sim.project_vectors(e, "vec_id", "embedding")
+    cents = sim.kmeans_fit(
+        e, "vec_id", "embedding", k=_IVF_K, iters=3, projected=pv
+    )
     # both arms are materialized once: `exact` feeds the recall
     # semi-join AND the final agg, and Spark re-runs the full top-k
     # window per consumer (executed plan at r7 HEAD: 6 parquet scans /
     # 0 ReusedExchange / 12 Window nodes — BENCH_NOTES round-8 item 1)
     approx = sim.ivf_topk(
-        e, q, cents, "vec_id", "embedding", k=3, nprobe=2
+        e, q, cents, "vec_id", "embedding", k=3, nprobe=2,
+        corpus_projected=pv,
     ).select("query_id", "neighbor_id").localCheckpoint()
     exact = sim.brute_force_topk(
         e, q, "vec_id", "embedding", k=3

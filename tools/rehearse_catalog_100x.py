@@ -148,14 +148,22 @@ def load_prior_rows(repo_root: str) -> dict[str, dict]:
             if not ln.strip():
                 continue
             row = json.loads(ln)
-            if row.get("factor") is not None and "error" not in row:
+            # keep any non-error row: the absolute-time rerun arm only
+            # needs prior s100x, which exists even when the key had no
+            # sf0.1 baseline (factor null)
+            if "error" not in row and row.get("s100x") is not None:
                 out[row["key"]] = row
     return out
 
 
 def load_prior_factors(repo_root: str) -> dict[str, float]:
-    """Per-key factor view of :func:`load_prior_rows`."""
-    return {k: r["factor"] for k, r in load_prior_rows(repo_root).items()}
+    """Per-key factor view of :func:`load_prior_rows` (rows without an
+    sf0.1 baseline carry no factor and are omitted here)."""
+    return {
+        k: r["factor"]
+        for k, r in load_prior_rows(repo_root).items()
+        if r.get("factor") is not None
+    }
 
 
 def main() -> None:
@@ -224,7 +232,14 @@ def main() -> None:
                     )
                 except Exception as e:  # noqa: BLE001 - recorded in-row
                     rec["sf01_pinned_error"] = type(e).__name__
-            base = rec.get("sf01_pinned_s") or sf01.get(key)
+            if key in pinned:
+                # NEVER fall back to the catalog-regime sf0.1 time for
+                # a pinned key: a pinned 100x time over a catalog
+                # baseline is the apples-to-oranges factor ADVICE r11
+                # flagged.  No pinned baseline -> no factor.
+                base = rec.get("sf01_pinned_s")
+            else:
+                base = sf01.get(key)
             t_start = time.perf_counter()
             try:
                 rec["rows"], rec["s100x"] = timed_run(builder, key, sf100)
@@ -266,6 +281,16 @@ def main() -> None:
             # manual quiet re-times below the 3x auto-guard).
             spark.catalog.clearCache()
             gc.collect()
+            # localCheckpoint blocks live OUTSIDE the SQL CacheManager,
+            # so clearCache() alone leaves them resident; Python gc
+            # only drops the py4j proxies.  A JVM GC makes the freed
+            # RDDs unreachable so the ContextCleaner actually enqueues
+            # their block removals (its own periodic System.gc() is
+            # 30-minute default — far longer than a sweep key).
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 - cleanup is best-effort
+                pass
     spark.stop()
 
 
