@@ -702,7 +702,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     learned k-means codebook drops in without changing the plan
     (:func:`q_ann_ivf_trained`); seeded centroids keep the oracle
     exact — centroid doubles re-embedded as literals are bit-identical
-    to the oracle's join, so the IP values match exactly."""
+    to the oracle's join, so the IP values match exactly.
+
+    The assignment frame is ``localCheckpoint``-ed before the cell
+    self-join: the equi-join on the COMPUTED ``cell`` column adds an
+    implicit ``isnotnull(cell)`` filter that Catalyst pushes below the
+    ``scale_out`` repartition into the raw scan stage, where the
+    one-row-group embeddings file serializes every argmin evaluation
+    into a single non-empty split task (the r12 ``ann_ivf_trained``
+    straggler, BENCH_NOTES round-12).  The checkpoint is also the
+    honest production shape — the assignment IS the IVF index,
+    persisted once and amortized across probes, not recomputed inside
+    every probe's pushed-down filter."""
     from pyspark.sql import Window
 
     from ..tables import scale_out
@@ -735,9 +746,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # array_min over (neg_ip, cid) = max inner product, ties to the
     # lower cent_id — the exact ordering of the oracle's window
     best = F.array_min(scored_arr)
-    assigned = v.select(
-        "vec_id", "v", best["cid"].alias("cell")
-    ).withColumn("nrm", sim.norm(F.col("v")))
+    assigned = (
+        v.select("vec_id", "v", best["cid"].alias("cell"))
+        .withColumn("nrm", sim.norm(F.col("v")))
+        .localCheckpoint()
+    )
     q = assigned.filter(F.col("vec_id") < _Q_CUT).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("cell"), F.col("nrm").alias("qn"),
