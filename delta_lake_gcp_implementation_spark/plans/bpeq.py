@@ -209,7 +209,11 @@ def q_packing_stats(spark: SparkSession, sf: str) -> DataFrame:
     sequence count, pad tokens, and the pad fraction (a double
     division of exact BIGINTs — bit-identical across engines; the
     bin width and context are powers of two, so the float divisions
-    are exact too).
+    are exact too).  The divisor ``n_seqs * CTX`` is zero only for a
+    bin of zero-token docs, which cannot occur (zero-token docs emit
+    no encode row); both engines still guard the division with
+    ``nullif`` so the impossible bin would surface as NULL rather
+    than as a cross-engine NULL-vs-NaN hash mismatch (ADVICE r12).
 
     Contrast with ``token_packing`` (concat-and-chunk): that query
     emits the packed layout, where waste is only the per-partition
@@ -243,9 +247,60 @@ def q_packing_stats(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn(
             "pad_frac",
             F.col("n_pad").cast("double")
-            / (F.col("n_seqs") * PACKING_CTX).cast("double"),
+            / F.nullif(
+                (F.col("n_seqs") * PACKING_CTX).cast("double"), F.lit(0.0)
+            ),
         )
     )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility (r12 verdict item 4): BPE
+    tokens per word, THE per-language tokenizer-quality number a
+    multilingual tokenizer sweep reports — a fertility far above the
+    corpus mean marks a language the merge table under-serves.
+
+    Composes the trained tokenizer (``q_bpe_encode_tokens``: per-doc
+    exact BIGINT word/token counts) with ``documents.lang`` via a
+    doc_id equi-join (both sides corpus-cardinality, co-partitioned
+    hash join — linear at 100 TB), then one hash agg per language.
+    ``fertility`` is a single double division of exact BIGINT sums —
+    bit-identical across engines.  Zero-word docs emit no encode row,
+    so ``n_words`` per language is always >= 1 (no zero division).
+    """
+    from pyspark.sql import functions as F
+
+    enc = q_bpe_encode_tokens(spark, sf)
+    d = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        enc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+        )
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH enc AS MATERIALIZED (
+    SELECT * FROM ({ORACLE_BPE_ENCODE_TOKENS})
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(e.n_bpe_tokens) AS DOUBLE)
+           / CAST(sum(e.n_words) AS DOUBLE) AS fertility
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
 
 
 ORACLE_PACKING_STATS = f"""
@@ -266,7 +321,8 @@ SELECT len_bin,
        CAST(sum(nseq) AS BIGINT) AS n_seqs,
        CAST(sum(nseq) * {PACKING_CTX} - sum(n) AS BIGINT) AS n_pad,
        CAST(sum(nseq) * {PACKING_CTX} - sum(n) AS DOUBLE)
-           / CAST(sum(nseq) * {PACKING_CTX} AS DOUBLE) AS pad_frac
+           / nullif(CAST(sum(nseq) * {PACKING_CTX} AS DOUBLE), 0.0)
+               AS pad_frac
 FROM per
 GROUP BY len_bin
 """

@@ -168,6 +168,12 @@ _SPECS: dict[str, QuerySpec] = {
         B.q_packing_stats, B.ORACLE_PACKING_STATS,
         extra_sources=(B.q_bpe_encode_tokens, OBPE.bpe_train, OBPE.word_freqs),
     ),
+    # per-language BPE fertility (tokens/word) over the trained
+    # tokenizer's encode output — same delegation as packing_stats
+    "tokenizer_fertility": QuerySpec(
+        B.q_tokenizer_fertility, B.ORACLE_TOKENIZER_FERTILITY,
+        extra_sources=(B.q_bpe_encode_tokens, OBPE.bpe_train, OBPE.word_freqs),
+    ),
     # fixed-point integer PageRank (TextRank keywords), 5 exact rounds
     "token_pagerank": QuerySpec(
         X.q_token_pagerank, X.ORACLE_TOKEN_PAGERANK,
