@@ -349,13 +349,30 @@ def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     quality filter (bucket != LOW) + near-dup resolution (keep only
     cluster canonicals).  Returns the KEPT set with the evidence
     columns.  One pass over documents for the scalar filters plus the
-    CC label join — no extra shuffles beyond the dedup stage itself."""
+    CC label join — no extra shuffles beyond the dedup stage itself.
+
+    The scalar frame is ``localCheckpoint``-ed: without it Catalyst
+    substitutes the full lang/quality regexp ladder into the en/LOW
+    predicate and pushes it below the ``scale_out`` exchange into the
+    scan stage (r13 profile: the whole 500k-row ladder serialized on
+    the one-row-group file, 64 s of the key's 90.6 s at 100x), then
+    the Project above the exchange evaluates the ladder AGAIN on the
+    survivors.  Materializing the per-doc scalars once — the curation
+    metadata a production pipeline persists as a table — computes the
+    ladder exactly once, parallel, in both regimes."""
+    from ..tables import scale_out
+
     d = load_table(spark, sf, "documents")
-    scalars = d.select(
-        "doc_id",
-        T.lang_id(F.col("text")).alias("lang_pred"),
-        *T.quality_metrics(F.col("text")),
-    ).select("doc_id", "lang_pred", "quality_bucket")
+    scalars = (
+        scale_out(d)
+        .select(
+            "doc_id",
+            T.lang_id(F.col("text")).alias("lang_pred"),
+            *T.quality_metrics(F.col("text")),
+        )
+        .select("doc_id", "lang_pred", "quality_bucket")
+        .localCheckpoint()
+    )
     clusters = q_dup_clusters(spark, sf)
     return (
         scalars.join(clusters, "doc_id")
