@@ -2389,10 +2389,19 @@ def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     heuristic against the labeled ``lang`` column — the eval-harness
     shape every heuristic quality/language filter ships with (per-cell
     counts + row-normalized rate).  One hash aggregation; the rate is
-    an exact integer division per module determinism rules."""
+    an exact integer division per module determinism rules.
+
+    ``scale_out`` spreads the scan before the ladder: the partial
+    aggregation evaluates lang_id map-side INSIDE the scan stage, so
+    a one-row-group file serializes every regexp evaluation on one
+    core (r13 profile: 30.7 s single-threaded vs 0.8 s spread at
+    100x — the r12 sweep's worst factor, 37.2x)."""
+    from ..tables import scale_out
+
     d = load_table(spark, sf, "documents")
     cells = (
-        d.select(
+        scale_out(d)
+        .select(
             F.col("lang").alias("lang_labeled"),
             T.lang_id(F.col("text")).alias("lang_pred"),
         )
