@@ -89,12 +89,16 @@ def fingerprints(
     and SQL.  Positions are capped at 2^pos_bits - 1 chars/doc;
     production docs beyond that would widen the budget or chunk first.
 
-    Scale shape: the explode is linear in corpus chars; the only
-    shuffle is the per-doc window (partitioned by ``id_col``)."""
+    Scale shape: the explode is linear in corpus chars; the document
+    rows are HASH-partitioned by ``id_col`` before the explode, so the
+    per-doc window clusters without re-shuffling the gram fan-out —
+    one exchange of doc rows replaces one of gram rows (~300x more at
+    k=8; r13 A/B at 100x: 27.5 -> 17.5 s).  Per-doc cost is bounded by
+    the ``pos_bits`` position cap."""
     from ..tables import scale_out
 
     pos_mask = (1 << pos_bits) - 1
-    grams = scale_out(df).select(
+    grams = scale_out(df, id_col).select(
         id_col,
         F.explode(
             F.sequence(

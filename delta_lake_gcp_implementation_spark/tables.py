@@ -45,7 +45,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def scale_out(df: DataFrame) -> DataFrame:
+def scale_out(df: DataFrame, *keys: str) -> DataFrame:
     """Raise partition count to the cluster's parallelism before a
     CPU-heavy per-row stage (shingling, per-token hashing).
 
@@ -57,9 +57,21 @@ def scale_out(df: DataFrame) -> DataFrame:
     to the per-shingle work it parallelizes) and is a NO-OP whenever
     the scan already has enough partitions — i.e. always at real corpus
     scale, where file count >> core count; only undersized scans pay
-    the extra exchange."""
+    the extra exchange.
+
+    Pass ``keys`` to HASH-partition instead of round-robin when a
+    downstream window/groupBy clusters on those columns AFTER a
+    fan-out (explode): the pre-fan-out exchange moves one row per
+    source record and the post-fan-out exchange disappears — the r13
+    winnowing A/B measured 27.5 s (round-robin: ~150M gram rows
+    re-shuffled for the per-doc window) vs 17.5 s (hash-by-doc: only
+    the 500k doc rows move).  With keys the repartition always runs —
+    the downstream operator needs the clustering even when the scan is
+    already wide."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if keys:
+        return df.repartition(max(df.rdd.getNumPartitions(), target), *keys)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
