@@ -1323,7 +1323,15 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     the oracle hash stay exact, while term ordering is unchanged for
     fixed tf (both are monotone decreasing in df).  Swap in
     ``F.log(N/df)`` for the classic variant when cross-engine
-    bit-parity is not required."""
+    bit-parity is not required.
+
+    Single-source fusion (r10 recipe 2, landed r13): the per-(doc,
+    token) counts are checkpointed once and every other input derives
+    from them — df is a plain count over tf rows (one row per (doc,
+    token) pair, so count == countDistinct(doc)), and n_docs is the
+    distinct doc count of tf (every kept doc yields >= 1 token).  The
+    token explode and corpus scan run exactly once instead of three
+    times — at 100 TB the removed re-reads ARE the cost."""
     from pyspark.sql import Window
 
     from ..tables import scale_out
@@ -1333,11 +1341,13 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "token")
         .join(F.broadcast(n_docs))
