@@ -42,6 +42,7 @@ from ..operators import dedup as ODED
 from ..operators import joins as OJ
 from ..operators import sizing as OSZ
 from ..operators import windows as OWIN
+from ..operators import winnowing as OWINN
 from ..pipeline import corpus as PCORP
 from ..pipeline import maintenance as PMAINT
 
@@ -290,12 +291,16 @@ _SPECS: dict[str, QuerySpec] = {
     "ols_trend": QuerySpec(R.q_ols_trend, R.ORACLE_OLS_TREND),
     # dbt-style data-quality expectation suite
     "dq_expectations": QuerySpec(R.q_dq_expectations, R.ORACLE_DQ_EXPECTATIONS),
-    # corpus quality / fingerprint extensions (round 5)
+    # corpus quality / fingerprint extensions (round 5); the shared
+    # selection operator is hashed so a physical-shape edit (r13:
+    # hash-partition by doc before the gram fan-out) re-queues both
     "winnowing_fingerprints": QuerySpec(
-        X.q_winnowing_fingerprints, X.ORACLE_WINNOWING_FINGERPRINTS
+        X.q_winnowing_fingerprints, X.ORACLE_WINNOWING_FINGERPRINTS,
+        extra_sources=(OWINN.fingerprints,),
     ),
     "winnowing_containment": QuerySpec(
-        X.q_winnowing_containment, X.ORACLE_WINNOWING_CONTAINMENT
+        X.q_winnowing_containment, X.ORACLE_WINNOWING_CONTAINMENT,
+        extra_sources=(OWINN.fingerprints,),
     ),
     # exact >=k-token substring dedup (Lee et al. ExactSubstr) — the
     # within-document duplicated-run detector none of the other dedup
