@@ -95,7 +95,19 @@ def project_vectors(
     checkpoint once.  Callers composing several vector passes over the
     SAME corpus (fit + index build, as in ``q_ann_ivf_trained``) should
     project once and pass the frame down — otherwise each operator
-    re-scans, re-casts, and pins its own copy in executor storage."""
+    re-scans, re-casts, and pins its own copy in executor storage.
+
+    Block ownership (ADVICE r12): the ``localCheckpoint`` pins RDD
+    blocks in executor storage for the LIFETIME OF THE RDD REFERENCE,
+    not of the query — they sit outside the SQL cache, so
+    ``spark.catalog.clearCache()`` does not free them.  The CALLER
+    owns the blocks: a long-lived session issuing repeated catalog
+    calls should drop every reference to the returned frame when done
+    and let the ContextCleaner collect them (a JVM ``System.gc()``
+    forces the enqueue — the sweep tool's pattern).  Catalog builders
+    are per-call scopes, so their references die with the call; only
+    a driver program that CACHES returned frames across calls
+    accumulates blocks."""
     from ..tables import scale_out
 
     return scale_out(vectors).select(
