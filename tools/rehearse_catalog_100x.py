@@ -246,9 +246,18 @@ def main() -> None:
                 if base:
                     rec["factor"] = round(rec["s100x"] / base, 1)
                 prior = prior_rows.get(key, {})
+                # ADVICE r12: a pinned key's factor is only comparable
+                # to a prior factor measured under the SAME pinned
+                # regime (prior row carries sf01_pinned_s); against an
+                # old catalog-regime factor the ratio arm fires (or
+                # stays silent) on regime skew, not variance.  The
+                # absolute-time arm still runs — s100x is regime-free.
+                prior_factor = prior.get("factor")
+                if key in pinned and "sf01_pinned_s" not in prior:
+                    prior_factor = None
                 if should_rerun(
                     rec.get("factor"),
-                    prior.get("factor"),
+                    prior_factor,
                     s100x=rec["s100x"],
                     prior_s100x=prior.get("s100x"),
                 ):
