@@ -288,6 +288,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = MAX_BUCKET,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Dedup ``batch`` against itself and the persisted corpus, append
     the survivors + their index rows, return the accounting dict.
@@ -297,10 +298,53 @@ def ingest_batch(
 
     ``max_bucket``: hot-bucket cap for the candidate joins (see the
     module docstring); ``None`` restores the uncapped quadratic
-    semantics (rehearsal baselines only — never at scale)."""
+    semantics (rehearsal baselines only — never at scale).
+
+    ``txn=(app_id, batch_id)`` — the streaming replay contract
+    (r12 verdict item 8): without it, a crash between the DOCS append
+    and the index appends leaves the batch's docs PERMANENTLY
+    unindexed on replay (the re-delivered rows are absorbed as exact
+    corpus dups, so their signature/band rows are never recomputed —
+    the silent hole the old absorb-only idempotency hid).  With it:
+
+    * fully-applied batches (DOCS txn marker) return in O(1);
+    * crashed-append residue is discarded first (the source
+      re-delivers, so deletion — not adoption — is lossless here);
+    * appends run INDEX-FIRST / DOCS-LAST, each marker-skipped, so
+      every crash window replays to the same final state: the compute
+      is deterministic given the batch + committed DOCS, and DOCS —
+      the input every stage depends on — only advances at the final,
+      marker-carrying commit (transient orphan index rows are
+      invisible: candidate verification joins back to DOCS text);
+    * the COUNTS log needs no marker of its own — it is derived state
+      whose version-keyed sync sidecar already recounts from BANDS
+      whenever they diverge."""
+    sigs_applied = bands_applied = False
+    if txn is not None:
+        app_id, ver = txn[0], int(txn[1])
+
+        def _applied(t: str) -> bool:
+            v = store.last_txn_version(t, app_id)
+            return v is not None and v >= ver
+
+        if _applied(DOCS):
+            return {
+                "batch": 0, "exact_batch_dups": 0, "exact_corpus_dups": 0,
+                "near_dups": 0, "accepted": 0,
+                "corpus_size": store.count(DOCS), "replayed": True,
+            }
+        for t in (DOCS, SIGS, BANDS, COUNTS):
+            store.discard_uncommitted(t)
+        # a replay whose index appends already committed must see the
+        # PRE-BATCH index (its own committed rows filtered back out),
+        # or the recompute diverges from the original attempt — e.g.
+        # the batch's own hot buckets double-counted against the cap
+        sigs_applied = _applied(SIGS)
+        bands_applied = _applied(BANDS)
     batch = batch.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    batch_ids = batch.select("doc_id").distinct()
 
     # 1. intra-batch exact dedup: lowest id per content hash survives
     n_batch = batch.count()
@@ -332,6 +376,8 @@ def ingest_batch(
     ).localCheckpoint()
 
     stored_bands = store.read(BANDS) if store.exists(BANDS) else None
+    if bands_applied and stored_bands is not None:
+        stored_bands = stored_bands.join(batch_ids, "doc_id", "left_anti")
 
     # hot-bucket cap: combined (batch + stored) membership per bucket,
     # batch side semi-joined down to in-cap buckets — every pair
@@ -347,11 +393,28 @@ def ingest_batch(
         )
         if stored_bands is not None:
             _ensure_bucket_counts(store)
+            stored_counts = _stored_bucket_counts(store)
+            if bands_applied:
+                # subtract the replayed batch's own committed band
+                # rows so the cap sees the pre-batch corpus (O(batch):
+                # the residue is the batch's bucket incidence)
+                residue = _recount_buckets(
+                    store.read(BANDS).join(batch_ids, "doc_id", "left_semi")
+                ).withColumnRenamed("n_docs", "n_res")
+                stored_counts = stored_counts.join(
+                    residue, "bucket", "left"
+                ).select(
+                    "bucket",
+                    (
+                        F.col("n_docs")
+                        - F.coalesce(F.col("n_res"), F.lit(0).cast("bigint"))
+                    ).alias("n_docs"),
+                )
             combined_n = F.col("n_batch") + F.coalesce(
                 F.col("n_docs"), F.lit(0).cast("bigint")
             )
             small = (
-                batch_counts.join(_stored_bucket_counts(store), "bucket", "left")
+                batch_counts.join(stored_counts, "bucket", "left")
                 .filter(combined_n <= max_bucket)
                 .select("bucket")
             )
@@ -367,7 +430,12 @@ def ingest_batch(
             small, "bucket", "left_semi"
         ).localCheckpoint()
 
-    # batch-vs-corpus: equi-join against the STORED incidence list
+    # batch-vs-corpus: equi-join against the STORED incidence list.
+    # The id inequality is a no-op under the unique-id contract but
+    # load-bearing on txn replay: with the batch's own BANDS rows
+    # already committed (crash before the DOCS commit), (x, x)
+    # self-pairs would otherwise verify at Jaccard 1.0 and absorb the
+    # whole batch as near-dups of itself
     if stored_bands is not None:
         cross = (
             bands_joinable.withColumnRenamed("doc_id", "id_a")
@@ -375,6 +443,7 @@ def ingest_batch(
                 stored_bands.withColumnRenamed("doc_id", "id_b"),
                 "bucket",
             )
+            .filter(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
         )
@@ -395,8 +464,13 @@ def ingest_batch(
     # 4. precision filter + exact verify on the candidate slice only
     if store.exists(SIGS):
         old_ids = candidates.select(F.col("id_b").alias("doc_id")).distinct()
+        stored_sigs = store.read(SIGS)
+        if sigs_applied:
+            # replayed batch's committed sig rows would duplicate
+            # sigs_new in the agreement filter — pre-batch view only
+            stored_sigs = stored_sigs.join(batch_ids, "doc_id", "left_anti")
         sigs_all = sigs_new.unionByName(
-            store.read(SIGS).join(old_ids, "doc_id", "left_semi")
+            stored_sigs.join(old_ids, "doc_id", "left_semi")
         )
         texts_old = (
             store.read(DOCS)
@@ -426,13 +500,33 @@ def ingest_batch(
     # counts log migrates/self-heals (pre-append, so the recount
     # excludes this batch) then appends the delta so its per-bucket
     # sum vs the incidence list holds per batch
-    n_accepted = store.append(DOCS, accepted.select("doc_id", "text", "content_hash"))
     keep_ids = accepted.select("doc_id")
-    store.append(SIGS, sigs_new.join(keep_ids, "doc_id", "left_semi"))
+    kept_sigs = sigs_new.join(keep_ids, "doc_id", "left_semi")
     kept_bands = bands_new.join(keep_ids, "doc_id", "left_semi").localCheckpoint()
     _ensure_bucket_counts(store)
-    store.append(BANDS, kept_bands)
-    _add_bucket_counts(store, kept_bands)
+    if txn is None:
+        n_accepted = store.append(
+            DOCS, accepted.select("doc_id", "text", "content_hash")
+        )
+        store.append(SIGS, kept_sigs)
+        store.append(BANDS, kept_bands)
+        _add_bucket_counts(store, kept_bands)
+    else:
+        # index-first / DOCS-last, each append marker-skipped: the
+        # DOCS commit is the batch's single commit point (docstring)
+        if not sigs_applied:
+            store.append(SIGS, kept_sigs, txn=(app_id, ver))
+        if not bands_applied:
+            store.append(BANDS, kept_bands, txn=(app_id, ver))
+            # delta only for a band append made BY THIS CALL: a
+            # marker-skipped append either already added its delta or
+            # the version-keyed sync recounted it in above
+            _add_bucket_counts(store, kept_bands)
+        n_accepted = store.append(
+            DOCS,
+            accepted.select("doc_id", "text", "content_hash"),
+            txn=(app_id, ver),
+        )
 
     return {
         "batch": n_batch,
@@ -451,17 +545,30 @@ def ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Streaming form of :func:`ingest_batch`: each micro-batch dedups
-    against the corpus-so-far via ``foreachBatch`` (checkpointed
-    offsets deliver each file once; the ingest itself is idempotent for
-    re-delivered content because exact/near duplicates are absorbed, so
-    the combination is exactly-once-ish like the medallion stream
-    sink)."""
+    """Streaming form of :func:`ingest_batch`: checkpointed offsets
+    deliver each micro-batch at-least-once into ``foreachBatch``, and
+    the ``txn=(app_id, batch_id)`` marker chain inside ``ingest_batch``
+    turns the replay into exactly-once: a fully-committed batch is
+    skipped in O(1), and every partial crash window replays to the
+    same final corpus + index + counts state (r13 — previously the
+    stream relied on content absorption alone, which silently left
+    replayed docs unindexed when the crash fell between the DOCS and
+    index appends).
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    Caveat (same as Delta's txnAppId contract and ``streaming_agg``):
+    batch_ids are monotonic per CHECKPOINT — wiping the checkpoint
+    while keeping the corpus store resets them and the marker guard
+    would skip the replayed prefix; pair a fresh store with a fresh
+    checkpoint."""
+    app_id = "stream::corpus_ingest"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ingest_batch(store, batch_df, id_col=id_col, text_col=text_col)
+        ingest_batch(
+            store, batch_df, id_col=id_col, text_col=text_col,
+            txn=(app_id, int(batch_id)),
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(handle)

@@ -387,6 +387,36 @@ class TableStore:
             "adoption requires the single-writer contract"
         )
 
+    def discard_uncommitted(self, name: str) -> int:
+        """Inverse of :meth:`adopt_uncommitted`, for REPLAYED writers:
+        delete manifest-less data files so a re-delivered batch can
+        re-append without duplicating the crashed attempt's rows.
+
+        Adoption is the lossless repair when the lost batch is gone
+        for good; deletion is the lossless repair when the SOURCE
+        re-delivers it (checkpointed streaming replay) — adopting
+        there would double the rows the replay is about to write.
+        Only call under the single-writer replay contract (the
+        streaming corpus ingest): a concurrent writer's mid-flight
+        files are indistinguishable from crash residue.  Also resets
+        the count sidecar to committed truth (a crash between
+        ``_save_count`` and ``_commit`` leaves it inflated).  Returns
+        the number of files removed."""
+        self._heal(name)
+        if not self.exists(name):
+            return 0
+        latest = self._latest_manifest(name)
+        committed = set(latest["files"]) if latest else set()
+        removed = 0
+        for f in self._list_data_files(self.path(name)):
+            if f not in committed:
+                os.remove(os.path.join(self.path(name), f))
+                removed += 1
+        if removed:
+            self._save_count(name, latest["row_count"] if latest else 0)
+            self.spark.catalog.refreshByPath(self.path(name))
+        return removed
+
     @staticmethod
     def _txn_sidecars(table_dir: str) -> dict[str, int]:
         """Latest txn version per app_id from ``_txn-*`` sidecar files
@@ -412,6 +442,14 @@ class TableStore:
         the manifest write cannot lose it — cross-checked against the
         manifests' mirrored ``txn`` records."""
         best = self._txn_sidecars(self.path(name)).get(app_id)
+        # txn APPENDS publish the sidecar after the manifest commit, so
+        # a crash in between leaves the sidecar one behind; the latest
+        # manifest (O(1), single writer means the crashed append was
+        # the last commit) closes that window without a full-log scan
+        latest = self._latest_manifest(name)
+        t = latest.get("txn") if latest else None
+        if t and t.get("app_id") == app_id:
+            best = max(best if best is not None else -1, int(t["version"]))
         if best is not None:
             # sidecars are carried forward by every _replace, so a hit
             # IS the answer — do not also json-load the whole log.
@@ -554,9 +592,22 @@ class TableStore:
     # ---------------------------------------------------------------- sinks
 
     def append(
-        self, name: str, df: DataFrame, allow_schema_evolution: bool = False
+        self, name: str, df: DataFrame, allow_schema_evolution: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """S5 INSERT INTO; returns the number of rows appended.
+
+        ``txn=(app_id, version)``: idempotent-writer marker for append
+        sinks (the streaming corpus ingest).  Unlike ``_replace`` the
+        append has no atomic swap to travel with, so the marker is the
+        MANIFEST's mirrored ``txn`` record (one atomic ``os.link``
+        commit — marker present iff the append committed) and the
+        ``_txn-`` sidecar is published best-effort AFTER the commit;
+        ``last_txn_version`` cross-checks the latest manifest so the
+        sidecar-missing crash window cannot under-report.  A replayed
+        writer must clear crashed-append residue first
+        (``discard_uncommitted``) — marker absence says the append
+        didn't COMMIT, not that no files landed.
 
         Schema handling (Delta ``mergeSchema`` parity): a batch whose
         columns differ from the table is REFUSED unless
@@ -603,7 +654,18 @@ class TableStore:
             self._optimize_write(df), self.path(name), "append"
         )
         self._save_count(name, before + rows)
-        self._commit(name, "append", before + rows, new_lineage=not existed)
+        self._commit(
+            name, "append", before + rows, new_lineage=not existed, txn=txn
+        )
+        if txn is not None:
+            # best-effort fast-path sidecar; the manifest record above
+            # is the durable marker
+            open(
+                os.path.join(
+                    self.path(name), f"_txn-{txn[0]}-{int(txn[1])}"
+                ),
+                "w",
+            ).close()
         if not existed:
             self._register(name)
         else:

@@ -219,3 +219,118 @@ def test_streaming_ingest_recovers_after_midstream_crash(spark, tmp_path):
         got = sorted(tuple(r) for r in store.read(table).collect())
         want = sorted(tuple(r) for r in batch_store.read(table).collect())
         assert got == want, f"{table} diverged after crash-restart"
+
+
+# ---------------------------------------------------------------- txn replay
+
+
+def _tables_snapshot(store):
+    return {
+        t: sorted(tuple(r) for r in store.read(t).collect())
+        for t in (corpus.DOCS, corpus.SIGS, corpus.BANDS)
+    }
+
+
+def _bucket_counts(store):
+    return sorted(
+        tuple(r)
+        for r in corpus._stored_bucket_counts(store).collect()
+    )
+
+
+def _clean_reference(spark, tmp_path, batches):
+    ref = TableStore(spark, str(tmp_path / "wh_txn_ref"))
+    for i, rows in enumerate(batches):
+        corpus.ingest_batch(ref, _df(spark, rows), txn=("app", i))
+    return ref
+
+
+@pytest.mark.parametrize("crash_table", [corpus.SIGS, corpus.BANDS])
+def test_txn_replay_after_partial_index_commit(
+    spark, tmp_path, crash_table
+):
+    """Crash AFTER one index append committed but before the batch's
+    DOCS commit point: the replay must marker-skip the committed
+    append, recompute against the PRE-BATCH index view, and land a
+    final state row-identical to a clean run — including the counts
+    log.  This is the window the absorb-only idempotency could not
+    cover (the old DOCS-first order left replayed docs permanently
+    unindexed)."""
+    b1 = [(1, A), (2, B)]
+    b2 = [(11, A), (12, B_NEAR), (13, D), (14, C)]
+    store = TableStore(spark, str(tmp_path / "wh_txn_crash"))
+    corpus.ingest_batch(store, _df(spark, b1), txn=("app", 0))
+
+    real_append = store.append
+
+    def crashing_append(name, df, **kw):
+        rows = real_append(name, df, **kw)
+        if name == crash_table:
+            raise RuntimeError("injected crash after index append")
+        return rows
+
+    store.append = crashing_append
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus.ingest_batch(store, _df(spark, b2), txn=("app", 1))
+    finally:
+        store.append = real_append
+
+    # the crashed batch's docs are NOT in the corpus yet (DOCS is the
+    # commit point) …
+    assert store.last_txn_version(corpus.DOCS, "app") == 0
+    # … and the replay completes it exactly once
+    r = corpus.ingest_batch(store, _df(spark, b2), txn=("app", 1))
+    assert r["accepted"] == 2 and r["near_dups"] == 1
+
+    ref = _clean_reference(spark, tmp_path, [b1, b2])
+    assert _tables_snapshot(store) == _tables_snapshot(ref)
+    assert _bucket_counts(store) == _bucket_counts(ref)
+
+
+def test_txn_replay_discards_uncommitted_residue(spark, tmp_path):
+    """Crash BETWEEN the parquet job and the manifest commit: the
+    orphan files must be DISCARDED on replay (the source re-delivers),
+    not adopted — adoption would double the rows the replay is about
+    to append."""
+    b1 = [(1, A), (2, B)]
+    b2 = [(13, D), (14, C)]
+    store = TableStore(spark, str(tmp_path / "wh_txn_residue"))
+    corpus.ingest_batch(store, _df(spark, b1), txn=("app", 0))
+
+    # simulate: batch 1's SIGS parquet job committed, manifest lost
+    sigs_path = store.path(corpus.SIGS)
+    corpus._signatures(
+        _df(spark, b2), "doc_id", "text"
+    ).write.mode("append").parquet(sigs_path)
+    assert store.uncommitted_files(corpus.SIGS)
+
+    r = corpus.ingest_batch(store, _df(spark, b2), txn=("app", 1))
+    assert r["accepted"] == 2
+    assert not store.uncommitted_files(corpus.SIGS)
+
+    ref = _clean_reference(spark, tmp_path, [b1, b2])
+    assert _tables_snapshot(store) == _tables_snapshot(ref)
+    assert _bucket_counts(store) == _bucket_counts(ref)
+
+
+def test_txn_fully_applied_batch_skips_in_o1(spark, tmp_path):
+    """A replayed batch whose DOCS marker is present returns without
+    touching any table — the O(1) fast path."""
+    store = TableStore(spark, str(tmp_path / "wh_txn_skip"))
+    corpus.ingest_batch(store, _df(spark, [(1, A), (2, B)]), txn=("app", 0))
+    before = _tables_snapshot(store)
+    versions = {
+        t: store.current_version(t)
+        for t in (corpus.DOCS, corpus.SIGS, corpus.BANDS, corpus.COUNTS)
+    }
+
+    r = corpus.ingest_batch(
+        store, _df(spark, [(1, A), (2, B)]), txn=("app", 0)
+    )
+    assert r["replayed"] is True and r["corpus_size"] == 2
+    assert _tables_snapshot(store) == before
+    assert versions == {
+        t: store.current_version(t)
+        for t in (corpus.DOCS, corpus.SIGS, corpus.BANDS, corpus.COUNTS)
+    }

@@ -1,0 +1,172 @@
+"""Round-13 rehearsal: streaming corpus ingest under foreachBatch with
+the txn marker chain (VERDICT r12 item 8) — the shape a production
+100 TB pipeline actually runs: file drops arrive, checkpointed offsets
+feed micro-batches, a crash mid-stream is replayed on restart.
+
+What it measures/proves, appended as JSONL rows to the artifact:
+
+* per-micro-batch wall time over N drops of the scaled documents
+  table (flat-in-corpus-size is the pass criterion, same as the batch
+  rehearsal);
+* a crash injected AFTER batch K's side effects commit but BEFORE its
+  offset does (the worst restart window): on restart the replayed
+  batch must hit the O(1) txn fast path — recorded as
+  ``replay_skip_s`` (the old absorb-only path re-ran the full ~20 s
+  dedup here);
+* final invariants, each recorded with its own row: COUNTS log sum ==
+  recount from BANDS; SIGS row-set == signatures recomputed from DOCS
+  (xxhash64 content hash + count, not a collect); BANDS likewise.
+
+Usage:
+    python tools/gen_scale_docs.py /tmp/sfscale100 100     # once
+    python tools/rehearse_stream_corpus.py [docs_dir] [out_jsonl] [n_batches]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    docs_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale100"
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "REHEARSE_STREAM_CORPUS.jsonl"
+    )
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    crash_at = n_batches // 2
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_gcp_implementation_spark.pipeline import corpus
+    from delta_lake_gcp_implementation_spark.pipeline.storage import TableStore
+    from delta_lake_gcp_implementation_spark.session import get_spark
+
+    spark = get_spark(app_name="rehearse_stream_corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = open(out_path, "a")
+
+    def emit(rec: dict) -> None:
+        out.write(json.dumps(rec) + "\n")
+        out.flush()
+        print(rec, flush=True)
+
+    docs = spark.read.parquet(f"{docs_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        drops = os.path.join(tmp, "drops")
+        for i in range(n_batches):
+            docs.filter(F.col("doc_id") % n_batches == i).write.mode(
+                "append"
+            ).parquet(drops)
+
+        store = TableStore(spark, os.path.join(tmp, "wh"))
+        ckpt = os.path.join(tmp, "ckpt")
+
+        timings: list[dict] = []
+        real_ingest = corpus.ingest_batch
+        state = {"n": 0, "crashed": False}
+
+        def timed_ingest(st, batch, **kw):
+            t0 = time.perf_counter()
+            r = real_ingest(st, batch, **kw)
+            dt = round(time.perf_counter() - t0, 2)
+            timings.append(
+                {
+                    "batch": state["n"],
+                    "s": dt,
+                    "accepted": r.get("accepted"),
+                    "replayed": r.get("replayed", False),
+                    "corpus_size": r.get("corpus_size"),
+                }
+            )
+            if state["n"] == crash_at and not state["crashed"]:
+                state["crashed"] = True
+                raise RuntimeError("injected crash after commit")
+            state["n"] += 1
+            return r
+
+        def make_stream():
+            return (
+                spark.readStream.schema("doc_id LONG, text STRING")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(drops)
+            )
+
+        corpus.ingest_batch = timed_ingest
+        try:
+            try:
+                corpus.ingest_stream(store, make_stream(), ckpt)
+            except Exception as e:  # noqa: BLE001 - the injected crash
+                emit({"event": "crash", "batch": crash_at, "err": str(e)[:60]})
+            corpus.ingest_stream(store, make_stream(), ckpt)
+        finally:
+            corpus.ingest_batch = real_ingest
+
+        for t in timings:
+            emit(t)
+        replays = [t for t in timings if t["replayed"]]
+        if replays:
+            emit({"event": "replay_skip_s", "s": replays[0]["s"]})
+
+        # final invariants ------------------------------------------------
+        def content_sig(df):
+            cols = sorted(df.columns)
+            row = df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(*cols)).alias("h"),
+            ).collect()[0]
+            return (row.n, row.h)
+
+        stored_counts = corpus._stored_bucket_counts(store)
+        recount = corpus._recount_buckets(store.read(corpus.BANDS))
+        emit(
+            {
+                "check": "counts_log_vs_recount",
+                "ok": content_sig(stored_counts) == content_sig(recount),
+            }
+        )
+        docs_now = store.read(corpus.DOCS).select("doc_id", "text")
+        emit(
+            {
+                "check": "sigs_match_docs",
+                "ok": content_sig(store.read(corpus.SIGS))
+                == content_sig(
+                    corpus._signatures(docs_now, "doc_id", "text")
+                ),
+            }
+        )
+        from delta_lake_gcp_implementation_spark.operators import (
+            dedup as dedup_ops,
+        )
+
+        emit(
+            {
+                "check": "bands_match_docs",
+                "ok": content_sig(store.read(corpus.BANDS))
+                == content_sig(
+                    dedup_ops.minhash_band_incidence(
+                        corpus._signatures(docs_now, "doc_id", "text"),
+                        "doc_id",
+                        n_hashes=corpus.MH_N,
+                        band_size=corpus.MH_BAND,
+                    )
+                ),
+            }
+        )
+        emit({"event": "done", "corpus_size": store.count(corpus.DOCS)})
+    out.close()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
