@@ -121,9 +121,11 @@ def main() -> None:
         # final invariants ------------------------------------------------
         def content_sig(df):
             cols = sorted(df.columns)
+            # decimal sum: a plain BIGINT sum of 64-bit hashes
+            # overflows under ANSI mode
             row = df.select(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64(*cols)).alias("h"),
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
             ).collect()[0]
             return (row.n, row.h)
 
