@@ -12,6 +12,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from rehearse_catalog_100x import (  # noqa: E402
+    comparable_prior_factor,
     load_prior_factors,
     load_prior_rows,
     should_rerun,
@@ -74,3 +75,20 @@ def test_load_prior_rows_exposes_times(tmp_path):
     )
     rows = load_prior_rows(str(tmp_path))
     assert rows["a"]["s100x"] == 5.0
+
+
+def test_comparable_prior_factor_gates_regime_mixed_pinned_rows():
+    # pinned key, prior row from the old catalog-regime sweep: the
+    # factor arm must stay silent until a like-regime row exists
+    assert comparable_prior_factor(
+        "contamination_check", {"factor": 3.1}, {"contamination_check"}
+    ) is None
+    # pinned key with a like-regime prior: comparable
+    assert comparable_prior_factor(
+        "contamination_check",
+        {"factor": 3.1, "sf01_pinned_s": 1.9},
+        {"contamination_check"},
+    ) == 3.1
+    # unpinned keys are always comparable
+    assert comparable_prior_factor("dim_date", {"factor": 4.0}, {"x"}) == 4.0
+    assert comparable_prior_factor("dim_date", {}, set()) is None

@@ -126,6 +126,21 @@ def should_rerun(
     )
 
 
+def comparable_prior_factor(
+    key: str, prior_row: dict, pinned_keys: set[str] | frozenset[str]
+) -> float | None:
+    """ADVICE r12: a pinned key's factor is only comparable to a prior
+    factor measured under the SAME pinned regime (the prior row carries
+    ``sf01_pinned_s``); against an old catalog-regime factor the ratio
+    arm fires (or stays silent) on regime skew, not variance.  Returns
+    the prior factor to feed :func:`should_rerun`, or None when the
+    regimes differ.  The absolute-time arm is unaffected — s100x is
+    regime-free."""
+    if key in pinned_keys and "sf01_pinned_s" not in prior_row:
+        return None
+    return prior_row.get("factor")
+
+
 def load_prior_rows(repo_root: str) -> dict[str, dict]:
     """Per-key row from the newest committed BENCH_100X_r*.jsonl
     (error rows carry no factor and are skipped)."""
@@ -246,15 +261,9 @@ def main() -> None:
                 if base:
                     rec["factor"] = round(rec["s100x"] / base, 1)
                 prior = prior_rows.get(key, {})
-                # ADVICE r12: a pinned key's factor is only comparable
-                # to a prior factor measured under the SAME pinned
-                # regime (prior row carries sf01_pinned_s); against an
-                # old catalog-regime factor the ratio arm fires (or
-                # stays silent) on regime skew, not variance.  The
-                # absolute-time arm still runs — s100x is regime-free.
-                prior_factor = prior.get("factor")
-                if key in pinned and "sf01_pinned_s" not in prior:
-                    prior_factor = None
+                prior_factor = comparable_prior_factor(
+                    key, prior, set(pinned)
+                )
                 if should_rerun(
                     rec.get("factor"),
                     prior_factor,
