@@ -2405,7 +2405,10 @@ def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     aggregation evaluates lang_id map-side INSIDE the scan stage, so
     a one-row-group file serializes every regexp evaluation on one
     core (r13 profile: 30.7 s single-threaded vs 0.8 s spread at
-    100x — the r12 sweep's worst factor, 37.2x)."""
+    100x — the r12 sweep's worst factor, 37.2x).  The cells frame
+    (|langs|^2 rows) feeds the totals agg AND the final join, so it is
+    checkpointed — without it each consumer re-runs the full scan +
+    ladder (2 scans in the executed plan)."""
     from ..tables import scale_out
 
     d = load_table(spark, sf, "documents")
@@ -2417,6 +2420,7 @@ def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("lang_labeled", "lang_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint()
     )
     totals = cells.groupBy("lang_labeled").agg(
         F.sum("n_docs").cast("bigint").alias("_t")

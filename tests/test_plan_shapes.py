@@ -55,6 +55,17 @@ SCAN_BOUNDS = {
     "scd2_delta": 1,
     "above_avg_spenders": 2,
     "two_phase_skew_agg": 1,
+    # round-13 fixes: straggler checkpoints (ann_ivf_topk assignment,
+    # corpus_curation scalars, lang_confusion cells), the tf-frame
+    # fusion, and the winnowing hash-partition rework (fingerprints'
+    # 1 is its single source read; containment reads the checkpointed
+    # fingerprint frame only)
+    "tfidf_topk": 0,
+    "corpus_curation": 0,
+    "ann_ivf_topk": 0,
+    "lang_confusion": 0,
+    "winnowing_fingerprints": 1,
+    "winnowing_containment": 0,
 }
 
 
