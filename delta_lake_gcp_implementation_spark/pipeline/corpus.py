@@ -289,6 +289,7 @@ def ingest_batch(
     text_col: str = "text",
     max_bucket: int | None = MAX_BUCKET,
     txn: tuple[str, int] | None = None,
+    discard_residue: bool = True,
 ) -> dict:
     """Dedup ``batch`` against itself and the persisted corpus, append
     the survivors + their index rows, return the accounting dict.
@@ -318,7 +319,13 @@ def ingest_batch(
       invisible: candidate verification joins back to DOCS text);
     * the COUNTS log needs no marker of its own — it is derived state
       whose version-keyed sync sidecar already recounts from BANDS
-      whenever they diverge."""
+      whenever they diverge.
+
+    ``discard_residue=False`` skips the residue sweep: crash residue
+    can only exist on the FIRST batch after a (re)start (single-writer
+    contract — every later batch follows a fully committed one), so a
+    long-running stream passes True once and False thereafter instead
+    of paying four directory walks per micro-batch (r13 review)."""
     sigs_applied = bands_applied = False
     if txn is not None:
         app_id, ver = txn[0], int(txn[1])
@@ -333,8 +340,9 @@ def ingest_batch(
                 "near_dups": 0, "accepted": 0,
                 "corpus_size": store.count(DOCS), "replayed": True,
             }
-        for t in (DOCS, SIGS, BANDS, COUNTS):
-            store.discard_uncommitted(t)
+        if discard_residue:
+            for t in (DOCS, SIGS, BANDS, COUNTS):
+                store.discard_uncommitted(t)
         # a replay whose index appends already committed must see the
         # PRE-BATCH index (its own committed rows filtered back out),
         # or the recompute diverges from the original attempt — e.g.
@@ -561,6 +569,10 @@ def ingest_stream(
     would skip the replayed prefix; pair a fresh store with a fresh
     checkpoint."""
     app_id = "stream::corpus_ingest"
+    # crash residue can only exist on the first batch after a restart
+    # (single-writer contract), so sweep once per stream start instead
+    # of walking four table directories every micro-batch
+    state = {"swept": False}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -568,7 +580,9 @@ def ingest_stream(
         ingest_batch(
             store, batch_df, id_col=id_col, text_col=text_col,
             txn=(app_id, int(batch_id)),
+            discard_residue=not state["swept"],
         )
+        state["swept"] = True
 
     q = (
         stream_df.writeStream.foreachBatch(handle)

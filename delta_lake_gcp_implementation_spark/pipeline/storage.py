@@ -401,19 +401,38 @@ class TableStore:
         files are indistinguishable from crash residue.  Also resets
         the count sidecar to committed truth (a crash between
         ``_save_count`` and ``_commit`` leaves it inflated).  Returns
-        the number of files removed."""
+        the number of files removed.
+
+        A table with data files but NO committed manifest is removed
+        WHOLE (directory + meta sidecar), restoring ``exists() ==
+        False``: under the replay contract it is entirely the residue
+        of a crashed first append, and deleting only its files would
+        leave an empty directory that ``exists()`` reports but
+        ``read()`` cannot infer a schema from — a permanent replay
+        crash loop (r13 review).  Corollary of the contract: never
+        point this at a pre-manifest LEGACY table — its files look
+        exactly like first-append residue."""
         self._heal(name)
         if not self.exists(name):
             return 0
         latest = self._latest_manifest(name)
-        committed = set(latest["files"]) if latest else set()
+        if latest is None:
+            files = self._list_data_files(self.path(name))
+            shutil.rmtree(self.path(name))
+            try:
+                os.remove(self._meta_path(name))
+            except OSError:
+                pass
+            self.spark.catalog.refreshByPath(self.path(name))
+            return len(files)
+        committed = set(latest["files"])
         removed = 0
         for f in self._list_data_files(self.path(name)):
             if f not in committed:
                 os.remove(os.path.join(self.path(name), f))
                 removed += 1
         if removed:
-            self._save_count(name, latest["row_count"] if latest else 0)
+            self._save_count(name, latest["row_count"])
             self.spark.catalog.refreshByPath(self.path(name))
         return removed
 
@@ -659,13 +678,26 @@ class TableStore:
         )
         if txn is not None:
             # best-effort fast-path sidecar; the manifest record above
-            # is the durable marker
+            # is the durable marker.  Prune this app's older sidecars
+            # in the same step — versions are monotonic per app, so
+            # only the newest matters, and one file per batch per
+            # table would otherwise grow the directory listing forever
+            # (r13 review; _replace compacts the same way)
+            app, ver = txn[0], int(txn[1])
             open(
-                os.path.join(
-                    self.path(name), f"_txn-{txn[0]}-{int(txn[1])}"
-                ),
-                "w",
+                os.path.join(self.path(name), f"_txn-{app}-{ver}"), "w"
             ).close()
+            prefix = f"_txn-{app}-"
+            for f in os.listdir(self.path(name)):
+                if (
+                    f.startswith(prefix)
+                    and f[len(prefix):].isdigit()
+                    and int(f[len(prefix):]) < ver
+                ):
+                    try:
+                        os.remove(os.path.join(self.path(name), f))
+                    except OSError:
+                        pass
         if not existed:
             self._register(name)
         else:

@@ -334,3 +334,26 @@ def test_txn_fully_applied_batch_skips_in_o1(spark, tmp_path):
         t: store.current_version(t)
         for t in (corpus.DOCS, corpus.SIGS, corpus.BANDS, corpus.COUNTS)
     }
+
+
+def test_txn_first_batch_residue_is_removed_whole(spark, tmp_path):
+    """Crash during the FIRST-ever batch between an index table's
+    parquet job and its first manifest: the table has data files but
+    no committed manifest.  The replay must remove it WHOLE (restoring
+    exists() == False) — deleting only the files would leave an empty
+    directory that read()/append() cannot infer a schema from, a
+    permanent replay crash loop (r13 review)."""
+    b1 = [(1, A), (2, B)]
+    store = TableStore(spark, str(tmp_path / "wh_txn_first"))
+    # simulate: batch 0's SIGS parquet job committed, no manifest ever
+    corpus._signatures(_df(spark, b1), "doc_id", "text").write.parquet(
+        store.path(corpus.SIGS)
+    )
+    assert store.exists(corpus.SIGS)
+
+    r = corpus.ingest_batch(store, _df(spark, b1), txn=("app", 0))
+    assert r["accepted"] == 2
+
+    ref = _clean_reference(spark, tmp_path, [b1])
+    assert _tables_snapshot(store) == _tables_snapshot(ref)
+    assert _bucket_counts(store) == _bucket_counts(ref)

@@ -89,6 +89,13 @@ def test_comparable_prior_factor_gates_regime_mixed_pinned_rows():
         {"factor": 3.1, "sf01_pinned_s": 1.9},
         {"contamination_check"},
     ) == 3.1
-    # unpinned keys are always comparable
+    # unpinned key with an unpinned prior: comparable
     assert comparable_prior_factor("dim_date", {"factor": 4.0}, {"x"}) == 4.0
     assert comparable_prior_factor("dim_date", {}, set()) is None
+    # key UNPINNED this round vs its old pinned-regime prior: the gate
+    # is bidirectional (r13 review)
+    assert comparable_prior_factor(
+        "contamination_check",
+        {"factor": 3.1, "sf01_pinned_s": 1.9},
+        set(),
+    ) is None

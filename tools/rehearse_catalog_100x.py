@@ -129,14 +129,16 @@ def should_rerun(
 def comparable_prior_factor(
     key: str, prior_row: dict, pinned_keys: set[str] | frozenset[str]
 ) -> float | None:
-    """ADVICE r12: a pinned key's factor is only comparable to a prior
-    factor measured under the SAME pinned regime (the prior row carries
-    ``sf01_pinned_s``); against an old catalog-regime factor the ratio
-    arm fires (or stays silent) on regime skew, not variance.  Returns
-    the prior factor to feed :func:`should_rerun`, or None when the
-    regimes differ.  The absolute-time arm is unaffected — s100x is
+    """ADVICE r12: a factor is only comparable to a prior factor
+    measured under the SAME regime — a row's regime is pinned iff it
+    carries ``sf01_pinned_s``.  The gate is BIDIRECTIONAL (r13
+    review): a key newly pinned this round must not compare against a
+    catalog-regime prior, and a key UNPINNED this round must not
+    compare against its old pinned-regime prior.  Returns the prior
+    factor to feed :func:`should_rerun`, or None when the regimes
+    differ.  The absolute-time arm is unaffected — s100x is
     regime-free."""
-    if key in pinned_keys and "sf01_pinned_s" not in prior_row:
+    if (key in pinned_keys) != ("sf01_pinned_s" in prior_row):
         return None
     return prior_row.get("factor")
 
