@@ -91,6 +91,9 @@ compactions.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -552,6 +555,7 @@ def ingest_stream(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    app_id: str | None = None,
 ) -> None:
     """Streaming form of :func:`ingest_batch`: checkpointed offsets
     deliver each micro-batch at-least-once into ``foreachBatch``, and
@@ -567,8 +571,22 @@ def ingest_stream(
     batch_ids are monotonic per CHECKPOINT — wiping the checkpoint
     while keeping the corpus store resets them and the marker guard
     would skip the replayed prefix; pair a fresh store with a fresh
-    checkpoint."""
-    app_id = "stream::corpus_ingest"
+    checkpoint.
+
+    ``app_id`` defaults to a value DERIVED from the checkpoint
+    location (Delta's per-query txnAppId convention, r13 ADVICE): the
+    marker chain's identity must follow the batch_id sequence, which
+    lives in the checkpoint — a hardcoded app_id made any second
+    streaming query (new checkpoint, batch_ids restarting at 0)
+    pointed at the same store silently marker-skip its first batches
+    against the first query's markers.  Pass ``app_id`` explicitly to
+    RESUME an existing marker chain from a relocated checkpoint
+    directory (same offsets, new path)."""
+    if app_id is None:
+        digest = hashlib.sha256(
+            os.path.abspath(checkpoint_dir).encode()
+        ).hexdigest()[:16]
+        app_id = f"stream::corpus_ingest::{digest}"
     # crash residue can only exist on the first batch after a restart
     # (single-writer contract), so sweep once per stream start instead
     # of walking four table directories every micro-batch

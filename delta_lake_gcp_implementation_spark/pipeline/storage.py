@@ -411,7 +411,20 @@ class TableStore:
         ``read()`` cannot infer a schema from — a permanent replay
         crash loop (r13 review).  Corollary of the contract: never
         point this at a pre-manifest LEGACY table — its files look
-        exactly like first-append residue."""
+        exactly like first-append residue.
+
+        Crashed-_replace window (r13 ADVICE): append residue is
+        strictly ADDITIVE to the committed file set, but a ``_replace``
+        that crashed between promoting its staging dir and committing
+        its manifest leaves the live dir holding an entirely NEW
+        lineage while the latest manifest still names the OLD one
+        (whose files were archived during the swap).  Treating that as
+        residue would delete every live file and leave an unreadable
+        empty dir behind a stale manifest.  The discriminator is
+        committed files MISSING from the live dir — impossible for
+        append residue — and the repair is a rollback, not deletion:
+        park the uncommitted promoted lineage as a vacuum-expirable
+        orphan and restore the committed lineage from the archive."""
         self._heal(name)
         if not self.exists(name):
             return 0
@@ -426,14 +439,41 @@ class TableStore:
             self.spark.catalog.refreshByPath(self.path(name))
             return len(files)
         committed = set(latest["files"])
+        final = self.path(name)
+        live = self._list_data_files(final)
+        if committed - set(live):
+            archived = os.path.join(
+                self._versions_dir(name), str(latest["lineage"])
+            )
+            if not os.path.isdir(archived) or any(
+                not os.path.exists(os.path.join(archived, f))
+                for f in committed
+            ):
+                raise RuntimeError(
+                    f"{name}: committed files are missing from the live "
+                    "dir and the committed lineage "
+                    f"{latest['lineage']} is not intact in the archive "
+                    "— refusing to discard (would destroy the only "
+                    "copy of uncommitted data without restoring a "
+                    "readable table)"
+                )
+            vdir = self._versions_dir(name)
+            orphan = os.path.join(
+                vdir, f"replay-orphan-{uuid.uuid4().hex[:6]}"
+            )
+            os.rename(final, orphan)
+            os.rename(archived, final)
+            self._save_count(name, latest["row_count"])
+            self.spark.catalog.refreshByPath(final)
+            return len(live)
         removed = 0
-        for f in self._list_data_files(self.path(name)):
+        for f in live:
             if f not in committed:
-                os.remove(os.path.join(self.path(name), f))
+                os.remove(os.path.join(final, f))
                 removed += 1
         if removed:
             self._save_count(name, latest["row_count"])
-            self.spark.catalog.refreshByPath(self.path(name))
+            self.spark.catalog.refreshByPath(final)
         return removed
 
     @staticmethod
@@ -462,25 +502,22 @@ class TableStore:
         manifests' mirrored ``txn`` records."""
         best = self._txn_sidecars(self.path(name)).get(app_id)
         # txn APPENDS publish the sidecar after the manifest commit, so
-        # a crash in between leaves the sidecar one behind; the latest
-        # manifest (O(1), single writer means the crashed append was
-        # the last commit) closes that window without a full-log scan
-        latest = self._latest_manifest(name)
-        t = latest.get("txn") if latest else None
-        if t and t.get("app_id") == app_id:
-            best = max(best if best is not None else -1, int(t["version"]))
-        if best is not None:
-            # sidecars are carried forward by every _replace, so a hit
-            # IS the answer — do not also json-load the whole log.
-            # foreachBatch maintenance calls this once per micro-batch,
-            # and a per-call full-log scan is O(versions) per batch /
-            # O(n^2) over a long-running stream (r7 ADVICE).
-            return best
-        # No sidecar (e.g. table replaced by an outside writer that
-        # dropped underscore files): fall back to the mirrored manifest
-        # records, newest-first, stopping at the first match — an app's
-        # txn versions are committed in increasing order, so the newest
-        # manifest that carries the app is its maximum.
+        # a crash in between leaves the sidecar one behind.  The
+        # mirrored manifest records close that window: walk the log
+        # NEWEST-FIRST and stop at the first manifest carrying this
+        # app's txn record — an app's txn versions commit in increasing
+        # order, so the newest manifest that carries the app is its
+        # maximum.  Stopping at the latest manifest alone is NOT enough
+        # (r13 ADVICE): any non-txn commit (adopt / compaction /
+        # offline rebuild) landing between the sidecar-less txn append
+        # and the replay hides the record one manifest down and the
+        # under-reported marker double-appends the batch.  Cost stays
+        # bounded in the steady state — the scan walks only commits
+        # SINCE the app's newest txn commit (O(1) for a live stream,
+        # not the O(versions)-per-batch full-log scan r7 flagged) —
+        # and the sidecar floor keeps the answer right even when the
+        # log was vacuumed past the app's last mirrored record.
+        newest_mirrored: int | None = None
         log = self._log_dir(name)
         if os.path.isdir(log):
             vers = sorted(
@@ -493,9 +530,30 @@ class TableStore:
             )
             for v in vers:
                 t = self._load_manifest(name, v).get("txn")
-                if t and t["app_id"] == app_id:
-                    return int(t["version"])
-        return None
+                if t and t.get("app_id") == app_id:
+                    newest_mirrored = int(t["version"])
+                    break
+        if best is None and newest_mirrored is None:
+            return None
+        if newest_mirrored is not None and (
+            best is None or newest_mirrored > best
+        ):
+            # self-repair the crashed append's missing sidecar (touch a
+            # marker file, same publication the append itself would
+            # have made) so the reconciled answer is durable even after
+            # the mirrored manifest is vacuumed away
+            try:
+                open(
+                    os.path.join(
+                        self.path(name),
+                        f"_txn-{app_id}-{newest_mirrored}",
+                    ),
+                    "w",
+                ).close()
+            except OSError:
+                pass
+            return newest_mirrored
+        return best
 
     def versions(self, name: str) -> list[dict]:
         """Commit history, oldest first: version / op / row_count."""
@@ -622,8 +680,10 @@ class TableStore:
         MANIFEST's mirrored ``txn`` record (one atomic ``os.link``
         commit — marker present iff the append committed) and the
         ``_txn-`` sidecar is published best-effort AFTER the commit;
-        ``last_txn_version`` cross-checks the latest manifest so the
-        sidecar-missing crash window cannot under-report.  A replayed
+        ``last_txn_version`` cross-checks the mirrored records
+        newest-first (and self-repairs the sidecar) so the
+        sidecar-missing crash window cannot under-report, even when
+        later non-txn commits land before the replay (r13 ADVICE).  A replayed
         writer must clear crashed-append residue first
         (``discard_uncommitted``) — marker absence says the append
         didn't COMMIT, not that no files landed.

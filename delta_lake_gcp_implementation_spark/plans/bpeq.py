@@ -16,6 +16,8 @@ treatment ``dup_clusters`` gives iterative connected components.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as sqltypes
 
@@ -24,6 +26,79 @@ from ..tables import load_table
 
 #: merge rounds learned by the catalog query (shared with the oracle).
 N_MERGES = 6
+
+# ------------------------------------------------------------------
+# Shared trained tokenizer (r13 verdict item 4): all four BPE catalog
+# keys (merges / encode / packing / fertility) train the SAME
+# N_MERGES-merge tokenizer on the SAME immutable corpus, so within a
+# session the training loop and the per-doc encode join run ONCE and
+# every key pays only its own marginal aggregation — the production
+# shape (a tokenizer is trained once and applied many times), and the
+# same device as semantic_dedup's per-sf corpus-count memo.  Keyed by
+# (Spark applicationId, sf dir): localCheckpoints die with the
+# context, so a fresh session rebuilds; the sf parquet tables are
+# immutable driver fixtures, so a dir-level key is sound.
+_TRAIN_MEMO: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+_ENCODE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, sf: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, os.path.abspath(sf))
+
+
+def trained_bpe(spark: SparkSession, sf: str) -> tuple[list, DataFrame]:
+    """Train (once per session per sf dir) the N_MERGES-merge BPE
+    tokenizer on the documents corpus; returns (merge list, final
+    symbolized vocab).  The vocab frame arrives localCheckpoint-ed
+    from ``bpe_train``, so cached reuse re-reads executor blocks, not
+    the corpus."""
+    key = _memo_key(spark, sf)
+    hit = _TRAIN_MEMO.get(key)
+    if hit is None:
+        d = load_table(spark, sf, "documents")
+        vocab = bpe_ops.word_freqs(d, "text")
+        hit = bpe_ops.bpe_train(vocab, N_MERGES)
+        _TRAIN_MEMO[key] = hit
+    return hit
+
+
+def encode_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc exact BPE token counts — (doc_id, n_words,
+    n_bpe_tokens) — under the shared trained tokenizer, built once per
+    session per sf dir and localCheckpoint-ed.
+
+    Spark-first shape: the merge list is learned on the bounded vocab,
+    then ENCODING is a broadcast join of the final word -> n_subwords
+    table onto the exploded corpus — the token stream is never folded
+    per-merge (words repeat; the vocab table already carries each
+    word's final segmentation)."""
+    from pyspark.sql import functions as F
+
+    key = _memo_key(spark, sf)
+    hit = _ENCODE_MEMO.get(key)
+    if hit is None:
+        _, state = trained_bpe(spark, sf)
+        seg = state.select(
+            "word", F.size("syms").cast("bigint").alias("n_subwords")
+        )
+        d = load_table(spark, sf, "documents")
+        words = d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
+            ).alias("word"),
+        ).filter(F.col("word") != "")
+        hit = (
+            words.join(F.broadcast(seg), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                F.sum("n_subwords").cast("bigint").alias("n_bpe_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _ENCODE_MEMO[key] = hit
+    return hit
 
 # DuckDB mirror of functions.text.tokens (explicit class, no \s —
 # Java \s includes \x0B, RE2's does not).
@@ -47,9 +122,7 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Train ``N_MERGES`` BPE merges on the documents corpus and return
     the merge table — rank, pair, merged symbol, and the
     frequency-weighted pair count that won the round."""
-    d = load_table(spark, sf, "documents")
-    vocab = bpe_ops.word_freqs(d, "text")
-    merges, _ = bpe_ops.bpe_train(vocab, N_MERGES)
+    merges, _ = trained_bpe(spark, sf)
     return spark.createDataFrame(
         [(m.rank, m.left, m.right, m.merged, m.count) for m in merges],
         _MERGES_SCHEMA,
@@ -126,36 +199,11 @@ ORACLE_BPE_MERGES = _oracle_bpe_merges()
 
 def q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Apply the trained tokenizer to the corpus: per document, the
-    BPE token count after ``N_MERGES`` merges vs the raw character
-    count — the compression-ratio signal a tokenizer sweep optimizes.
-
-    Spark-first shape: the merge list is learned once (bounded vocab
-    iterations), then ENCODING is a broadcast join of the final
-    word -> n_subwords table onto the exploded corpus — the token
-    stream is never folded per-merge (words repeat; the vocab table
-    already carries each word's final segmentation)."""
-    from pyspark.sql import functions as F
-
-    d = load_table(spark, sf, "documents")
-    vocab = bpe_ops.word_freqs(d, "text")
-    _, state = bpe_ops.bpe_train(vocab, N_MERGES)
-    seg = state.select(
-        "word", F.size("syms").cast("bigint").alias("n_subwords")
-    )
-    words = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
-        ).alias("word"),
-    ).filter(F.col("word") != "")
-    return (
-        words.join(F.broadcast(seg), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("n_subwords").cast("bigint").alias("n_bpe_tokens"),
-        )
-    )
+    BPE token count after ``N_MERGES`` merges vs the raw word count —
+    the compression-ratio signal a tokenizer sweep optimizes.  The
+    heavy lifting (train + encode join) lives in the session-shared
+    ``encode_frame``; see its docstring for the Spark-first shape."""
+    return encode_frame(spark, sf)
 
 
 def _oracle_bpe_encode() -> str:
@@ -201,8 +249,8 @@ def q_packing_stats(spark: SparkSession, sf: str) -> DataFrame:
     context length — the BPE-token sequence-length histogram plus the
     padding waste of the pad-to-context (unpacked) regime.
 
-    Composes the trained tokenizer (``q_bpe_encode_tokens``: per-doc
-    exact BPE token counts after ``N_MERGES`` merges) with the packing
+    Composes the session-shared trained tokenizer (``encode_frame``:
+    per-doc exact BPE token counts after ``N_MERGES`` merges) with the packing
     arithmetic: a doc of n tokens fills ``ceil(n / CTX)`` padded
     training sequences, wasting ``ceil(n / CTX) * CTX - n`` pad
     tokens.  Per 128-token length bin: doc count, token mass, padded
@@ -221,7 +269,7 @@ def q_packing_stats(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    enc = q_bpe_encode_tokens(spark, sf)
+    enc = encode_frame(spark, sf)
     n = F.col("n_bpe_tokens")
     per = enc.select(
         F.floor(n / F.lit(float(PACKING_BIN))).cast("bigint").alias(
@@ -260,8 +308,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     multilingual tokenizer sweep reports — a fertility far above the
     corpus mean marks a language the merge table under-serves.
 
-    Composes the trained tokenizer (``q_bpe_encode_tokens``: per-doc
-    exact BIGINT word/token counts) with ``documents.lang`` via a
+    Composes the session-shared trained tokenizer (``encode_frame``:
+    per-doc exact BIGINT word/token counts) with ``documents.lang`` via a
     doc_id equi-join (both sides corpus-cardinality, co-partitioned
     hash join — linear at 100 TB), then one hash agg per language.
     ``fertility`` is a single double division of exact BIGINT sums —
@@ -270,7 +318,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    enc = q_bpe_encode_tokens(spark, sf)
+    enc = encode_frame(spark, sf)
     d = load_table(spark, sf, "documents").select("doc_id", "lang")
     return (
         enc.join(d, "doc_id")

@@ -152,28 +152,36 @@ _SPECS: dict[str, QuerySpec] = {
         extra_sources=(OBLOOM.bloom_build, OBLOOM.bloom_probe_expr),
     ),
     # iterative BPE tokenizer training, oracle-replayed round by round
+    # all four BPE keys delegate training (+ encoding, where used) to
+    # the session-shared memo helpers (r13 verdict item 4), so those
+    # and the trainer primitives are hashed into each
     "bpe_merges": QuerySpec(
         B.q_bpe_merges, B.ORACLE_BPE_MERGES,
-        extra_sources=(OBPE.bpe_train, OBPE.word_freqs),
+        extra_sources=(B.trained_bpe, OBPE.bpe_train, OBPE.word_freqs),
     ),
     # corpus encoding with the trained tokenizer (compression ratio)
     "bpe_encode_tokens": QuerySpec(
         B.q_bpe_encode_tokens, B.ORACLE_BPE_ENCODE_TOKENS,
-        extra_sources=(OBPE.bpe_train, OBPE.word_freqs),
+        extra_sources=(
+            B.encode_frame, B.trained_bpe, OBPE.bpe_train, OBPE.word_freqs,
+        ),
     ),
     # tokenizer-aware packing statistics (r11 verdict item 7): BPE
     # sequence-length histogram + pad-to-context waste; delegates its
-    # token counts to q_bpe_encode_tokens, so the trainer helpers are
-    # hashed here too
+    # token counts to the shared encode_frame
     "packing_stats": QuerySpec(
         B.q_packing_stats, B.ORACLE_PACKING_STATS,
-        extra_sources=(B.q_bpe_encode_tokens, OBPE.bpe_train, OBPE.word_freqs),
+        extra_sources=(
+            B.encode_frame, B.trained_bpe, OBPE.bpe_train, OBPE.word_freqs,
+        ),
     ),
     # per-language BPE fertility (tokens/word) over the trained
     # tokenizer's encode output — same delegation as packing_stats
     "tokenizer_fertility": QuerySpec(
         B.q_tokenizer_fertility, B.ORACLE_TOKENIZER_FERTILITY,
-        extra_sources=(B.q_bpe_encode_tokens, OBPE.bpe_train, OBPE.word_freqs),
+        extra_sources=(
+            B.encode_frame, B.trained_bpe, OBPE.bpe_train, OBPE.word_freqs,
+        ),
     ),
     # fixed-point integer PageRank (TextRank keywords), 5 exact rounds
     "token_pagerank": QuerySpec(

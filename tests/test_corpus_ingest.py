@@ -133,6 +133,34 @@ def test_streaming_ingest_dedups_across_microbatches(spark, store, tmp_path):
     assert store.count(corpus.DOCS) == 3
 
 
+def test_second_stream_with_fresh_checkpoint_is_not_marker_skipped(
+    spark, store, tmp_path
+):
+    """ADVICE r13: the stream's txn app_id derives from the checkpoint
+    location, so a SECOND streaming query (new checkpoint, batch_ids
+    restarting at 0) pointed at the same store starts its own marker
+    chain — a shared hardcoded app_id silently marker-skipped its
+    first batches against the first query's markers."""
+    drops1 = str(tmp_path / "drops_q1")
+    _df(spark, [(1, A), (2, B)]).write.mode("append").parquet(drops1)
+    corpus.ingest_stream(
+        store,
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(drops1),
+        str(tmp_path / "ckpt_q1"),
+    )
+    assert store.count(corpus.DOCS) == 2
+
+    drops2 = str(tmp_path / "drops_q2")
+    _df(spark, [(21, C), (22, D)]).write.mode("append").parquet(drops2)
+    corpus.ingest_stream(
+        store,
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(drops2),
+        str(tmp_path / "ckpt_q2"),
+    )
+    ids = {r.doc_id for r in store.read(corpus.DOCS).select("doc_id").collect()}
+    assert ids == {1, 2, 21, 22}
+
+
 def test_catalog_verdict_matches_pipeline_accounting(spark):
     """The oracle-checked catalog surface (corpusq) must agree with the
     accounting dicts of a hand-run two-batch ingest over the same

@@ -898,6 +898,99 @@ def test_adopt_uncommitted_raises_after_persistent_races(
         store.adopt_uncommitted(name, attempts=2)
 
 
+def test_discard_uncommitted_rolls_back_crashed_replace(spark, store):
+    """ADVICE r13: a ``_replace`` that crashed between promoting its
+    staging dir and committing its manifest leaves the live dir
+    holding a NEW lineage while the latest manifest names the OLD
+    (archived) one.  ``discard_uncommitted`` must detect the lineage
+    mismatch (committed files missing from the live dir) and RESTORE
+    the committed lineage from the archive — the old behavior deleted
+    every live file, leaving an unreadable empty dir behind a stale
+    manifest."""
+    import os
+
+    name = "bronze.replay_roll"
+    store.append(name, spark.createDataFrame([(i,) for i in range(10)], ["k"]))
+    latest = store._latest_manifest(name)
+    final = store.path(name)
+    vdir = store._versions_dir(name)
+    os.makedirs(vdir, exist_ok=True)
+    # simulate the crash window: committed lineage archived, a new
+    # uncommitted lineage promoted into the live path, no manifest
+    os.rename(final, os.path.join(vdir, str(latest["lineage"])))
+    spark.createDataFrame([(99,), (98,)], ["k"]).write.parquet(final)
+    spark.catalog.refreshByPath(final)
+
+    n_live = len(store._list_data_files(final))
+    removed = store.discard_uncommitted(name)
+    assert removed == n_live
+    # committed state restored and readable
+    assert store.count(name) == 10 == store.read(name).count()
+    assert set(store._list_data_files(final)) == set(latest["files"])
+    # the crashed attempt's data was parked for vacuum, not destroyed
+    orphans = [d for d in os.listdir(vdir) if d.startswith("replay-orphan-")]
+    assert len(orphans) == 1
+    # vacuum(retain) expires the parked orphan
+    store.vacuum(retain_versions=1)
+    assert not any(
+        d.startswith("replay-orphan-") for d in os.listdir(vdir)
+    ) or not os.path.isdir(vdir)
+
+
+def test_discard_uncommitted_refuses_when_archive_gone(spark, store):
+    """The rollback path must never silently empty a live table: with
+    committed files missing from the live dir AND no intact archive,
+    discard raises instead of deleting the only remaining data."""
+    import os
+    import shutil
+
+    name = "bronze.replay_refuse"
+    store.append(name, spark.createDataFrame([(1,), (2,)], ["k"]))
+    latest = store._latest_manifest(name)
+    final = store.path(name)
+    vdir = store._versions_dir(name)
+    os.makedirs(vdir, exist_ok=True)
+    os.rename(final, os.path.join(vdir, str(latest["lineage"])))
+    spark.createDataFrame([(99,)], ["k"]).write.parquet(final)
+    shutil.rmtree(os.path.join(vdir, str(latest["lineage"])))
+    with pytest.raises(RuntimeError, match="refusing to discard"):
+        store.discard_uncommitted(name)
+    # live data untouched by the refusal
+    assert store._list_data_files(final)
+
+
+def test_last_txn_version_survives_maintenance_commit_over_lost_sidecar(
+    spark, store
+):
+    """ADVICE r13: a txn append that crashed before publishing its
+    sidecar leaves the sidecar one version behind; if ANY non-txn
+    commit (adopt / compaction / maintenance append) then lands, the
+    latest manifest no longer carries the app's record.  The
+    newest-first manifest walk must still report the true maximum —
+    the old latest-manifest-only cross-check returned the stale
+    sidecar and the replay double-appended."""
+    import os
+
+    name = "gold.mb"
+    df = spark.range(4).withColumnRenamed("id", "k").withColumn(
+        "v", F.lit(1).cast("bigint")
+    )
+    store.append(name, df, txn=("app", 4))
+    store.append(name, df, txn=("app", 5))
+    tdir = store.path(name)
+    # crash window: v5's manifest committed, its sidecar never landed
+    for f in os.listdir(tdir):
+        if f.startswith("_txn-app-"):
+            os.unlink(os.path.join(tdir, f))
+    open(os.path.join(tdir, "_txn-app-4"), "w").close()
+    # a maintenance commit buries the txn record below the latest
+    store.append(name, df)
+    assert store.last_txn_version(name, "app") == 5
+    # the reconciliation self-repaired the missing sidecar, so the
+    # answer survives even after the mirrored manifests are vacuumed
+    assert os.path.exists(os.path.join(tdir, "_txn-app-5"))
+
+
 def test_vacuum_tolerates_directory_matching_sidecar_pattern(spark, store):
     """ADVICE r11: a DIRECTORY whose name matches the orphan-sidecar
     regex must not crash the sweep (os.remove on a dir raises)."""

@@ -4,15 +4,27 @@ distributions — token frequencies, token-count-per-doc, lang/source
 mixes, exact-dup rate, embedding coordinate distribution — so the
 dedup/ANN bench workload keeps its statistical shape at 10x rows.
 
-Usage: python tools/gen_scale_docs.py [out_dir] [scale]
-Default out_dir=/tmp/sfscale1, scale=10 (50k docs, 20k vectors).
+Usage: python tools/gen_scale_docs.py [out_dir] [scale] [--files-per-table N]
+Default out_dir=/tmp/sfscale1, scale=10 (50k docs, 20k vectors),
+files-per-table 32.
+
+File layout (r13 verdict item 6): by default each table is written as
+a parquet DIRECTORY of N files >= cores — the realistic 100 TB layout,
+where every scan stage starts wide.  The original single-file form
+(``--files-per-table 1``) packs the whole table into one parquet row
+group, which serializes on one core ANY expression Catalyst evaluates
+inside the scan stage — the entire r13 one-row-group straggler family
+was an artifact of that layout.  Keep a narrow copy around as the
+regression canary for the pushdown class.
 
 The driver's /root/testdata is read-only; rehearsal data is scratch
-(regenerate on demand, deterministic under seed 42).
+(regenerate on demand, deterministic under seed 42 — the row CONTENT
+is identical at any file count; only the file split differs).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -23,9 +35,36 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
+def write_split(tbl: pa.Table, dest: str, n_files: int) -> None:
+    """Write ``tbl`` as a single parquet file (n_files=1, legacy
+    narrow layout) or a directory of ``n_files`` row-slice files."""
+    if n_files <= 1:
+        pq.write_table(tbl, dest)
+        return
+    if os.path.isfile(dest):
+        os.remove(dest)
+    os.makedirs(dest, exist_ok=True)
+    n = tbl.num_rows
+    step = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        lo = i * step
+        if lo >= n:
+            break
+        pq.write_table(
+            tbl.slice(lo, min(step, n - lo)),
+            os.path.join(dest, f"part-{i:05d}.parquet"),
+        )
+
+
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale1"
-    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = sys.argv[1:]
+    n_files = 32
+    if "--files-per-table" in argv:
+        i = argv.index("--files-per-table")
+        n_files = int(argv[i + 1])
+        del argv[i:i + 2]
+    out = argv[0] if argv else "/tmp/sfscale1"
+    scale = int(argv[1]) if len(argv) > 1 else 10
     rng = np.random.default_rng(42)
     con = duckdb.connect()
 
@@ -77,10 +116,8 @@ def main() -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    import os
-
     os.makedirs(out, exist_ok=True)
-    pq.write_table(tbl, f"{out}/documents.parquet")
+    write_split(tbl, f"{out}/documents.parquet", n_files)
 
     n_vec = (
         con.execute(
@@ -98,8 +135,11 @@ def main() -> None:
             ),
         }
     )
-    pq.write_table(etbl, f"{out}/embeddings.parquet")
-    print(f"wrote {out}: {n} docs, {n_vec} vectors")
+    write_split(etbl, f"{out}/embeddings.parquet", n_files)
+    print(
+        f"wrote {out}: {n} docs, {n_vec} vectors, "
+        f"{n_files} file(s) per table"
+    )
 
 
 if __name__ == "__main__":

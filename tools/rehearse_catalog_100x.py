@@ -88,6 +88,25 @@ def _pinned_builders() -> dict:
     }
 
 
+#: static in-row notes for keys whose single-run time is order- or
+#: session-dependent by DESIGN, so the artifact explains itself
+#: instead of needing BENCH_NOTES prose (r13 lesson: artifacts and
+#: narrative must not disagree).
+STATIC_NOTES: dict[str, str] = {
+    k: (
+        "session-shared trained tokenizer (plans/bpeq.py "
+        "trained_bpe/encode_frame): the FIRST of the four BPE keys to "
+        "run in a session pays word_freqs + 6 merge rounds + the "
+        "encode join once; the rest pay only their marginal "
+        "aggregation — the production train-once/apply-many regime"
+    )
+    for k in (
+        "bpe_merges", "bpe_encode_tokens", "packing_stats",
+        "tokenizer_fertility",
+    )
+}
+
+
 def should_rerun(
     factor: float | None,
     prior_factor: float | None,
@@ -235,6 +254,8 @@ def main() -> None:
             if key in done:
                 continue
             rec: dict = {"key": key, "sf01_s": sf01.get(key)}
+            if key in STATIC_NOTES:
+                rec["note"] = STATIC_NOTES[key]
             builder = CATALOG[key].builder
             if key in pinned:
                 builder, rec["note"] = pinned[key]
