@@ -68,10 +68,16 @@ def main() -> None:
     rng = np.random.default_rng(42)
     con = duckdb.connect()
 
+    # ORDER BY everywhere a result feeds the rng (r14): DuckDB's
+    # parallel hash aggregation returns groups in nondeterministic
+    # order, and rng.choice over a reordered vocab/freq array yields a
+    # DIFFERENT corpus realization per run — the "deterministic under
+    # seed 42" contract silently did not hold before this.
     toks = con.execute(
         f"""SELECT tok, count(*) AS n FROM (
             SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS tok
-            FROM read_parquet('{SRC}/documents.parquet')) GROUP BY tok"""
+            FROM read_parquet('{SRC}/documents.parquet')) GROUP BY tok
+            ORDER BY tok"""
     ).fetchall()
     vocab = np.array([t for t, _ in toks])
     freq = np.array([n for _, n in toks], dtype=float)
@@ -81,12 +87,14 @@ def main() -> None:
             r[0]
             for r in con.execute(
                 f"""SELECT len(regexp_split_to_array(trim(text), ' +'))
-                    FROM read_parquet('{SRC}/documents.parquet')"""
+                    FROM read_parquet('{SRC}/documents.parquet')
+                    ORDER BY doc_id"""
             ).fetchall()
         ]
     )
     meta = con.execute(
-        f"SELECT lang, source FROM read_parquet('{SRC}/documents.parquet')"
+        f"SELECT lang, source FROM read_parquet('{SRC}/documents.parquet') "
+        "ORDER BY doc_id"
     ).fetchall()
     langs = np.array([m[0] for m in meta])
     sources = np.array([m[1] for m in meta])
