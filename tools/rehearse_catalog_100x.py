@@ -202,10 +202,20 @@ def load_prior_factors(repo_root: str) -> dict[str, float]:
     }
 
 
+#: the narrow-layout regression canary (r13 verdict item 6): the r14
+#: sweep runs against a REALISTIC wide file layout (>= cores files per
+#: table), which makes the one-row-group pushdown-straggler class
+#: unobservable — so one representative key from that class re-runs
+#: against the old narrow layout each sweep.  A canary time far above
+#: its last fixed value means a pushdown-class regression crept back.
+NARROW_CANARY_KEY = "ann_ivf_topk"
+
+
 def main() -> None:
     sf100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/rehearse_100x.jsonl"
     budget_s = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+    narrow_dir = sys.argv[4] if len(sys.argv) > 4 else None
 
     from delta_lake_gcp_implementation_spark.plans import CATALOG
     from delta_lake_gcp_implementation_spark.session import get_spark
@@ -332,6 +342,29 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
             except Exception:  # noqa: BLE001 - cleanup is best-effort
                 pass
+        canary = f"{NARROW_CANARY_KEY}__narrow_canary"
+        if narrow_dir and canary not in done:
+            rec = {
+                "key": canary,
+                "note": (
+                    "pushdown-straggler regression canary: the catalog "
+                    f"key {NARROW_CANARY_KEY} re-run against the legacy "
+                    "ONE-file-per-table layout (single parquet row "
+                    "group), where any expression Catalyst pushes into "
+                    "the scan serializes on one core — the r13 "
+                    "straggler class the wide sweep layout can no "
+                    "longer observe"
+                ),
+            }
+            try:
+                rec["rows"], rec["s100x"] = timed_run(
+                    CATALOG[NARROW_CANARY_KEY].builder, canary, narrow_dir
+                )
+            except Exception as e:  # noqa: BLE001 - recorded in-row
+                rec["error"] = type(e).__name__
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(rec, flush=True)
     spark.stop()
 
 

@@ -65,9 +65,14 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as tmp:
         drops = os.path.join(tmp, "drops")
         for i in range(n_batches):
-            docs.filter(F.col("doc_id") % n_batches == i).write.mode(
-                "append"
-            ).parquet(drops)
+            # one FILE per drop: the stream triggers per file
+            # (maxFilesPerTrigger=1), so a multi-file write would
+            # silently split each intended batch into
+            # scan-partition-count micro-batches (matters once the
+            # source corpus is a wide multi-file layout)
+            docs.filter(F.col("doc_id") % n_batches == i).coalesce(
+                1
+            ).write.mode("append").parquet(drops)
 
         store = TableStore(spark, os.path.join(tmp, "wh"))
         ckpt = os.path.join(tmp, "ckpt")
