@@ -98,6 +98,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
+from . import storage as storage_mod
 from .storage import TableStore
 
 #: Persisted-index parameters — MUST match plans.textops
@@ -297,6 +298,13 @@ def ingest_batch(
     """Dedup ``batch`` against itself and the persisted corpus, append
     the survivors + their index rows, return the accounting dict.
 
+    Constant-memory contract (r14): the batch ``localCheckpoint``s six
+    intermediates; they are RELEASED (storage.release_checkpoints_since,
+    scoped by a pre-batch snapshot, in a finally so even a crashed
+    attempt cleans up) before returning — without this a long-running
+    stream pins every batch's blocks until a JVM GC that never comes,
+    and 1M-doc micro-batches died in BroadcastExchange by batch 3.
+
     ``doc_id`` values must be globally unique across batches (the
     caller's ingest contract, same as any CDC key).
 
@@ -329,6 +337,28 @@ def ingest_batch(
     contract — every later batch follows a fully committed one), so a
     long-running stream passes True once and False thereafter instead
     of paying four directory walks per micro-batch (r13 review)."""
+    pre_rdds = storage_mod.snapshot_persistent_rdds(store.spark)
+    try:
+        return _ingest_batch_impl(
+            store, batch, id_col=id_col, text_col=text_col,
+            max_bucket=max_bucket, txn=txn,
+            discard_residue=discard_residue,
+        )
+    finally:
+        storage_mod.release_checkpoints_since(store.spark, pre_rdds)
+
+
+def _ingest_batch_impl(
+    store: TableStore,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bucket: int | None,
+    txn: tuple[str, int] | None,
+    discard_residue: bool,
+) -> dict:
+    """Body of :func:`ingest_batch` (see its docstring); split out so
+    the checkpoint release runs in a finally around every return."""
     sigs_applied = bands_applied = False
     if txn is not None:
         app_id, ver = txn[0], int(txn[1])

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as mm
+from . import storage as storage_mod
 from .storage import TableStore
 
 BLOBS = "media.blobs"
@@ -55,7 +56,25 @@ def ingest_media_batch(
     """Dedup ``media_df`` (MEDIA_SCHEMA) against itself and the stored
     blob corpus, decode the survivors, append features then blobs.
     Returns the accounting dict.  ``media_id`` values must be globally
-    unique across batches (the caller's ingest contract)."""
+    unique across batches (the caller's ingest contract).  The batch's
+    localCheckpoint is released before returning (constant-memory
+    stream contract — see corpus.ingest_batch)."""
+    pre_rdds = storage_mod.snapshot_persistent_rdds(store.spark)
+    try:
+        return _ingest_media_batch_impl(
+            store, media_df, fake_decode, txn, discard_residue
+        )
+    finally:
+        storage_mod.release_checkpoints_since(store.spark, pre_rdds)
+
+
+def _ingest_media_batch_impl(
+    store: TableStore,
+    media_df: DataFrame,
+    fake_decode: bool,
+    txn: tuple[str, int] | None,
+    discard_residue: bool,
+) -> dict:
     feats_applied = False
     if txn is not None:
         app_id, ver = txn[0], int(txn[1])

@@ -77,6 +77,45 @@ from pyspark.sql import functions as F
 from ..operators.sizing import maybe_broadcast
 
 
+def snapshot_persistent_rdds(spark: SparkSession) -> set[int]:
+    """IDs of the RDDs currently holding storage blocks — take before
+    a batch that ``localCheckpoint``s intermediates, pass to
+    :func:`release_checkpoints_since` after."""
+    out: set[int] = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def release_checkpoints_since(spark: SparkSession, before: set[int]) -> int:
+    """Unpersist every RDD that started holding blocks AFTER the
+    ``before`` snapshot — the deterministic release for a batch's
+    ``localCheckpoint`` intermediates.
+
+    Why this exists (r14): ``DataFrame.unpersist()`` only talks to the
+    SQL CacheManager and does NOT drop localCheckpoint blocks; those
+    are freed when the JVM GCs the RDD and the ContextCleaner runs —
+    which on a long-running stream simply never happens in time.  At
+    62k-doc micro-batches the pinned blocks were invisible; at 1M-doc
+    batches each ingest pinned ~1-2 GB and the third batch died in
+    BroadcastExchange with notEnoughMemoryToBuildAndBroadcastTable.
+    The snapshot discipline keeps the release SCOPED: checkpoints the
+    caller made earlier (session-shared memo frames, a surrounding
+    pipeline's intermediates) are untouched.  Single-writer contract:
+    no concurrent thread may be checkpointing while the batch runs
+    (foreachBatch is single-threaded per query).  Returns the number
+    of RDDs released."""
+    released = 0
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() not in before:
+            kv._2().unpersist(False)
+            released += 1
+    return released
+
+
 class ConcurrentWriteError(RuntimeError):
     """Raised when a commit loses the optimistic-concurrency race:
     either its version slot was claimed by another writer, or a commit

@@ -49,10 +49,18 @@ def main() -> None:
     )
     n_src = docs.count()
 
+    # b's modulus is n_src - 1, NOT n_src: with modulus n_src the term
+    # (i + n_src*m) * KNUTH collapses mod n_src for every replica m of
+    # the same residue class (multiples of n vanish mod n), making all
+    # children of one a-class EXACT duplicates — the first run of this
+    # tool produced 500k distinct texts duplicated 16x and the
+    # rehearsal silently measured a 94%-exact-dup absorb storm instead
+    # of a growing corpus.  Coprime-ish moduli push the (a, b) cycle
+    # length to lcm(n, n-1) >> n_docs.
     ids = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         (F.col("id") % n_src).alias("a"),
-        ((F.col("id") * F.lit(KNUTH) + 12345) % n_src).alias("b"),
+        ((F.col("id") * F.lit(KNUTH) + 12345) % (n_src - 1)).alias("b"),
     )
     half_a = docs.select(
         F.col("doc_id").alias("a"),

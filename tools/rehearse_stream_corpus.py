@@ -107,13 +107,37 @@ def main() -> None:
                 .parquet(drops)
             )
 
+        # restart LOOP, not a single retry (r14 lesson): the first
+        # failure may be an UNPLANNED one (transient executor/stream
+        # error before the injection point), in which case the
+        # designed crash fires on a later run once the call counter
+        # reaches crash_at — a fixed two-run script then dies with the
+        # injection uncaught and the artifact records a misleading
+        # 60-char boilerplate prefix.  Every failure is emitted with
+        # enough of the message to diagnose (the tail carries the
+        # root cause; the head is query-id boilerplate), and the
+        # stream resumes from the checkpoint until it completes.
         corpus.ingest_batch = timed_ingest
         try:
-            try:
-                corpus.ingest_stream(store, make_stream(), ckpt)
-            except Exception as e:  # noqa: BLE001 - the injected crash
-                emit({"event": "crash", "batch": crash_at, "err": str(e)[:60]})
-            corpus.ingest_stream(store, make_stream(), ckpt)
+            for attempt in range(6):
+                try:
+                    corpus.ingest_stream(store, make_stream(), ckpt)
+                    break
+                except Exception as e:  # noqa: BLE001 - incl. injection
+                    msg = str(e)
+                    emit(
+                        {
+                            "event": "crash",
+                            "attempt": attempt,
+                            "n_calls": state["n"],
+                            "designed": "injected crash" in msg,
+                            "err": msg
+                            if len(msg) <= 600
+                            else msg[:200] + " ... " + msg[-400:],
+                        }
+                    )
+            else:
+                raise RuntimeError("stream never completed in 6 attempts")
         finally:
             corpus.ingest_batch = real_ingest
 
