@@ -31,11 +31,20 @@ source rows hit one target key; the pipeline itself guarantees unique
 source keys by W1/W2 dedup upstream, exactly like the reference
 (``docs/KNOWN_ISSUES.md:355-364``).
 
-Scale notes: the fallback rewrites the whole table (Delta rewrites only
-matched files); at 100 TB use Delta/Iceberg — the pipeline code is
-storage-agnostic through this module.  Writes land in a staging dir
-then swap atomically-enough for local runs; cluster deployments swap
-via metastore table rename or Delta's own commit protocol.
+Scale notes: key-matched mutations (upsert / delete_matched /
+update_matched) take a FILE-GRANULAR path, Delta's actual MERGE
+behavior: parquet-footer min/max key stats decide which live files can
+possibly contain a source key, only those are rewritten (untouched
+files stay in place byte-for-byte), and a merge whose keys land beyond
+every file's range degrades to an O(batch) append — so a 0.1%
+incremental batch never costs a full-table write.  The full staged
+rewrite remains the fallback for schema evolution, partitioned
+layouts, unprunable key types, and all-files-touched merges.  At
+100 TB the same stats live in the commit log (Delta's per-AddFile
+``stats``) instead of being footer-read on demand.  Writes land in a
+staging dir then swap atomically-enough for local runs; cluster
+deployments swap via metastore table rename or Delta's own commit
+protocol.
 
 Versioned commit manifests (the local stand-in for ``_delta_log``):
 every mutation commits a JSON manifest — monotonically numbered, file
@@ -73,8 +82,24 @@ import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.sizing import maybe_broadcast
+
+#: Key types whose parquet footer min/max stats are trustworthy for
+#: file pruning.  Floats are excluded (NaN poisons parquet ordering
+#: stats), timestamps are excluded (Spark's default INT96 encoding
+#: carries no stats), decimals are excluded (this pyarrow cannot
+#: extract FIXED_LEN_BYTE_ARRAY decimal stats).  Exclusion is always
+#: safe — an unprunable key just falls back to the full rewrite.
+_PRUNABLE_KEY_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+    T.DateType,
+)
 
 
 def snapshot_persistent_rdds(spark: SparkSession) -> set[int]:
@@ -286,6 +311,7 @@ class TableStore:
         self, name: str, op: str, rows: int, new_lineage: bool,
         expected_version: int | None = None,
         txn: tuple[str, int] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Append one manifest version.  ``lineage`` identifies which
         physical directory a version's files live in: it changes on
@@ -324,6 +350,8 @@ class TableStore:
         }
         if txn is not None:
             manifest["txn"] = {"app_id": txn[0], "version": int(txn[1])}
+        if extra:
+            manifest.update(extra)
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -480,7 +508,28 @@ class TableStore:
         committed = set(latest["files"])
         final = self.path(name)
         live = self._list_data_files(final)
-        if committed - set(live):
+        missing = committed - set(live)
+        fdir = os.path.join(
+            self._versions_dir(name), f'{latest["lineage"]}.files'
+        )
+        if missing and all(
+            os.path.exists(os.path.join(fdir, f)) for f in missing
+        ):
+            # crashed file-granular merge: the replaced originals were
+            # moved to the per-file archive but the manifest commit
+            # never landed.  Restore them, then let the additive loop
+            # below delete the staged-in replacement files — the exact
+            # inverse of _publish_partial's two move steps.
+            for f in sorted(missing):
+                os.rename(os.path.join(fdir, f), os.path.join(final, f))
+            live = self._list_data_files(final)
+            missing = set()
+            # the crash may have landed after the merge's _save_count:
+            # reset to committed truth even if no additive residue
+            # remains to delete below
+            self._save_count(name, latest["row_count"])
+            self.spark.catalog.refreshByPath(final)
+        if missing:
             archived = os.path.join(
                 self._versions_dir(name), str(latest["lineage"])
             )
@@ -616,18 +665,47 @@ class TableStore:
         ``<table>.__v__/<lineage>``.  If the listed files are missing
         from the live dir (crash window between swap renames, or the
         lineage was archived moments ago) the archive is tried — so
-        any retained version is readable at every crash point."""
+        any retained version is readable at every crash point.  A
+        file-granular merge spreads a version's files across the live
+        dir and ``<lineage>.files`` (the per-file archive of replaced
+        originals), so resolution falls back to PER-FILE search across
+        all three bases; flat layouts only (merges refuse partitioned
+        tables, whose ``col=value`` paths would need one basePath)."""
         m = self._load_manifest(name, version)
         latest = self._latest_manifest(name)
         base = self.path(name)
         archived = os.path.join(self._versions_dir(name), str(m["lineage"]))
-        if m["lineage"] != latest["lineage"] or not all(
+        if not m["files"]:
+            return self.read(name).limit(0)
+        if m["lineage"] == latest["lineage"] and all(
             os.path.exists(os.path.join(base, f)) for f in m["files"]
         ):
+            pass  # fully live
+        elif all(
+            os.path.exists(os.path.join(archived, f)) for f in m["files"]
+        ):
             base = archived
+        else:
+            paths = []
+            for f in m["files"]:
+                for b in (base, archived, f"{archived}.files"):
+                    p = os.path.join(b, f)
+                    if os.path.exists(p):
+                        paths.append(p)
+                        break
+                else:
+                    raise FileNotFoundError(
+                        f"{name} v{version}: file {f} is in no retained "
+                        "location (live, archive, or per-file archive) — "
+                        "the version has been vacuumed"
+                    )
+            if any(os.sep in f for f in m["files"]):
+                raise ValueError(
+                    f"{name} v{version}: partitioned layout cannot be "
+                    "resolved across mixed bases"
+                )
+            return self.spark.read.parquet(*paths)
         paths = [os.path.join(base, f) for f in m["files"]]
-        if not paths:
-            return self.read(name).limit(0)
         return self.spark.read.option("basePath", base).parquet(*paths)
 
     def read_changes(
@@ -776,32 +854,37 @@ class TableStore:
             name, "append", before + rows, new_lineage=not existed, txn=txn
         )
         if txn is not None:
-            # best-effort fast-path sidecar; the manifest record above
-            # is the durable marker.  Prune this app's older sidecars
-            # in the same step — versions are monotonic per app, so
-            # only the newest matters, and one file per batch per
-            # table would otherwise grow the directory listing forever
-            # (r13 review; _replace compacts the same way)
-            app, ver = txn[0], int(txn[1])
-            open(
-                os.path.join(self.path(name), f"_txn-{app}-{ver}"), "w"
-            ).close()
-            prefix = f"_txn-{app}-"
-            for f in os.listdir(self.path(name)):
-                if (
-                    f.startswith(prefix)
-                    and f[len(prefix):].isdigit()
-                    and int(f[len(prefix):]) < ver
-                ):
-                    try:
-                        os.remove(os.path.join(self.path(name), f))
-                    except OSError:
-                        pass
+            self._txn_sidecar_fastpath(name, txn)
         if not existed:
             self._register(name)
         else:
             self.spark.catalog.refreshByPath(self.path(name))
         return rows
+
+    def _txn_sidecar_fastpath(self, name: str, txn: tuple[str, int]) -> None:
+        """Best-effort fast-path ``_txn-`` sidecar for IN-PLACE commit
+        paths (append, file-granular merge) — the manifest's mirrored
+        ``txn`` record is the durable marker; this sidecar only spares
+        ``last_txn_version`` the manifest walk.  Prunes this app's
+        older sidecars in the same step: versions are monotonic per
+        app, so only the newest matters, and one file per batch per
+        table would otherwise grow the directory listing forever (r13
+        review; ``_replace`` compacts the same way)."""
+        app, ver = txn[0], int(txn[1])
+        open(
+            os.path.join(self.path(name), f"_txn-{app}-{ver}"), "w"
+        ).close()
+        prefix = f"_txn-{app}-"
+        for f in os.listdir(self.path(name)):
+            if (
+                f.startswith(prefix)
+                and f[len(prefix):].isdigit()
+                and int(f[len(prefix):]) < ver
+            ):
+                try:
+                    os.remove(os.path.join(self.path(name), f))
+                except OSError:
+                    pass
 
     @staticmethod
     def _optimize_write(df: DataFrame) -> DataFrame:
@@ -835,6 +918,313 @@ class TableStore:
         advisory-sized partitions, so a second shuffle would be pure
         overhead, locally and at 100 TB alike)."""
         return self._replace(name, df, optimize=optimize, txn=txn)
+
+    # --------------------------------------- file-granular MERGE (pruning)
+    #
+    # Delta rewrites only the files a MERGE/DELETE/UPDATE actually
+    # touches; the naive parquet fallback rewrites the whole table —
+    # THE scale gap at 100 TB, where a 0.1% incremental batch must not
+    # cost a full-table write.  These helpers close it: per-file
+    # min/max key stats (parquet footers — Delta keeps the same stats
+    # in its commit log as `stats` on each AddFile) decide which live
+    # files can possibly contain a source key; only those are read and
+    # rewritten, untouched files stay in place byte-for-byte, and the
+    # replaced originals move to `<table>.__v__/<lineage>.files/` so
+    # every retained version stays time-travelable (read_version
+    # resolves per-file: live dir → whole-dir archive → .files).
+    #
+    # Crash story (same two residue classes discard_uncommitted already
+    # repairs): new files move in BEFORE originals move out, so a crash
+    # leaves either strictly-additive residue (deleted on replay) or
+    # committed-files-missing with every missing file sitting in
+    # `.files` (restored on replay); the manifest commit is the single
+    # atomic publish point, exactly like append.
+
+    @staticmethod
+    def _upcast_to_target(source: DataFrame, target: DataFrame) -> DataFrame | None:
+        """Align source column types to the target's via SAFE up-casts
+        only (integral widening, float->double) — the implicit cast
+        Delta MERGE applies.  Returns None when any source column is
+        wider than (or incomparable to) the target's type: that merge
+        legitimately changes the table schema and must take the full
+        rewrite."""
+        widen = {
+            T.ByteType(): 0, T.ShortType(): 1,
+            T.IntegerType(): 2, T.LongType(): 3,
+        }
+        tgt = {f.name: f.dataType for f in target.schema.fields}
+        cols = []
+        for f in source.schema.fields:
+            want = tgt[f.name]
+            if f.dataType == want:
+                cols.append(F.col(f.name))
+            elif (
+                f.dataType in widen
+                and want in widen
+                and widen[f.dataType] < widen[want]
+            ) or (f.dataType == T.FloatType() and want == T.DoubleType()):
+                cols.append(F.col(f.name).cast(want).alias(f.name))
+            else:
+                return None
+        return source.select(*cols)
+
+    def _file_key_stats(
+        self, name: str, keys: list[str], source: DataFrame
+    ) -> tuple[list[dict], list[str], dict[str, int], list[str], list[str]] | None:
+        """Per-live-file pruning stats for a key-matched mutation.
+
+        Returns ``(boxes, unprunable, rows_by_file, files, prune_keys)`` —
+        ``boxes`` holds one dict per file with min/max per key column,
+        ``unprunable`` lists files whose stats cannot prove anything
+        (always rewritten), ``rows_by_file`` the exact footer row
+        counts (post-mutation count arithmetic without a scan).
+        Pruning uses the PRUNABLE SUBSET of the merge keys: a file can
+        contain a composite-key match only if every key column's value
+        is inside the file's box, so testing any subset of the keys
+        yields a superset of the truly-touched files — conservative
+        and correct.  A composite key like (transaction_id,
+        updated_at) therefore prunes on the string id even though the
+        timestamp column carries no stats (INT96).
+
+        Returns ``None`` when file-granular mutation is unsupported:
+        no committed manifest (pre-manifest legacy table), partitioned
+        ``col=value`` layout (key values live in paths, not footers;
+        a mixed-base read would also lose partition columns), NO key
+        of a prunable type, or a source column whose type differs
+        from the target's (a partial rewrite must not produce
+        mixed-type files under one directory)."""
+        if self._latest_manifest(name) is None:
+            return None
+        final = self.path(name)
+        files = self._list_data_files(final)
+        if not files or any(os.sep in f for f in files):
+            return None
+        target_types = {f.name: f.dataType for f in self.read(name).schema.fields}
+        prune_keys = [
+            k for k in keys
+            if isinstance(target_types.get(k), _PRUNABLE_KEY_TYPES)
+        ]
+        if not prune_keys:
+            return None
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        for c, dt in src_types.items():
+            if c in target_types and target_types[c] != dt:
+                return None
+        import pyarrow.parquet as pq
+        boxes: list[dict] = []
+        unprunable: list[str] = []
+        rows_by_file: dict[str, int] = {}
+        for f in files:
+            try:
+                md = pq.ParquetFile(os.path.join(final, f)).metadata
+            except Exception:
+                return None
+            rows_by_file[f] = md.num_rows
+            if md.num_rows == 0:
+                continue  # no rows -> can never match; prunes away
+            paths = {
+                md.row_group(0).column(j).path_in_schema: j
+                for j in range(md.num_columns)
+            }
+            box: dict = {"__file__": f}
+            usable = True
+            all_null_key = False
+            for k in prune_keys:
+                j = paths.get(k)
+                if j is None:
+                    usable = False
+                    break
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(j).statistics
+                    if st is None:
+                        usable = False
+                        break
+                    if st.has_min_max:
+                        try:
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            usable = False
+                            break
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    elif st.has_null_count and st.null_count == rg.num_rows:
+                        continue  # all-null row group: NULL = x is never true
+                    else:
+                        usable = False
+                        break
+                if not usable:
+                    break
+                if lo is None:
+                    # every row group all-null on this key: no source
+                    # key can match this file at all
+                    all_null_key = True
+                    break
+                box[f"__min_{k}"] = lo
+                box[f"__max_{k}"] = hi
+            if all_null_key:
+                continue
+            if usable:
+                boxes.append(box)
+            else:
+                unprunable.append(f)
+        return boxes, unprunable, rows_by_file, files, prune_keys
+
+    @staticmethod
+    def _touched_files(
+        src_keys: DataFrame, boxes: list[dict], keys: list[str]
+    ) -> set[str]:
+        """Exact containment test: a file is touched iff SOME source
+        key row falls inside its per-column min/max box on EVERY key.
+
+        Shape: ONE aggregation pass over the source keys computing
+        ``max(k between lo_i and hi_i)`` per file box — map-side
+        combined, no shuffle beyond the 1-row final reduce, no join,
+        no key collect (an earlier broadcast nested-loop join form
+        cost seconds of job overhead on a 45k-key batch; the agg form
+        is one scan).  Boxes are chunked so codegen never sees
+        thousands of aggregates in one plan.  This is the local
+        stand-in for Delta's data skipping, where the same predicate
+        evaluates driver-side over commit-log AddFile stats."""
+        touched: set[str] = set()
+        chunk = 512
+        for lo_i in range(0, len(boxes), chunk):
+            part = boxes[lo_i:lo_i + chunk]
+            aggs = []
+            for i, b in enumerate(part):
+                c = None
+                for k in keys:
+                    cc = (F.col(k) >= F.lit(b[f"__min_{k}"])) & (
+                        F.col(k) <= F.lit(b[f"__max_{k}"])
+                    )
+                    c = cc if c is None else (c & cc)
+                aggs.append(F.max(c.cast("int")).alias(f"b{i}"))
+            row = src_keys.agg(*aggs).first()
+            touched |= {
+                part[i]["__file__"]
+                for i in range(len(part))
+                if row[f"b{i}"] == 1
+            }
+        return touched
+
+    def _publish_partial(
+        self,
+        name: str,
+        stage: str,
+        replaced: set[str],
+        rows_after: int,
+        op: str,
+        txn: tuple[str, int] | None,
+        merge_stats: dict,
+    ) -> None:
+        """Publish a partial rewrite: staged replacement files move
+        INTO the live dir (crash here = strictly-additive residue —
+        ``discard_uncommitted`` deletes it), the replaced originals
+        move OUT to ``<lineage>.files`` (crash here = committed files
+        missing, every one recoverable from ``.files`` — the replay
+        sweep restores them), then ONE atomic manifest commit makes
+        the new state durable, exactly append's publish discipline."""
+        final = self.path(name)
+        lineage = self._latest_manifest(name)["lineage"]
+        for f in self._list_data_files(stage):
+            dst = os.path.join(final, f)
+            if os.path.exists(dst):  # paranoid: part names carry a job uuid
+                dst = os.path.join(final, f"m{uuid.uuid4().hex[:8]}-{f}")
+            os.rename(os.path.join(stage, f), dst)
+        shutil.rmtree(stage)
+        fdir = os.path.join(self._versions_dir(name), f"{lineage}.files")
+        os.makedirs(fdir, exist_ok=True)
+        for f in sorted(replaced):
+            os.rename(os.path.join(final, f), os.path.join(fdir, f))
+        self._save_count(name, rows_after)
+        self._commit(
+            name, op, rows_after, new_lineage=False, txn=txn, extra=merge_stats
+        )
+        if txn is not None:
+            self._txn_sidecar_fastpath(name, txn)
+        self.spark.catalog.refreshByPath(final)
+        # unlike append, a partial rewrite REMOVES live files: the
+        # registered catalog table's cached listing must be rebuilt,
+        # not just invalidated (same drop-and-recreate as _replace)
+        self._register(name)
+
+    def _pruned_mutation(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str],
+        op: str,
+        rewrite,
+        txn: tuple[str, int] | None = None,
+        insert_rows: DataFrame | None = None,
+    ) -> tuple[int, int, int] | None:
+        """Shared file-granular path for upsert / delete_matched /
+        update_matched.  ``rewrite(touched_df, src_keys)`` produces the
+        replacement rows for the touched files; ``insert_rows`` (upsert
+        only) is appended when NO file can match — the O(batch)
+        insert-only merge.  Returns ``(rows_before_touched,
+        rows_staged, rows_after)``, or None when the caller must fall
+        back to the full rewrite.  ``source`` must be deterministic
+        across two evaluations (true for every pipeline caller — the
+        staged/parquet-backed frames the medallion passes), the same
+        contract the full path's anti-join + union already relies on."""
+        stats = self._file_key_stats(name, keys, source)
+        if stats is None:
+            return None
+        boxes, unprunable, rows_by_file, files, prune_keys = stats
+        src_keys = source.select(*keys).distinct()
+        touched = set(unprunable)
+        if boxes:
+            touched |= self._touched_files(
+                source.select(*prune_keys), boxes, prune_keys
+            )
+        merge_stats = {
+            "files_rewritten": len(touched),
+            "files_total": len(files),
+        }
+        before = self.count(name)
+        final = self.path(name)
+        if not touched:
+            if insert_rows is None:
+                # delete/update matching nothing: commit the (empty)
+                # mutation for history fidelity, touch no data file
+                self._save_count(name, before)
+                self._commit(
+                    name, op, before, new_lineage=False, txn=txn,
+                    extra=merge_stats,
+                )
+                if txn is not None:
+                    self._txn_sidecar_fastpath(name, txn)
+                return 0, 0, before
+            # insert-only merge: no live file can contain any source
+            # key, so MERGE degenerates to the O(batch) append
+            rows = self._write_counted(
+                self._optimize_write(insert_rows), final, "append"
+            )
+            after = before + rows
+            self._save_count(name, after)
+            self._commit(
+                name, op, after, new_lineage=False, txn=txn, extra=merge_stats
+            )
+            if txn is not None:
+                self._txn_sidecar_fastpath(name, txn)
+            self.spark.catalog.refreshByPath(final)
+            return 0, rows, after
+        if len(touched) >= len(files):
+            return None  # nothing pruned: the full path is strictly simpler
+        tdf = self.spark.read.parquet(
+            *[os.path.join(final, f) for f in sorted(touched)]
+        )
+        out = rewrite(tdf, src_keys)
+        stage = f"{final}.__stage__{uuid.uuid4().hex[:8]}"
+        staged_rows = self._write_counted(out, stage, "overwrite")
+        rows_touched = sum(rows_by_file[f] for f in touched)
+        after = before - rows_touched + staged_rows
+        self._publish_partial(
+            name, stage, touched, after, op, txn, merge_stats
+        )
+        return rows_touched, staged_rows, after
 
     def upsert(
         self,
@@ -897,6 +1287,34 @@ class TableStore:
                 raise ValueError(
                     f"MERGE into {name}: source lacks key columns {missing_keys}"
                 )
+        # file-granular fast path (Delta parity): when footer stats
+        # prove some files cannot contain any source key, rewrite only
+        # the files that can — and when NO file can, degrade to an
+        # O(batch) append.  Falls back to the full rewrite on schema
+        # evolution, unprunable key types, partitioned layouts, or
+        # when every file is touched anyway.  Source columns are
+        # aligned to the target types first via SAFE up-casts only
+        # (int widening, float->double — Delta MERGE's implicit cast;
+        # the full path's unionByName coerces to the same wider type),
+        # so a literal-typed batch column never forces a full rewrite;
+        # a source WIDER than the target legitimately widens the whole
+        # table and stays on the full path.
+        if set(target.columns) == set(source.columns):
+            aligned = self._upcast_to_target(source, target)
+            if aligned is not None:
+                pruned = self._pruned_mutation(
+                    name,
+                    aligned,
+                    keys,
+                    "merge",
+                    lambda tdf, sk: tdf.join(
+                        maybe_broadcast(sk), keys, "left_anti"
+                    ).unionByName(aligned),
+                    txn=txn,
+                    insert_rows=aligned,
+                )
+                if pruned is not None:
+                    return pruned[2]
         # target rows not matched by any source key, plus all source
         # rows.  The key set is broadcast only while Catalyst estimates
         # it under budget — a forced broadcast of a 9M-key batch is the
@@ -915,6 +1333,16 @@ class TableStore:
         Returns the number of rows deleted."""
         if not self.exists(name):
             return 0
+        pruned = self._pruned_mutation(
+            name,
+            ids.select(*keys).distinct(),
+            keys,
+            "delete",
+            lambda tdf, sk: tdf.join(maybe_broadcast(sk), keys, "left_anti"),
+        )
+        if pruned is not None:
+            rows_touched, staged_rows, _after = pruned
+            return rows_touched - staged_rows
         before = self.count(name)
         target = self.read(name)
         after = self._replace(
@@ -1010,26 +1438,38 @@ class TableStore:
         how many keys match (a 10^6-element ``isin`` blows up the plan
         long before 100x scale)."""
         target = self.read(name)
-        flags = ids.select(*keys).distinct().withColumn("__match__", F.lit(True))
-        updated = target.join(maybe_broadcast(flags), keys, "left")
-        cond = F.col("__match__").isNotNull()
-        if extra_cond is not None:
-            cond = cond & extra_cond
-        updated = updated.withColumn("__upd__", cond)
-        for col, value in assignments.items():
-            updated = updated.withColumn(
-                col, F.when(F.col("__upd__"), value).otherwise(F.col(col))
-            )
         matched = Observation()
-        updated = updated.observe(
-            matched,
-            F.coalesce(
-                F.sum(F.col("__upd__").cast("bigint")), F.lit(0).cast("bigint")
-            ).alias("matched"),
+
+        def apply_update(rows: DataFrame, key_set: DataFrame) -> DataFrame:
+            flags = key_set.withColumn("__match__", F.lit(True))
+            updated = rows.join(maybe_broadcast(flags), keys, "left")
+            cond = F.col("__match__").isNotNull()
+            if extra_cond is not None:
+                cond = cond & extra_cond
+            updated = updated.withColumn("__upd__", cond)
+            for col, value in assignments.items():
+                updated = updated.withColumn(
+                    col, F.when(F.col("__upd__"), value).otherwise(F.col(col))
+                )
+            updated = updated.observe(
+                matched,
+                F.coalesce(
+                    F.sum(F.col("__upd__").cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                ).alias("matched"),
+            )
+            return updated.drop("__upd__", "__match__").select(*target.columns)
+
+        # file-granular fast path: a file whose key box excludes every
+        # id cannot contain a matched row — rewrite only files that can
+        pruned = self._pruned_mutation(
+            name, ids.select(*keys).distinct(), keys, "update", apply_update
         )
-        self._replace(
-            name, updated.drop("__upd__", "__match__").select(*target.columns)
-        )
+        if pruned is not None:
+            if pruned[1] == 0:  # no file could match: nothing observed
+                return 0
+            return int(matched.get["matched"])
+        self._replace(name, apply_update(target, ids.select(*keys).distinct()))
         return int(matched.get["matched"])
 
     def restore(self, name: str, version: int) -> int:
@@ -1089,10 +1529,14 @@ class TableStore:
                 history = self.versions(name)
                 kept = history[-retain_versions:]
                 kept_versions = {m["version"] for m in kept}
-                referenced = {
-                    self._load_manifest(name, v)["lineage"]
-                    for v in kept_versions
-                }
+                referenced: set[int] = set()
+                ref_files: dict[int, set[str]] = {}
+                for v in kept_versions:
+                    km = self._load_manifest(name, v)
+                    referenced.add(km["lineage"])
+                    ref_files.setdefault(km["lineage"], set()).update(
+                        km["files"]
+                    )
                 for m in history:
                     if m["version"] not in kept_versions:
                         p = self._manifest_path(name, m["version"])
@@ -1101,8 +1545,23 @@ class TableStore:
                 vdir = self._versions_dir(name)
                 if os.path.isdir(vdir):
                     for d in sorted(os.listdir(vdir)):
-                        if not d.isdigit() or int(d) not in referenced:
-                            full = os.path.join(vdir, d)
+                        full = os.path.join(vdir, d)
+                        per_file = re.fullmatch(r"(\d+)\.files", d)
+                        if per_file:
+                            # per-file merge archive: expire exactly
+                            # the files no retained manifest of that
+                            # lineage references (Delta tombstone
+                            # expiry), drop the dir when empty
+                            want = ref_files.get(int(per_file.group(1)), set())
+                            for f in sorted(os.listdir(full)):
+                                if f not in want:
+                                    fp = os.path.join(full, f)
+                                    os.remove(fp)
+                                    removed.append(fp)
+                            if not os.listdir(full):
+                                os.rmdir(full)
+                                removed.append(full)
+                        elif not d.isdigit() or int(d) not in referenced:
                             shutil.rmtree(full)
                             removed.append(full)
         return removed

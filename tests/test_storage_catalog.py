@@ -368,7 +368,9 @@ def test_time_travel_reads_pre_merge_state(spark, tmp_path):
     store.append(t, spark.createDataFrame([(4, "d")], ["k", "v"]))  # v3
     hist = store.versions(t)
     assert [m["version"] for m in hist] == [1, 2, 3]
-    assert [m["op"] for m in hist] == ["replace", "replace", "append"]
+    # the MERGE takes the file-granular fast path and records itself
+    # honestly as op "merge" (pre-r14 it was a whole-table "replace")
+    assert [m["op"] for m in hist] == ["replace", "merge", "append"]
     assert [m["row_count"] for m in hist] == [2, 3, 4]
     assert _rows(store.read_version(t, 1)) == {(1, "a"), (2, "b")}
     assert _rows(store.read_version(t, 2)) == {(1, "a"), (2, "B"), (3, "c")}
