@@ -297,9 +297,30 @@ class TableStore:
             return json.load(f)
 
     def _latest_manifest(self, name: str) -> dict | None:
+        """Latest committed manifest, resolved in O(1) via the
+        ``_last_version`` hint file (Delta's ``_last_checkpoint``
+        analog): every commit atomically replaces the hint after its
+        ``os.link`` lands, so the hint is at most a few commits stale
+        (crash between link and hint, or a concurrent writer) and a
+        forward probe from it finds the true head without listing the
+        log directory — which grows one file per commit and, on object
+        storage, costs a paginated LIST per read.  A missing/corrupt
+        hint (legacy logs, hand-edited dirs) falls back to the full
+        listing and self-heals on the next commit."""
         log = self._log_dir(name)
         if not os.path.isdir(log):
             return None
+        hint = None
+        try:
+            with open(os.path.join(log, "_last_version")) as f:
+                hint = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+        if hint is not None and os.path.exists(self._manifest_path(name, hint)):
+            v = hint
+            while os.path.exists(self._manifest_path(name, v + 1)):
+                v += 1
+            return self._load_manifest(name, v)
         nums = [
             int(f[:-5])
             for f in os.listdir(log)
@@ -364,6 +385,16 @@ class TableStore:
             ) from None
         finally:
             os.unlink(tmp)
+        # best-effort O(1) head hint (see _latest_manifest): atomic
+        # replace AFTER the durable link; a crash here just leaves the
+        # hint a probe-step stale
+        try:
+            hint_tmp = os.path.join(log, f"._lv-{uuid.uuid4().hex[:8]}")
+            with open(hint_tmp, "w") as f:
+                f.write(str(version))
+            os.replace(hint_tmp, os.path.join(log, "_last_version"))
+        except OSError:
+            pass
         return version
 
     def current_version(self, name: str) -> int:
@@ -1077,6 +1108,8 @@ class TableStore:
     ) -> set[str]:
         """Exact containment test: a file is touched iff SOME source
         key row falls inside its per-column min/max box on EVERY key.
+        Runs over the tier-1 candidate boxes only (see
+        ``_pruned_mutation``), under the n_src x |candidates| budget.
 
         Shape: ONE aggregation pass over the source keys computing
         ``max(k between lo_i and hi_i)`` per file box — map-side
@@ -1176,9 +1209,42 @@ class TableStore:
         src_keys = source.select(*keys).distinct()
         touched = set(unprunable)
         if boxes:
-            touched |= self._touched_files(
-                source.select(*prune_keys), boxes, prune_keys
-            )
+            # tier 1: ONE cheap bounds agg over the source keys
+            # (min/max/count) -> candidate boxes driver-side.  Without
+            # it, a full-overlap merge (the medallion's 9M-row daily
+            # re-merge) would pay a 9M-rows x 64-boxes exact test just
+            # to learn that everything is touched — measured +5 s per
+            # stage at 100x.
+            kp = source.select(*prune_keys)
+            probe = kp.agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.min(k).alias(f"__mn_{k}") for k in prune_keys],
+                *[F.max(k).alias(f"__mx_{k}") for k in prune_keys],
+            ).first()
+            n_src = probe["__n"]
+            cand = [] if n_src == 0 else [
+                b for b in boxes
+                if all(
+                    probe[f"__mn_{k}"] is not None
+                    and not (
+                        b[f"__min_{k}"] > probe[f"__mx_{k}"]
+                        or b[f"__max_{k}"] < probe[f"__mn_{k}"]
+                    )
+                    for k in prune_keys
+                )
+            ]
+            if cand:
+                # tier 2: the exact some-key-in-box test, but only when
+                # its cost (n_src x |candidates| predicate evals) is
+                # bounded — a 100-id GDPR delete spanning the key range
+                # NEEDS it (tier 1 candidates = every file, exact test
+                # prunes to the 1-2 files that hold the ids), while a
+                # 9M-row batch uses the tier-1 candidates as the
+                # conservative answer (already a superset of touched)
+                if n_src * len(cand) <= 64_000_000:
+                    touched |= self._touched_files(kp, cand, prune_keys)
+                else:
+                    touched |= {b["__file__"] for b in cand}
         merge_stats = {
             "files_rewritten": len(touched),
             "files_total": len(files),

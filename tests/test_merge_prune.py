@@ -377,6 +377,39 @@ def test_composite_key_prunes_on_prunable_subset(spark, store):
     }
 
 
+def test_full_replace_after_partial_merges_keeps_history_readable(spark, store):
+    """A full _replace archives the outgoing live dir under the
+    lineage id while `<lineage>.files` already holds merge-replaced
+    originals — versions before, between, and after the merges must
+    resolve across all three bases (live, whole-dir archive, per-file
+    archive)."""
+    t = _clustered_table(spark, store)  # v1, lineage 1
+    src1 = spark.range(100, 102).select(
+        F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v"),
+        F.lit("u1").alias("s"))
+    store.upsert(t, src1, ["k"])  # v2: partial, archives a file to 1.files
+    src2 = spark.range(1100, 1102).select(
+        F.col("id").alias("k"), F.lit(-2).cast("bigint").alias("v"),
+        F.lit("u2").alias("s"))
+    store.upsert(t, src2, ["k"])  # v3: partial, archives another
+    store.overwrite(
+        t, spark.createDataFrame([(1, 1, "tiny")], "k bigint, v bigint, s string")
+    )  # v4: full replace, new lineage; outgoing dir archived whole
+    assert store.read(t).count() == 1
+    assert store.read_version(t, 1).count() == 4000
+    assert store.read_version(t, 1).filter(F.col("v") < 0).count() == 0
+    v2 = store.read_version(t, 2)
+    assert v2.filter(F.col("v") == -1).count() == 2
+    assert v2.filter(F.col("v") == -2).count() == 0
+    v3 = store.read_version(t, 3)
+    assert v3.filter(F.col("v") == -1).count() == 2
+    assert v3.filter(F.col("v") == -2).count() == 2
+    # restore to the mid-merge version through the mixed bases
+    store.restore(t, 3)
+    assert store.read(t).count() == 4000
+    assert store.count(t) == 4000
+
+
 def test_txn_marker_travels_with_partial_merge(spark, store):
     """The idempotent-writer contract holds on the fast path: the txn
     marker is mirrored in the SAME atomic manifest commit that

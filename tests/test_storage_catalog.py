@@ -1004,3 +1004,35 @@ def test_vacuum_tolerates_directory_matching_sidecar_pattern(spark, store):
     removed = store.vacuum()
     assert os.path.isdir(trap)  # left alone, sweep completed
     assert trap not in removed
+
+
+def test_last_version_hint_resolves_head_without_listing(spark, store):
+    """r14: the `_last_version` hint (Delta `_last_checkpoint` analog)
+    must track the head, survive staleness via forward probe, and fall
+    back to the directory listing when corrupt or pointing at a
+    vacuumed/deleted manifest."""
+    import os
+
+    t = "bronze.hint_probe"
+    df = spark.createDataFrame([(1,)], ["k"])
+    store.overwrite(t, df)          # v1
+    store.append(t, df)             # v2
+    store.append(t, df)             # v3
+    log = store._log_dir(t)
+    hint = os.path.join(log, "_last_version")
+    assert open(hint).read().strip() == "3"
+    assert store.current_version(t) == 3
+    # stale hint (crash between link and hint write): forward probe
+    with open(hint, "w") as f:
+        f.write("1")
+    assert store.current_version(t) == 3
+    # corrupt hint: fallback listing, self-heals on next commit
+    with open(hint, "w") as f:
+        f.write("not a number")
+    assert store.current_version(t) == 3
+    store.append(t, df)             # v4 rewrites the hint
+    assert open(hint).read().strip() == "4"
+    # hint pointing at a deleted manifest (the crash-simulation shape
+    # in test_streaming): fallback listing finds the surviving head
+    os.remove(store._manifest_path(t, 4))
+    assert store.current_version(t) == 3
