@@ -43,7 +43,12 @@ def _rows(df):
 
 @pytest.fixture()
 def store(spark, tmp_path):
-    return TableStore(spark, str(tmp_path / "wh_mp"))
+    s = TableStore(spark, str(tmp_path / "wh_mp"))
+    # production floor: tables under 256 MB skip the fast path (the
+    # decision costs more than a tiny rewrite); zero it here so the
+    # path under test engages on test-sized tables
+    s.prune_min_table_bytes = 0
+    return s
 
 
 def _clustered_table(spark, store, name="db.mp", n=4000, files=4):

@@ -360,6 +360,7 @@ def test_time_travel_reads_pre_merge_state(spark, tmp_path):
     """Every mutation commits a manifest; read_version(n) returns the
     table exactly as of commit n, including across MERGE rewrites."""
     store = TableStore(spark, str(tmp_path / "wh_tt"))
+    store.prune_min_table_bytes = 0  # engage the fast path on tiny tables
     t = "silver.tt_probe"
     store.overwrite(t, spark.createDataFrame(
         [(1, "a"), (2, "b")], ["k", "v"]))                      # v1
