@@ -148,6 +148,38 @@ def test_source_wider_than_target_falls_back_to_full_rewrite(spark, store):
     assert _rows(store.read("db.narrow")) == {(1, 1), (2, 2**40)}
 
 
+def test_small_table_floor_takes_plain_path(spark, tmp_path):
+    """At the default ``prune_min_table_bytes`` a few-MB table must
+    skip the prune decision entirely (the decision's jobs cost more
+    than a tiny rewrite) and still mutate correctly; zeroing the floor
+    re-engages the fast path on the identical layout."""
+    s = TableStore(spark, str(tmp_path / "wh_floor"))
+    assert s.prune_min_table_bytes == 256 << 20
+    t = _clustered_table(spark, s, name="db.floor")
+    src = spark.range(100, 150).select(
+        F.col("id").alias("k"),
+        F.lit(-1).cast("bigint").alias("v"),
+        F.concat(F.lit("upd_"), F.col("id")).alias("s"),
+    )
+    s.upsert(t, src, ["k"])
+    m = s._latest_manifest(t)
+    assert m["op"] == "replace"  # under the floor: plain full rewrite
+    got = s.read(t)
+    assert got.filter(F.col("v") == -1).count() == 50
+    assert s.count(t) == 4000
+    s.prune_min_table_bytes = 0
+    t2 = _clustered_table(spark, s, name="db.floor2")
+    src2 = spark.range(200, 220).select(
+        F.col("id").alias("k"),
+        F.lit(-2).cast("bigint").alias("v"),
+        F.concat(F.lit("up2_"), F.col("id")).alias("s"),
+    )
+    s.upsert(t2, src2, ["k"])
+    m2 = s._latest_manifest(t2)
+    assert m2["op"] == "merge" and m2["files_rewritten"] < m2["files_total"]
+    assert s.read(t2).filter(F.col("v") == -2).count() == 20
+
+
 def test_pruned_merge_equals_full_merge(spark, store, monkeypatch):
     """Equivalence property: the fast path and the forced full path
     must produce identical tables on a source that mixes updates
