@@ -46,6 +46,23 @@ def _memo_key(spark: SparkSession, sf: str) -> tuple[str, str]:
     return (spark.sparkContext.applicationId, os.path.abspath(sf))
 
 
+def _build_protected(spark: SparkSession, build):
+    """Run ``build()`` and register every RDD it persisted as
+    memo-owned, so a batch-scoped ``release_checkpoints_since`` (the
+    ingest constant-memory contract) can never free a memo frame that
+    happened to be first materialized inside the batch's scope (r14
+    verdict "what's wrong" #3)."""
+    from ..pipeline.storage import (
+        protect_checkpoints_since,
+        snapshot_persistent_rdds,
+    )
+
+    snap = snapshot_persistent_rdds(spark)
+    out = build()
+    protect_checkpoints_since(spark, snap)
+    return out
+
+
 def trained_bpe(spark: SparkSession, sf: str) -> tuple[list, DataFrame]:
     """Train (once per session per sf dir) the N_MERGES-merge BPE
     tokenizer on the documents corpus; returns (merge list, final
@@ -55,9 +72,12 @@ def trained_bpe(spark: SparkSession, sf: str) -> tuple[list, DataFrame]:
     key = _memo_key(spark, sf)
     hit = _TRAIN_MEMO.get(key)
     if hit is None:
-        d = load_table(spark, sf, "documents")
-        vocab = bpe_ops.word_freqs(d, "text")
-        hit = bpe_ops.bpe_train(vocab, N_MERGES)
+        def build():
+            d = load_table(spark, sf, "documents")
+            vocab = bpe_ops.word_freqs(d, "text")
+            return bpe_ops.bpe_train(vocab, N_MERGES)
+
+        hit = _build_protected(spark, build)
         _TRAIN_MEMO[key] = hit
     return hit
 
@@ -78,25 +98,29 @@ def encode_frame(spark: SparkSession, sf: str) -> DataFrame:
     hit = _ENCODE_MEMO.get(key)
     if hit is None:
         _, state = trained_bpe(spark, sf)
-        seg = state.select(
-            "word", F.size("syms").cast("bigint").alias("n_subwords")
-        )
-        d = load_table(spark, sf, "documents")
-        words = d.select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
-            ).alias("word"),
-        ).filter(F.col("word") != "")
-        hit = (
-            words.join(F.broadcast(seg), "word")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_words"),
-                F.sum("n_subwords").cast("bigint").alias("n_bpe_tokens"),
+
+        def build():
+            seg = state.select(
+                "word", F.size("syms").cast("bigint").alias("n_subwords")
             )
-            .localCheckpoint(eager=True)
-        )
+            d = load_table(spark, sf, "documents")
+            words = d.select(
+                "doc_id",
+                F.explode(
+                    F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
+                ).alias("word"),
+            ).filter(F.col("word") != "")
+            return (
+                words.join(F.broadcast(seg), "word")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                    F.sum("n_subwords").cast("bigint").alias("n_bpe_tokens"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        hit = _build_protected(spark, build)
         _ENCODE_MEMO[key] = hit
     return hit
 

@@ -1557,12 +1557,20 @@ def q_bigram_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
     exploded token frame feeds four consumers (bigram counts, unigram
     counts, both totals); it is ``localCheckpoint``-ed once so the
     scan+explode chain runs a single time (r8 plan audit: 5 scans/0
-    reuse)."""
+    reuse).
+
+    r15: the pre-explode exchange HASH-partitions on doc_id (the
+    token-window recipe validated on winnowing r13 / token_pagerank
+    r14) so the LEAD window's clustering requirement is satisfied
+    before fan-out — one row per document moves instead of one row
+    per token; the checkpoint preserves the partitioning, leaving the
+    window exchange-free.  The tok-keyed groupBys still shuffle, but
+    only map-side-combined partials (vocab-sized, not corpus-sized)."""
     from ..tables import scale_out
 
     d = load_table(spark, sf, "documents")
     nonempty = d.filter(F.trim(F.col("text")) != "")
-    toks = scale_out(nonempty).select(
+    toks = scale_out(nonempty, "doc_id").select(
         "doc_id",
         F.posexplode(
             F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")
@@ -2033,11 +2041,17 @@ def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary, a 1-row corpus total broadcast, a vocab join back
     (broadcast here; hash equi-join at real vocab scale), and one
     per-doc agg.  Linear in tokens, no windows.
+
+    r15: pre-explode HASH-partition on doc_id (the token-window
+    recipe, A/B'd on the bigram shape: 3.76 s round-robin vs 2.17 s
+    hash at 100x) — the broadcast vocab join preserves partitioning,
+    so the final groupBy(doc_id) needs no exchange at all; the vocab
+    groupBy ships only map-side-combined partials.
     """
     from ..tables import scale_out
 
     d = load_table(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
-    tok = scale_out(d).select(
+    tok = scale_out(d, "doc_id").select(
         "doc_id",
         F.explode(
             F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")

@@ -459,3 +459,88 @@ def test_txn_marker_travels_with_partial_merge(spark, store):
     m = store._latest_manifest(t)
     assert m["op"] == "merge" and m["txn"] == {"app_id": "app_mp", "version": 7}
     assert store.last_txn_version(t, "app_mp") == 7
+
+
+# ------------------------------------------------- r15 hardening (ADVICE r14)
+
+
+def test_adopt_refuses_on_inflight_merge_marker(spark, store):
+    """Residue of a merge that crashed between its first staged move
+    and its commit duplicates matched rows; adopt_uncommitted folding
+    it in would commit BOTH copies.  The ``._merge_inflight`` marker
+    makes adopt refuse and routes repair to discard_uncommitted."""
+    import json
+    import shutil
+
+    t = _clustered_table(spark, store)
+    live = _live_parts(store, t)
+    # simulate the crash window: marker names the still-current
+    # version, and a staged-in replacement file sits next to the
+    # original it would have replaced
+    with open(store._merge_marker_path(t), "w") as f:
+        json.dump({"version": store.current_version(t)}, f)
+    dup = os.path.join(store.path(t), "part-99999-duplicate.parquet")
+    shutil.copy(live[0], dup)
+    with pytest.raises(RuntimeError, match="merge is in flight"):
+        store.adopt_uncommitted(t)
+    # the right repair clears both the residue and the marker
+    removed = store.discard_uncommitted(t)
+    assert removed == 1
+    assert not os.path.exists(store._merge_marker_path(t))
+    assert store.adopt_uncommitted(t) is False
+    assert store.read(t).count() == 4000 == store.count(t)
+
+
+def test_stale_merge_marker_is_cleared_lazily(spark, store):
+    """Crash AFTER the merge's commit but before marker removal: the
+    version has advanced past the marker, so the table is consistent —
+    adopt clears the stale marker and proceeds normally."""
+    import json
+
+    t = _clustered_table(spark, store)
+    with open(store._merge_marker_path(t), "w") as f:
+        json.dump({"version": store.current_version(t) - 1}, f)
+    assert store.adopt_uncommitted(t) is False
+    assert not os.path.exists(store._merge_marker_path(t))
+
+
+def test_read_version_old_lineage_ignores_live_dir(spark, store):
+    """A live file of the NEW lineage must never shadow an archived
+    old-lineage file of the same name in read_version's mixed-base
+    per-file resolution (ADVICE r14)."""
+    import shutil
+
+    t = _clustered_table(spark, store)
+    v1 = store.current_version(t)
+    v1_manifest = store._load_manifest(t, v1)
+    expected = _rows(store.read_version(t, v1))
+    # partial merge spreads v1's files across live + <lineage>.files
+    src = spark.range(100, 150).select(
+        F.col("id").alias("k"),
+        F.lit(-1).cast("bigint").alias("v"),
+        F.concat(F.lit("upd_"), F.col("id")).alias("s"),
+    )
+    store.upsert(t, src, ["k"])
+    assert store._latest_manifest(t)["files_rewritten"] == 1
+    # full overwrite starts a NEW lineage; v1's untouched files move
+    # to the old lineage's archive dir
+    store.overwrite(
+        t,
+        spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            F.lit(9).cast("bigint").alias("v"),
+            F.lit("new").alias("s"),
+        ),
+    )
+    assert store._latest_manifest(t)["lineage"] != v1_manifest["lineage"]
+    # plant a same-named file with WRONG content in the live dir
+    archived_dir = os.path.join(
+        store._versions_dir(t), str(v1_manifest["lineage"])
+    )
+    shadow_name = next(
+        f for f in v1_manifest["files"]
+        if os.path.exists(os.path.join(archived_dir, f))
+    )
+    live_files = _live_parts(store, t)
+    shutil.copy(live_files[0], os.path.join(store.path(t), shadow_name))
+    assert _rows(store.read_version(t, v1)) == expected

@@ -1037,3 +1037,55 @@ def test_last_version_hint_resolves_head_without_listing(spark, store):
     # in test_streaming): fallback listing finds the surviving head
     os.remove(store._manifest_path(t, 4))
     assert store.current_version(t) == 3
+
+
+# ---------------------------------------------- memo vs scoped release
+
+
+def test_memo_checkpoint_survives_batch_scoped_release(
+    spark, sf_dir, tmp_path
+):
+    """r14 verdict "what's wrong" #3: a session-shared memo frame
+    (the BPE train/encode memos) first materialized INSIDE an ingest
+    batch's snapshot/release scope must survive
+    ``release_checkpoints_since`` — without the ownership registry the
+    release would unpersist the memo's localCheckpoint blocks while
+    the memo dict still references the frame, and the next BPE catalog
+    key would fail on dead blocks."""
+    import os
+    import shutil
+
+    from delta_lake_gcp_implementation_spark.pipeline.storage import (
+        release_checkpoints_since,
+        snapshot_persistent_rdds,
+    )
+    from delta_lake_gcp_implementation_spark.plans import bpeq
+
+    # a fresh sf dir = a fresh memo key, so the build provably happens
+    # inside this test's scope even when other tests already trained
+    # on the shared fixture dir
+    sf_copy = str(tmp_path / "sfmemo")
+    os.makedirs(sf_copy)
+    for t in ("documents",):
+        shutil.copy(
+            os.path.join(sf_dir, f"{t}.parquet"),
+            os.path.join(sf_copy, f"{t}.parquet"),
+        )
+
+    snap = snapshot_persistent_rdds(spark)
+    # an UNPROTECTED checkpoint made in the same scope — the batch
+    # intermediate the release exists to free
+    victim = spark.range(64).localCheckpoint(eager=True)
+    memo_frame = bpeq.encode_frame(spark, sf_copy)  # builds + protects
+    expected = memo_frame.count()
+    released = release_checkpoints_since(spark, snap)
+    assert released >= 1  # the victim (at least) was freed
+    # cached memo still evaluates from its (protected) blocks
+    assert bpeq.encode_frame(spark, sf_copy).count() == expected
+    # cleanup so later tests see no stray memo entries for tmp dirs
+    bpeq._ENCODE_MEMO.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_copy)), None
+    )
+    bpeq._TRAIN_MEMO.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_copy)), None
+    )
