@@ -327,9 +327,25 @@ def _pair_lookup_join(
     ``False``: the corpus-scale path — shuffle-hash equi-joins that
     hash-partition candidates and payloads on the id.  SHUFFLE_HASH is
     hinted explicitly: a sort-merge join would sort rows carrying
-    multi-KB array payloads, paying the payload cost log n times."""
+    multi-KB array payloads, paying the payload cost log n times.
+
+    The broadcast branch spreads ``candidates`` to cluster parallelism
+    first (guide §2.5/§2.6 straggler class): the pair list usually
+    arrives from an AQE-coalesced DISTINCT, and AQE sizes partitions
+    by BYTES — a pair row is 16 bytes but costs a ~1k-element hash-set
+    intersection downstream, so the byte-sized layout (1-2 partitions
+    at sf0.1) serialized the whole verify stage on one core (measured
+    6.6 s of an 11.1 s key in one task; 2.8 s -> 1.0 s in a
+    contended A/B).  Broadcast joins add no exchange of their own, so
+    without the explicit spread the single-partition layout survives
+    to the intersect.  The repartition moves only the tiny pair rows
+    and is shuffle-count-neutral at corpus scale where the
+    partitioned (SHUFFLE_HASH) branch engages instead."""
     if broadcast_sides:
-        return candidates.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        spread = candidates.repartition(
+            candidates.sparkSession.sparkContext.defaultParallelism
+        )
+        return spread.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
     return (
         candidates.join(a.hint("shuffle_hash"), "id_a")
         .join(b.hint("shuffle_hash"), "id_b")

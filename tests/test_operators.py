@@ -143,6 +143,38 @@ def test_ngram_jaccard(spark):
     assert abs(rows[0].jaccard - 1.0) < 1e-9
 
 
+def test_pair_lookup_join_broadcast_branch_spreads_candidates(spark):
+    """The broadcast branch must raise a byte-coalesced (1-partition)
+    candidate frame to cluster parallelism so the per-pair verify work
+    (array_intersect hash sets) cannot serialize on one core — and the
+    spread must not change the joined rows (r15 optimization)."""
+    from pyspark.sql import functions as F
+
+    sets = spark.createDataFrame(
+        [(i, [i, i + 1, i + 2]) for i in range(1, 7)], ["id", "s"]
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("s").alias("set_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("s").alias("set_b"))
+    cands = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["id_a", "id_b"]
+    ).coalesce(1)
+    assert cands.rdd.getNumPartitions() == 1
+    joined = dedup_ops._pair_lookup_join(cands, a, b, broadcast_sides=True)
+    assert (
+        joined.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    got = {
+        (r.id_a, r.id_b, tuple(r.set_a), tuple(r.set_b))
+        for r in joined.collect()
+    }
+    want = {
+        (x, y, (x, x + 1, x + 2), (y, y + 1, y + 2))
+        for x, y in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    }
+    assert got == want
+
+
 def test_simhash_near_vs_far(spark):
     base = "spark dataframe shuffle partition broadcast join " * 10
     near = base.replace("broadcast", "replicated")
