@@ -270,7 +270,11 @@ def connected_components_groups(
     Per iteration: incidence |><| labels -> per-group MIN (the group's
     candidate label) -> per-id MIN over its groups.  Both aggregations
     have map-side partial combine; the group-min table is at most one
-    row per group and is broadcast when small."""
+    row per group and is broadcast when small.  Each round finishes
+    with the same pointer-jumping shortcut as
+    :func:`connected_components` (label <- label(label); identical
+    fixed point, O(log diameter) rounds instead of O(diameter) — see
+    the rationale there)."""
     inc = (
         incidence.select(
             F.col(id_col).alias("id"), F.col(group_col).alias("grp")
@@ -297,12 +301,25 @@ def connected_components_groups(
             F.col("component"),
             F.coalesce(F.col("nbr_comp"), F.col("component")),
         )
+        half = labels.join(nbr_min, "id", "left").select(
+            "id", F.col("component").alias("__old"), nxt.alias("__c1")
+        )
+        hop = half.select(
+            F.col("id").alias("__jid"), F.col("__c1").alias("__c2")
+        )
+        fin = F.least(
+            F.col("__c1"), F.coalesce(F.col("__c2"), F.col("__c1"))
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            half.join(
+                F.broadcast(hop) if bcast else hop,
+                F.col("__c1") == F.col("__jid"),
+                "left",
+            )
             .select(
                 "id",
-                nxt.alias("component"),
-                (nxt < F.col("component")).alias("__changed"),
+                fin.alias("component"),
+                (fin < F.col("__old")).alias("__changed"),
             )
             .localCheckpoint()
         )
@@ -553,9 +570,20 @@ def connected_components(
     join (this is the standard label-propagation CC used at corpus
     scale; GraphFrames' algorithm is the same idea plus star
     contractions).  Each iteration is ``localCheckpoint``-ed: iterative
-    lineage otherwise grows the plan exponentially.  Convergence in
-    O(cluster diameter) iterations — near-dup clusters from LSH are
-    dense, so typically 2-4."""
+    lineage otherwise grows the plan exponentially.
+
+    Each round does edge propagation THEN pointer jumping
+    (``label <- label(label)``, the shortcutting half of classic
+    parallel CC): labels are monotonically decreasing node ids bounded
+    by the component minimum, jumping only follows already-established
+    same-component links, and the loop exits on the same
+    nothing-changed criterion — so the fixed point (min reachable id)
+    is identical while convergence drops from O(diameter) to
+    O(log diameter) rounds.  The r15 job trace measured the
+    propagation-only loop at 14 rounds x ~7 driver jobs on the sf0.1
+    embedding graph (chained hub-star clusters have real diameter);
+    each round is driver-latency-bound at any scale, so halving rounds
+    matters more than per-round task work."""
     sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -583,14 +611,30 @@ def connected_components(
             F.col("component"),
             F.coalesce(F.col("nbr_comp"), F.col("component")),
         )
+        half = labels.join(nbr_min, "id", "left").select(
+            "id", F.col("component").alias("__old"), nxt.alias("__c1")
+        )
+        # pointer jump: component <- label(component).  __c1 values are
+        # node ids, so every jump target exists in `half`; the left
+        # join cannot lose rows and coalesce is only belt-and-braces.
+        hop = half.select(
+            F.col("id").alias("__jid"), F.col("__c1").alias("__c2")
+        )
+        fin = F.least(
+            F.col("__c1"), F.coalesce(F.col("__c2"), F.col("__c1"))
+        )
         # carry the changed flag inline: the convergence check is then a
         # scan of the checkpointed result, not a second join per round
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            half.join(
+                F.broadcast(hop) if bcast_labels else hop,
+                F.col("__c1") == F.col("__jid"),
+                "left",
+            )
             .select(
                 "id",
-                nxt.alias("component"),
-                (nxt < F.col("component")).alias("__changed"),
+                fin.alias("component"),
+                (fin < F.col("__old")).alias("__changed"),
             )
             .localCheckpoint()
         )

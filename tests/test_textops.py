@@ -190,6 +190,21 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_pointer_jump_accelerates_long_chain(spark):
+    """The pointer-jumping shortcut (r15) must converge a 120-node
+    chain in O(log n) rounds: propagation-only label CC needs ~120
+    iterations here, so passing with max_iterations=16 pins the
+    acceleration while the expected labels pin the fixed point."""
+    n = 120
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    cc = dedup_ops.connected_components(pairs, ids, "doc_id", max_iterations=16)
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_cc_groups_matches_pair_cc(spark):
     """Hypergraph label propagation over (id, bucket) incidence must
     produce the exact components of pair-CC over the clique expansion —
