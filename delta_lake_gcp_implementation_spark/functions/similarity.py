@@ -136,8 +136,13 @@ def kmeans_fit(
       aggregation to per-(cell, dim) means, one to re-assembled
       centroid arrays — shuffles only k*dim mean cells, never vectors.
 
-    Each iteration is ``localCheckpoint``-ed (iterative lineage
-    otherwise grows the plan exponentially).  Initialization is the
+    The centroid table is k*dim floats — driver-literal scale, like
+    the PQ codebooks — so each iteration is ONE Spark action (the
+    per-(cell, dim) mean aggregation, collected) and the merge of new
+    means over previous centroids happens on the driver (r15: the
+    previous per-iteration checkpoint + centroid join + collect cost
+    3-4 driver jobs per round; the mean values are identical — the
+    same Spark-side ``avg`` either way).  Initialization is the
     first k vectors by id and iteration count is fixed, so the fit is
     deterministic for a given input (empty cells keep their previous
     centroid).  Float means are partition-order dependent in the last
@@ -156,40 +161,22 @@ def kmeans_fit(
         if projected is not None
         else project_vectors(vectors, id_col, vec_col)
     )
-    w_init = Window.orderBy("_id")  # k rows only — single partition is fine
-    cents = (
-        v.orderBy("_id")
-        .limit(k)
-        .withColumn("cent_id", F.row_number().over(w_init) - 1)
-        .select("cent_id", F.col("v").alias("cv"))
-        .localCheckpoint()
-    )
+    init = sorted(v.orderBy("_id").limit(k).collect(), key=lambda r: r._id)
+    books = [[float(x) for x in r.v] for r in init]
     for _ in range(iters):
-        assigned = _assign_cells(v, cents)
-        pe = assigned.select(
-            "cell", F.posexplode("v").alias("pos", "val")
+        assigned = _assign_cells_books(v, books)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
         )
-        means = pe.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
-        new_cents = (
-            means.groupBy("cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
-            )
-            .select(
-                F.col("cell").alias("cent_id"),
-                F.transform("pm", lambda s: s["m"]).alias("cv"),
-            )
-        )
-        cents = (
-            cents.alias("o")
-            .join(new_cents.alias("n"), "cent_id", "left")
-            .select(
-                "cent_id",
-                F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"),
-            )
-            .localCheckpoint()
-        )
-    return cents
+        for r in means:
+            books[r.cell][r.pos] = float(r.m)
+    return v.sparkSession.createDataFrame(
+        [(i, cv) for i, cv in enumerate(books)],
+        "cent_id int, cv array<double>",
+    )
 
 
 #: above this many codebook floats (k * dim) the literal-array argmin
@@ -212,15 +199,30 @@ def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
     budget): broadcast join + per-key ``min_by`` aggregation — still
     no window sort, but shuffles one row per (vector, centroid)."""
     rows = sorted(cents.collect(), key=lambda r: r.cent_id)
-    n_floats = sum(len(r.cv) for r in rows)
+    return _assign_cells_books(
+        v,
+        [[float(x) for x in r.cv] for r in rows],
+        ids=[int(r.cent_id) for r in rows],
+    )
+
+
+def _assign_cells_books(
+    v: DataFrame, books: list[list[float]], ids: list[int] | None = None
+) -> DataFrame:
+    """:func:`_assign_cells` with the codebook already on the driver
+    (a list of centroid vectors, cent_id = position unless ``ids``
+    overrides) — the k-means loop carries centroids as driver state,
+    so no collect per call."""
+    ids = ids if ids is not None else list(range(len(books)))
+    n_floats = sum(len(cv) for cv in books)
     if n_floats <= _CODEBOOK_LITERAL_BUDGET:
         cent_arr = F.array(
             *[
                 F.struct(
-                    F.lit(int(r.cent_id)).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r.cv]).alias("cv"),
+                    F.lit(cid).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
                 )
-                for r in rows
+                for cid, cv in zip(ids, books)
             ]
         )
         scored = F.transform(
@@ -232,6 +234,10 @@ def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
         # struct ordering is field-wise: min d2, ties to lower cent_id
         best = F.array_min(scored)
         return v.select("_id", "v", best["cid"].alias("cell"))
+    cents = v.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in zip(ids, books)],
+        "cent_id int, cv array<double>",
+    )
     scored = v.crossJoin(F.broadcast(cents)).select(
         "_id", "v", "cent_id", l2sq(F.col("v"), F.col("cv")).alias("d2")
     )
@@ -505,7 +511,13 @@ def pq_fit(
     (unrolled constant-folded distance arithmetic, see
     :func:`pq_encode`) and ONE ``(sub_id, cell, pos)`` hash aggregation
     computes every subspace's means together — measured 16x fewer
-    driver job rounds (23 s -> ~1 s at sf0.1, 16 subspaces).
+    driver job rounds (23 s -> ~1 s at sf0.1, 16 subspaces).  As in
+    :func:`kmeans_fit` (r15), the codebook is m_sub*k*d_sub floats —
+    driver-literal scale by construction — so that one aggregation is
+    collected and merged over the previous codebook on the driver:
+    one Spark action per iteration instead of the previous
+    collect + join + coalesce + checkpoint round (the mean values are
+    identical — the same Spark-side ``avg`` either way).
     Initialization is the first k vectors' slices per subspace and the
     argmin ties to the lower cent_id, so the fit stays deterministic
     for a given input; empty cells keep their previous centroid, same
@@ -519,31 +531,15 @@ def pq_fit(
     v = scale_out(vectors).select(
         F.col(id_col).alias("_pid"), as_double(F.col(vec_col)).alias("_pv")
     ).localCheckpoint()
-    w_init = Window.orderBy("_pid")  # k rows only — single partition is fine
-    cents = (
-        v.orderBy("_pid")
-        .limit(k)
-        .withColumn("cent_id", F.row_number().over(w_init) - 1)
-        .select(
-            "cent_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("sub_id"),
-                            F.slice("_pv", s * d_sub + 1, d_sub).alias("cv"),
-                        )
-                        for s in range(m_sub)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .select("e.sub_id", "cent_id", "e.cv")
-        .coalesce(1)  # k*m_sub rows — don't checkpoint 32 near-empty partitions
-        .localCheckpoint()
-    )
+    init = sorted(v.orderBy("_pid").limit(k).collect(), key=lambda r: r._pid)
+    books = {
+        s: [
+            [float(x) for x in r._pv[s * d_sub:(s + 1) * d_sub]]
+            for r in init
+        ]
+        for s in range(m_sub)
+    }
     for _ in range(iters):
-        books = _pq_books_by_sub(cents.collect())
         assigned = v.select(
             "_pv", _pq_codes_expr("_pv", books, m_sub, d_sub).alias("codes")
         )
@@ -555,33 +551,27 @@ def pq_fit(
             "val",
             "codes",
         )
-        means = pe.select(
-            "sub_id",
-            "pos",
-            "val",
-            F.element_at("codes", F.col("sub_id") + 1).alias("cell"),
-        ).groupBy("sub_id", "cell", "pos").agg(F.avg("val").alias("m"))
-        new_cents = (
-            means.groupBy("sub_id", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
+        means = (
+            pe.select(
                 "sub_id",
-                F.col("cell").alias("cent_id"),
-                F.transform("pm", lambda s_: s_["m"]).alias("cv"),
+                "pos",
+                "val",
+                F.element_at("codes", F.col("sub_id") + 1).alias("cell"),
             )
+            .groupBy("sub_id", "cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
         )
-        cents = (
-            cents.alias("o")
-            .join(new_cents.alias("n"), ["sub_id", "cent_id"], "left")
-            .select(
-                "sub_id",
-                "cent_id",
-                F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"),
-            )
-            .coalesce(1)
-            .localCheckpoint()
-        )
-    return cents.select("sub_id", "cent_id", "cv")
+        for r in means:
+            books[r.sub_id][r.cell][r.pos] = float(r.m)
+    return v.sparkSession.createDataFrame(
+        [
+            (s, c, books[s][c])
+            for s in range(m_sub)
+            for c in range(len(books[s]))
+        ],
+        "sub_id int, cent_id int, cv array<double>",
+    )
 
 
 def _pq_books_by_sub(codebook_rows) -> dict[int, list[list[float]]]:
