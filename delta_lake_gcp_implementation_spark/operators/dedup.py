@@ -19,7 +19,7 @@ the cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 # broadcast-vs-partition decision shared with the TableStore MERGE
@@ -310,6 +310,9 @@ def connected_components_groups(
         fin = F.least(
             F.col("__c1"), F.coalesce(F.col("__c2"), F.col("__c1"))
         )
+        # convergence count observed on the checkpoint action (r15):
+        # one driver job per round instead of checkpoint + count
+        obs = Observation()
         new_labels = (
             half.join(
                 F.broadcast(hop) if bcast else hop,
@@ -321,9 +324,13 @@ def connected_components_groups(
                 fin.alias("component"),
                 (fin < F.col("__old")).alias("__changed"),
             )
+            .observe(
+                obs,
+                F.sum(F.col("__changed").cast("long")).alias("n_changed"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("__changed")).count()
+        changed = int(obs.get["n_changed"] or 0)
         labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
@@ -623,8 +630,10 @@ def connected_components(
         fin = F.least(
             F.col("__c1"), F.coalesce(F.col("__c2"), F.col("__c1"))
         )
-        # carry the changed flag inline: the convergence check is then a
-        # scan of the checkpointed result, not a second join per round
+        # the convergence count rides the checkpoint action itself as
+        # an observed metric (r15) — one driver job per round, not a
+        # checkpoint job plus a count job
+        obs = Observation()
         new_labels = (
             half.join(
                 F.broadcast(hop) if bcast_labels else hop,
@@ -636,9 +645,13 @@ def connected_components(
                 fin.alias("component"),
                 (fin < F.col("__old")).alias("__changed"),
             )
+            .observe(
+                obs,
+                F.sum(F.col("__changed").cast("long")).alias("n_changed"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("__changed")).count()
+        changed = int(obs.get["n_changed"] or 0)
         labels = new_labels.drop("__changed")
         if changed == 0:
             return labels

@@ -94,7 +94,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
@@ -387,16 +387,31 @@ def _ingest_batch_impl(
     )
     batch_ids = batch.select("doc_id").distinct()
 
-    # 1. intra-batch exact dedup: lowest id per content hash survives
-    n_batch = batch.count()
+    # 1. intra-batch exact dedup: lowest id per content hash survives.
+    # The winners table is checkpointed with BOTH batch-level counts
+    # observed on that same action (r15): n_batch = sum of per-hash
+    # group sizes, n_uniq = group count — the previous separate
+    # batch.count() and uniq.count() jobs (each a full recompute of
+    # this subtree) ride along for free.
+    obs_w = Observation()
     winners = (
         batch.groupBy(F.md5("text").alias("content_hash"))
-        .agg(F.min("doc_id").alias("doc_id"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .observe(
+            obs_w,
+            F.sum("__n").alias("n_batch"),
+            F.count(F.lit(1)).alias("n_uniq"),
+        )
+        .localCheckpoint()
     )
+    n_batch = int(obs_w.get["n_batch"] or 0)
+    n_exact_batch = n_batch - int(obs_w.get["n_uniq"] or 0)
     uniq = batch.join(
         winners.select("doc_id"), "doc_id", "left_semi"
     ).withColumn("content_hash", F.md5("text"))
-    n_exact_batch = n_batch - uniq.count()
 
     # 2. cross-corpus exact dedup: anti-join on the stored hash column
     if store.exists(DOCS):
@@ -406,9 +421,13 @@ def _ingest_batch_impl(
     else:
         fresh = uniq
     # materialize: signatures, bands, the near-dup verify, and the
-    # final appends all consume this slice
-    fresh = fresh.localCheckpoint()
-    n_exact_corpus = n_batch - n_exact_batch - fresh.count()
+    # final appends all consume this slice; the survivor count rides
+    # the checkpoint action as an observed metric (r15)
+    obs_f = Observation()
+    fresh = fresh.observe(
+        obs_f, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    n_exact_corpus = n_batch - n_exact_batch - int(obs_f.get["n"] or 0)
 
     # 3. near-dup candidates via LSH band incidence
     sigs_new = _signatures(fresh, "doc_id", "text").localCheckpoint()
@@ -534,8 +553,15 @@ def _ingest_batch_impl(
         candidates=filtered,
     )
     near_ids = verified.select(F.col("id_a").alias("doc_id")).distinct()
-    accepted = fresh.join(near_ids, "doc_id", "left_anti").localCheckpoint()
-    n_near = n_batch - n_exact_batch - n_exact_corpus - accepted.count()
+    obs_a = Observation()
+    accepted = (
+        fresh.join(near_ids, "doc_id", "left_anti")
+        .observe(obs_a, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_near = n_batch - n_exact_batch - n_exact_corpus - int(
+        obs_a.get["n"] or 0
+    )
 
     # 5. append survivors + index rows (write-observed counts); the
     # counts log migrates/self-heals (pre-append, so the recount

@@ -206,6 +206,21 @@ class TableStore:
         #: (object-store economics favor a much lower floor); tests
         #: set 0 to engage the path on test-sized tables
         self.prune_min_table_bytes = 256 << 20
+        #: (name -> (committed version, schema)) — Delta keeps the
+        #: schema in its transaction log so a read never re-infers it
+        #: from parquet footers; this cache is the same idea keyed on
+        #: the manifest head (O(1) ``_last_version`` probe).  Every
+        #: mutation commits a new version, so staleness is impossible
+        #: under the documented single-writer contract, and appends
+        #: refuse schema drift so crash residue in the live dir always
+        #: matches the committed schema (r15: footer re-inference was
+        #: one driver job per ``read()`` — the medallion stages issue
+        #: dozens).
+        self._schema_cache: dict[str, tuple[int, object]] = {}
+        #: (name -> schema registered in the session catalog by THIS
+        #: instance) — lets ``_register`` skip the drop-and-recreate
+        #: when an overwrite kept the schema (see ``_register``).
+        self._registered: dict[str, object] = {}
         os.makedirs(root, exist_ok=True)
         # re-attach tables persisted by a previous session over this
         # root, so read-only consumers get the spark.sql surface too.
@@ -228,17 +243,34 @@ class TableStore:
 
         Drop-and-recreate (metadata-only, driver-side) rather than
         ``IF NOT EXISTS``: the catalog snapshots the file schema at
-        creation, and an overwrite may legitimately change it."""
+        creation, and an overwrite may legitimately change it.  When
+        THIS instance already registered the table with the SAME
+        schema, a single ``REFRESH TABLE`` (rebuilds the cached file
+        listing) replaces the drop + create + footer re-inference —
+        the overwhelmingly common case for staging tables the pipeline
+        overwrites every batch (r15; any failure falls through to the
+        full re-create)."""
         db, dot, tbl = name.partition(".")
         if not dot:
             db, tbl = "default", name
         try:
+            schema = self.read(name).schema if self.exists(name) else None
+            if schema is not None and self._registered.get(name) == schema:
+                try:
+                    self.spark.sql(f"REFRESH TABLE `{db}`.`{tbl}`")
+                    return
+                except Exception:
+                    pass  # dropped externally etc. — full re-create below
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
             self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
             self.spark.sql(
                 f"CREATE TABLE `{db}`.`{tbl}` USING parquet "
                 f"LOCATION '{self.path(name)}'"
             )
+            if schema is not None:
+                self._registered[name] = schema
+            else:
+                self._registered.pop(name, None)
         except Exception:
             # registration is a convenience surface; never fail a write
             # over catalog limitations (e.g. a foreachBatch worker
@@ -268,6 +300,16 @@ class TableStore:
 
     def read(self, name: str) -> DataFrame:
         self._heal(name)
+        ver = self.current_version(name)
+        if ver > 0:
+            hit = self._schema_cache.get(name)
+            if hit is not None and hit[0] == ver:
+                return self.spark.read.schema(hit[1]).parquet(
+                    self.path(name)
+                )
+            df = self.spark.read.parquet(self.path(name))
+            self._schema_cache[name] = (ver, df.schema)
+            return df
         return self.spark.read.parquet(self.path(name))
 
     def count(self, name: str) -> int:

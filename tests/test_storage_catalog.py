@@ -1089,3 +1089,36 @@ def test_memo_checkpoint_survives_batch_scoped_release(
     bpeq._TRAIN_MEMO.pop(
         (spark.sparkContext.applicationId, os.path.abspath(sf_copy)), None
     )
+
+
+# ------------------------------------------------------- schema cache
+
+
+def test_read_schema_cache_tracks_mutations_and_other_writers(
+    spark, tmp_path
+):
+    """r15: ``read()`` serves the schema from a per-version cache
+    (Delta keeps it in the log; re-inferring from footers cost one
+    driver job per read).  The cache must follow every schema change —
+    evolution rewrites bump the version — and a SECOND store instance
+    over the same root (the multi-instance reader shape) must see the
+    new schema because the version probe re-reads the manifest head."""
+    a = TableStore(spark, str(tmp_path / "wh"))
+    b = TableStore(spark, str(tmp_path / "wh"))
+    df = spark.range(10).select(F.col("id").cast("long").alias("id"))
+    a.append("db.sc", df)
+    assert b.read("db.sc").columns == ["id"]  # b's cache now holds v1
+    assert a.read("db.sc").columns == ["id"]
+    a.append(
+        "db.sc",
+        df.withColumn("extra", F.lit("x")),
+        allow_schema_evolution=True,
+    )
+    # both instances see the widened schema (a: own commit; b: stale
+    # cache invalidated by the bumped manifest head)
+    assert set(a.read("db.sc").columns) == {"id", "extra"}
+    assert set(b.read("db.sc").columns) == {"id", "extra"}
+    assert b.read("db.sc").count() == 20
+    # overwrite with a narrower schema invalidates again
+    a.overwrite("db.sc", df.select(F.col("id").alias("only")))
+    assert b.read("db.sc").columns == ["only"]
