@@ -641,8 +641,18 @@ FROM lineitem
 
 
 def q_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """A5 summary-stats block (``validate_fact_transactions.py:324-333``)."""
+    """A5 summary-stats block (``validate_fact_transactions.py:324-333``).
+
+    ``scale_out`` first (r15): the three COUNT(DISTINCT)s plan as one
+    shared Expand — a 4x row multiply — and a one-file scan would run
+    that whole partial aggregation on a single core (measured: the
+    2 s single-task stage at sf0.1).  Every aggregate here is exact
+    (counts + decimal sums), so the result is partitioning-invariant;
+    at real corpus scale the repartition is a no-op."""
     li = load_table(spark, sf, "lineitem")
+    from ..tables import scale_out
+
+    li = scale_out(li)
     return li.agg(
         F.count("*").alias("row_count"),
         F.countDistinct("l_orderkey").alias("distinct_orders"),
@@ -1253,8 +1263,18 @@ def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     ONE pass over the table — all per-column aggregates sit in a single
     hash aggregation (Spark computes the COUNT(DISTINCT)s via a shared
     Expand, not one scan per column) — then a zero-shuffle unpivot of
-    the 1-row result to the long report layout."""
+    the 1-row result to the long report layout.
+
+    ``scale_out`` first (r15): the shared Expand multiplies rows by
+    the distinct-aggregate count before the partial aggregation, and a
+    one-file scan pins all of it on one core (the 2 s single-task
+    stage at sf0.1); all aggregates are exact, so results are
+    partitioning-invariant, and at corpus scale the spread is a
+    no-op."""
     o = load_table(spark, sf, "orders")
+    from ..tables import scale_out
+
+    o = scale_out(o)
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     aggs = []
     for c in cols:
@@ -1523,8 +1543,20 @@ def q_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     the exact interquartile range.  The oracle asserts the booleans
     TRUE, so an estimator regression flips the hash.  The exact
     companions exist only for the verdict; production callers use the
-    sketch columns alone (constant-size state at 100 TB)."""
+    sketch columns alone (constant-size state at 100 TB).
+
+    ``scale_out`` first (r15): the partial aggregation builds an HLL
+    register set, a KLL sketch, an exact-percentile buffer and a
+    distinct hash set per group — CPU-heavy per row — and a one-file
+    scan single-threads it (the 2 s 1-task stage at sf0.1).  Exact
+    companions are partitioning-invariant; the sketch estimates may
+    merge in a different order but the verdict booleans carry 10% /
+    IQR margins versus a 2% rsd, so the hash is unaffected.  At
+    corpus scale the spread is a no-op."""
     ev = load_table(spark, sf, "events")
+    from ..tables import scale_out
+
+    ev = scale_out(ev)
     agg = ev.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
