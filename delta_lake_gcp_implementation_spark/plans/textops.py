@@ -3029,7 +3029,12 @@ def q_token_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     strength = edges.groupBy("a").agg(
         F.sum("w").cast("bigint").alias("str")
     )
-    e = edges.join(strength, "a")
+    # materialize the strength-joined edge table ONCE (r15): only
+    # `edges` was checkpointed, so every power iteration's job re-ran
+    # the strength aggregation and its join from scratch — one shuffle
+    # and one join per iteration of pure recomputation.  Exact-integer
+    # weights, so the checkpoint changes nothing downstream.
+    e = edges.join(strength, "a").localCheckpoint(eager=True)
     pr = strength.select(
         F.col("a").alias("token"), F.lit(_PR_SCALE).cast("bigint").alias("pr")
     )
