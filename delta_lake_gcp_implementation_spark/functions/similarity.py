@@ -21,6 +21,8 @@ on centroid id).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -63,8 +65,76 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return out
 
 
+def _sql_double(x: float) -> str:
+    """SQL text of a double literal: ``repr`` is shortest-repr (which
+    ``Double.parseDouble`` round-trips bit-exactly) and the ``D``
+    suffix forces DOUBLE (a bare ``1.5`` would parse as DECIMAL under
+    ANSI and lose bits through the decimal cast)."""
+    return repr(float(x)) + "D"
+
+
+def lit_vec(xs) -> Column:
+    """``array<double>`` literal built in ONE py4j round-trip (r15).
+
+    Building codebook/hyperplane literals through per-element
+    ``F.lit`` costs one py4j call per element — measured ~1 s per
+    1024-float codebook, paid 4-5 times per ANN key build — while a
+    single ``F.expr`` over the SQL text parses server-side in ~3 ms
+    into the IDENTICAL ``CreateArray(Literal...)`` tree.  Non-finite
+    values (never produced by the finite-input fits) fall back to the
+    per-element path, where ``F.lit`` handles them natively."""
+    vals = [float(x) for x in xs]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def lit_matrix(rows) -> Column:
+    """``array<array<double>>`` literal in one py4j call (see
+    :func:`lit_vec`)."""
+    mat = [[float(x) for x in r] for r in rows]
+    if mat and all(r and all(math.isfinite(v) for v in r) for r in mat):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_sql_double(v) for v in r) + ")"
+                for r in mat
+            )
+            + ")"
+        )
+    return F.array(*[F.array(*[F.lit(v) for v in r]) for r in mat])
+
+
+def lit_cent_structs(ids, books) -> Column:
+    """``array<struct<cid:int, cv:array<double>>>`` codebook literal in
+    one py4j call (see :func:`lit_vec`) — the argmin scan shape used by
+    cell assignment; parses to the same ``CreateNamedStruct`` tree as
+    ``F.struct(F.lit(cid), F.array(...))``."""
+    mat = [[float(x) for x in r] for r in books]
+    if mat and all(r and all(math.isfinite(v) for v in r) for r in mat):
+        return F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('cid', {int(cid)}, 'cv', array("
+                + ",".join(_sql_double(v) for v in cv)
+                + "))"
+                for cid, cv in zip(ids, mat)
+            )
+            + ")"
+        )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(v) for v in cv]).alias("cv"),
+            )
+            for cid, cv in zip(ids, mat)
+        ]
+    )
+
+
 def _plane_lit(plane: list[float]) -> Column:
-    return F.array(*[F.lit(x) for x in plane])
+    return lit_vec(plane)
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -216,15 +286,7 @@ def _assign_cells_books(
     ids = ids if ids is not None else list(range(len(books)))
     n_floats = sum(len(cv) for cv in books)
     if n_floats <= _CODEBOOK_LITERAL_BUDGET:
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-                )
-                for cid, cv in zip(ids, books)
-            ]
-        )
+        cent_arr = lit_cent_structs(ids, books)
         scored = F.transform(
             cent_arr,
             lambda c: F.struct(
@@ -622,9 +684,7 @@ def _pq_codes_expr(vec_col: str, books, m_sub: int, d_sub: int):
 
     def code_for(s_idx: int):
         sub = F.slice(F.col(vec_col), s_idx * d_sub + 1, d_sub)
-        cb_s = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s_idx]]
-        )
+        cb_s = lit_matrix(books[s_idx])
         scored = F.transform(
             cb_s,
             lambda cw, i: F.struct(l2sq(sub, cw).alias("d2"), i.alias("cid")),
@@ -661,9 +721,7 @@ def pq_adc_topk(
     recon = F.concat(
         *[
             F.element_at(
-                F.array(
-                    *[F.array(*[F.lit(float(x)) for x in cw]) for cw in books[s]]
-                ),
+                lit_matrix(books[s]),
                 F.element_at("codes", s + 1) + 1,
             )
             for s in range(m_sub)

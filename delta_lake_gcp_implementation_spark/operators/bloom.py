@@ -49,6 +49,24 @@ def _pow2_array() -> Column:
     return F.array(*[F.lit(v).cast("bigint") for v in vals])
 
 
+_LONG_MIN = -(1 << 63)
+
+
+def _lit_bigints(vals: list[int]) -> Column:
+    """``array<bigint>`` literal in ONE py4j round-trip (r15, same
+    rationale as ``similarity.lit_vec``: per-element ``F.lit`` pays a
+    py4j call each — ~0.13 s for a 128-word filter, per probe
+    expression).  ``L``-suffixed SQL literals are exact; LONG_MIN
+    cannot be written directly (its positive part overflows before
+    unary minus) so it is spelled as a folded subtraction."""
+    def one(v: int) -> str:
+        if v == _LONG_MIN:
+            return "(-9223372036854775807L - 1L)"
+        return f"{int(v)}L"
+
+    return F.expr("array(" + ",".join(one(v) for v in vals) + ")")
+
+
 def _position(key: Column, i: int, m_bits: int) -> Column:
     """Bit position for probe ``i``: md5 of the salted key, 15 hex
     chars (60 bits, exact in BIGINT), mod the bit-space."""
@@ -100,7 +118,7 @@ def bloom_probe_expr(
     present".  Pure projection against the literal word array (a
     filter is by definition broadcast-sized); False means DEFINITELY
     absent."""
-    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    arr = _lit_bigints(words)
     checks = []
     for i in range(k_hash):
         pos = _position(key, i, m_bits)

@@ -744,14 +744,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     cent_rows = sorted(
         v.filter(F.col("vec_id") < _IVF_K).collect(), key=lambda r: r.vec_id
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
-            )
-            for r in cent_rows
-        ]
+    # one py4j round-trip for the k*dim codebook literal (r15; see
+    # sim.lit_cent_structs — the per-element form cost ~1 s of driver
+    # time per construction)
+    cent_arr = sim.lit_cent_structs(
+        [int(r.vec_id) for r in cent_rows], [r.v for r in cent_rows]
     )
     scored_arr = F.transform(
         cent_arr,

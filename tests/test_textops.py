@@ -1188,3 +1188,35 @@ def test_substring_dedup_run_stats(spark, tmp_path):
     r = got[5]  # wholly unique doc
     assert (r.n_dup_grams, r.n_runs, r.max_run_tokens) == (0, 0, 0)
     assert not r.drop_candidate
+
+
+def test_sql_text_literals_bit_exact(spark):
+    """r15: codebook/hyperplane/bloom literals are built as one
+    F.expr SQL string instead of per-element F.lit py4j calls (~1 s
+    per 1024-float codebook).  The SQL parse must reproduce the same
+    values BIT-exactly, including shortest-repr-roundtrip edge cases,
+    and fall back safely on non-finite input."""
+    import math
+
+    from delta_lake_gcp_implementation_spark.functions import similarity as sim
+    from delta_lake_gcp_implementation_spark.operators import bloom
+
+    vals = [0.1 + 0.2, 1e-307, 5e-324, -1.5e17, 3.0, -0.0, 123456.789]
+    row = spark.range(1).select(
+        sim.lit_vec(vals).alias("v"),
+        sim.lit_matrix([vals, vals[::-1]]).alias("m"),
+        sim.lit_cent_structs([0, 7], [vals, vals[::-1]]).alias("s"),
+        bloom._lit_bigints(
+            [0, 1, -1, (1 << 63) - 1, -(1 << 63)]
+        ).alias("b"),
+    ).collect()[0]
+    assert [x for x in row.v] == vals
+    assert [list(r) for r in row.m] == [vals, vals[::-1]]
+    assert [(r.cid, list(r.cv)) for r in row.s] == [(0, vals), (7, vals[::-1])]
+    assert list(row.b) == [0, 1, -1, (1 << 63) - 1, -(1 << 63)]
+    # -0.0 sign preserved
+    assert math.copysign(1.0, row.v[5]) == -1.0
+    # non-finite input falls back to the per-element path, same values
+    nf = [1.0, float("inf")]
+    got = spark.range(1).select(sim.lit_vec(nf).alias("v")).collect()[0].v
+    assert got[0] == 1.0 and math.isinf(got[1])
