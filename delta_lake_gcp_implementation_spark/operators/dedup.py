@@ -680,22 +680,29 @@ def simhash_bits(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    # hash once per DISTINCT token and weight by per-doc frequency:
-    # md5+conv run O(|vocab|) times, the per-bit sums see one row per
-    # (doc, token) instead of one per token occurrence
-    counts = tokens.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
-    vocab = tokens.select("tok").distinct().select(
-        "tok",
-        F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10)
-        .cast("bigint")
-        .alias("h"),
+    # md5+conv inline per token occurrence, ONE groupBy on the doc id:
+    # map-side partial aggregation collapses each partition to one
+    # 32-sum row per doc before the exchange, so the single shuffle
+    # carries signatures, never tokens.  Two alternatives were
+    # interleaved-A/B'd in r15 and lost: the original
+    # hash-distinct-vocab-then-join (2.27/2.29 s vs this arm's
+    # 1.28/1.83 s on the two simhash keys — its distinct + join
+    # shuffles and double text explode dwarf the saved md5 calls, the
+    # same finding as :func:`minhash_signatures`) and a per-(doc,
+    # token) count pre-collapse (1.59/2.16 s — the extra (id, tok)
+    # shuffle costs more than the duplicate-token hashing it saves).
+    # sum(+-1 per occurrence) equals the frequency-weighted sum(+-n)
+    # bit-exactly.
+    h = F.conv(F.substring(F.md5("tok"), 1, bits // 4), 16, 10).cast(
+        "bigint"
     )
-    hashed = counts.join(vocab, "tok")
+    hashed = tokens.select(F.col(id_col), h.alias("h"))
     bit_sums = [
         F.sum(
             F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("n")
-            ).otherwise(-F.col("n"))
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"b_{b}")
         for b in range(bits)
     ]

@@ -104,6 +104,39 @@ def test_simhash_bits_range_and_similarity(spark):
     assert ham12 < ham13
 
 
+def test_simhash_inline_hash_matches_vocab_join_reference(spark):
+    # r15: the single-shuffle inline-hash path must be bit-identical to
+    # the original vocab-join formulation (sum of +-1 per occurrence ==
+    # frequency-weighted sum of +-n per distinct token), including on
+    # repeated tokens, mixed whitespace and single-token docs
+    import re
+
+    import hashlib
+
+    rows = [
+        (1, "alpha beta beta gamma gamma gamma"),
+        (2, "alpha  beta\tgamma\nalpha"),
+        (3, "delta epsilon zeta delta"),
+        (4, "alpha"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.simhash for r in
+           dedup_ops.simhash_bits(df, "text", "doc_id", bits=32).collect()}
+
+    def ref_sig(text):
+        toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", text.strip()) if t]
+        # vocab-join reference: hash per DISTINCT token, weight by count
+        sums = [0] * 32
+        for tok in set(toks):
+            n = toks.count(tok)
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                sums[b] += n if (h >> b) & 1 else -n
+        return sum(2 ** b for b in range(32) if sums[b] > 0)
+
+    assert got == {i: ref_sig(t) for i, t in rows}
+
+
 def test_simhash_hamming_pairs_bucket_recall(spark):
     # identical docs -> hamming 0 -> must be found by banding
     df = spark.createDataFrame(
