@@ -198,8 +198,16 @@ def write_job_control(
             store.spark.sparkContext.applicationId,
         )
     ]
-    df = store.spark.createDataFrame(row, JOB_CONTROL_SCHEMA)
-    store.append("job_control", df)
+    # one literal row: build it as ONE partition and skip the
+    # rebalance sizing pass — plain createDataFrame slices even a
+    # single row across defaultParallelism empty partitions, and
+    # isLocal() is False for parallelized data, so every stage's
+    # bookkeeping append was paying a 32-task shuffle (r15 profile:
+    # a ~0.5 s 32+33-task job pair at the end of every stage)
+    df = store.spark.createDataFrame(
+        store.spark.sparkContext.parallelize(row, 1), JOB_CONTROL_SCHEMA
+    )
+    store.append("job_control", df, optimize=False)
 
 
 def typed_cast(raw: DataFrame) -> DataFrame:
@@ -806,6 +814,11 @@ def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
         emit_result("scd2_dim_customer", {"inserted": n0, "closed": 0})
         return {"inserted": n0, "closed": 0}
 
+    # the rollup feeds BOTH insert branches (J3 anti-join + J2 change
+    # detection) inside one staging plan — materialize it once instead
+    # of re-running the silver aggregation per branch (r15; the frame
+    # is |customers| rows, literal-scale next to the silver scan)
+    agg = agg.localCheckpoint()
     dim = store.read(dim_name)
     current = dim.filter(F.col("is_current") == True)  # noqa: E712
 
@@ -930,6 +943,10 @@ def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
         emit_result("scd2_dim_merchant", {"inserted": n0, "closed": 0})
         return {"inserted": n0, "closed": 0}
 
+    # best-record feeds BOTH insert branches inside one staging plan —
+    # materialize the silver rollup + window once instead of per branch
+    # (r15; |merchants| rows, literal-scale next to the silver scan)
+    best = best.localCheckpoint()
     dim = store.read(dim_name)
     current = dim.filter(F.col("is_current") == True)  # noqa: E712
     max_key = dim.agg(

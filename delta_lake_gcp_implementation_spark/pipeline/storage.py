@@ -958,9 +958,13 @@ class TableStore:
 
     def append(
         self, name: str, df: DataFrame, allow_schema_evolution: bool = False,
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | None = None, optimize: bool = True,
     ) -> int:
         """S5 INSERT INTO; returns the number of rows appended.
+
+        ``optimize=False`` skips the rebalance sizing shuffle — for
+        literal-scale bookkeeping rows (job_control) whose parallelized
+        frames defeat the ``isLocal()`` fast path (r15).
 
         ``txn=(app_id, version)``: idempotent-writer marker for append
         sinks (the streaming corpus ingest).  Unlike ``_replace`` the
@@ -1018,7 +1022,8 @@ class TableStore:
                 df = df.select(*[f.name for f in target_schema.fields])
         before = self.count(name) if existed else 0
         rows = self._write_counted(
-            self._optimize_write(df), self.path(name), "append"
+            self._optimize_write(df) if optimize else df,
+            self.path(name), "append",
         )
         self._save_count(name, before + rows)
         self._commit(
