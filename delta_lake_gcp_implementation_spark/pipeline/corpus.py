@@ -519,7 +519,12 @@ def _ingest_batch_impl(
         .select("id_a", "id_b")
         .distinct()
     )
-    candidates = intra if cross is None else intra.unionByName(cross).distinct()
+    # materialize: the pair list feeds TWO subtrees (old_ids and the
+    # agreement filter) — without a checkpoint each consumer re-runs
+    # the incidence joins + DISTINCT (r15)
+    candidates = (
+        intra if cross is None else intra.unionByName(cross).distinct()
+    ).localCheckpoint()
 
     # 4. precision filter + exact verify on the candidate slice only
     if store.exists(SIGS):
