@@ -290,7 +290,18 @@ def _write_full_artifact(payload: dict) -> None:
     (keep its stamp); a committed one means a new round is underway.
     Overridable via $SPARK_GRAFT_ROUND; only the driver-shape sf0.1
     run writes, so a quick sf0.01 iteration never clobbers the
-    committed artifact."""
+    committed artifact.
+
+    Two r15-verdict integrity fixes: (a) the artifact records the
+    core count it was measured at, and a non-32-core run (the
+    driver's low-core scaling pass) writes a ``_c{cpus}``-suffixed
+    file instead of clobbering the canonical 32-core artifact — in
+    r15 the 8-core scaling run overwrote BENCH_FULL_r15.json, so any
+    FULL-vs-FULL round comparison silently mixed core counts; (b) the
+    two trailing human-readable lines live INSIDE the artifact (as
+    ``notes``), not on a stream — in r14 the driver's capture
+    interleaved them after the stdout JSON and its parser choked, so
+    nothing may follow the JSON line on either stream."""
     if payload["sf"] != 0.1:
         return
     here = os.path.dirname(os.path.abspath(__file__))
@@ -300,19 +311,19 @@ def _write_full_artifact(payload: dict) -> None:
 
         by_rows = max(driver_rows.LAST_GREEN.values(), default=0) + 1
         rnd = str(_detect_round(here, by_rows))
-    out = os.path.join(here, f"BENCH_FULL_r{int(rnd):02d}.json")
-    with open(out, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-        f.write("\n")
-    print(f"full per-key artifact: {out}", file=sys.stderr)
-    # ready-to-paste BENCH_NOTES line, stamped FROM the artifact so the
-    # notes figure can never drift from the committed value (r8 review:
-    # a hand-typed total disagreed with the artifact)
-    print(
-        f"notes line: {len(payload['queries'])} keys, "
-        f"{payload['value']} s total (BENCH_FULL_r{int(rnd):02d}.json)",
-        file=sys.stderr,
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    suffix = "" if cpus == 32 else f"_c{cpus}"
+    name = f"BENCH_FULL_r{int(rnd):02d}{suffix}.json"
+    out = os.path.join(here, name)
+    full = dict(payload)
+    full["cpus"] = cpus
+    full["notes"] = (
+        f"{len(payload['queries'])} keys, {payload['value']} s total "
+        f"({name}, {cpus} cores)"
     )
+    with open(out, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -76,3 +76,51 @@ def test_non_git_dir_falls_back_to_by_rows(tmp_path):
     plain = tmp_path / "plain"
     plain.mkdir()
     assert _detect_round(str(plain), 7) == 7
+
+
+def test_full_artifact_stamps_cpus_and_suffixes_non32(tmp_path, monkeypatch, capsys):
+    """r15 verdict item 2: the driver's 8-core scaling run clobbered the
+    canonical 32-core BENCH_FULL artifact.  Non-32-core runs must write a
+    suffixed file, the payload must record its core count, and nothing may
+    be printed on either stream (the r14 parse failure was trailing notes
+    lines after the stdout JSON)."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "16")
+    payload = {"metric": "m", "value": 1.5, "unit": "sec",
+               "queries": {"q1": 1.5}, "sf": 0.1}
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    bench._write_full_artifact(payload)
+    canon = tmp_path / "BENCH_FULL_r16.json"
+    assert canon.exists()
+    full = json.loads(canon.read_text())
+    assert full["cpus"] == 32
+    assert "BENCH_FULL_r16.json" in full["notes"]
+    canon_bytes = canon.read_bytes()
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    bench._write_full_artifact(payload)
+    low = tmp_path / "BENCH_FULL_r16_c8.json"
+    assert low.exists()
+    assert json.loads(low.read_text())["cpus"] == 8
+    # the canonical 32-core artifact is untouched by the low-core run
+    assert canon.read_bytes() == canon_bytes
+
+    # stdout/stderr silent: the one JSON line printed by main() must be
+    # the last thing on any stream
+    out, err = capsys.readouterr()
+    assert out == "" and err == ""
+
+
+def test_full_artifact_skips_non_driver_sf(tmp_path, monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "16")
+    bench._write_full_artifact({"metric": "m", "value": 1.0, "unit": "sec",
+                                "queries": {}, "sf": 0.01})
+    assert not list(tmp_path.glob("BENCH_FULL_*"))
