@@ -270,11 +270,11 @@ def connected_components_groups(
     Per iteration: incidence |><| labels -> per-group MIN (the group's
     candidate label) -> per-id MIN over its groups.  Both aggregations
     have map-side partial combine; the group-min table is at most one
-    row per group and is broadcast when small.  Each round finishes
-    with the same pointer-jumping shortcut as
+    row per group and is broadcast when small.  Rounds past
+    ``_JUMP_FROM`` finish with the same pointer-jumping shortcut as
     :func:`connected_components` (label <- label(label); identical
     fixed point, O(log diameter) rounds instead of O(diameter) — see
-    the rationale there)."""
+    the rationale and the gating note there)."""
     inc = (
         incidence.select(
             F.col(id_col).alias("id"), F.col(group_col).alias("grp")
@@ -286,7 +286,7 @@ def connected_components_groups(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
     bcast = _fits_broadcast(labels)
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         grp_min = (
             inc.join(F.broadcast(labels) if bcast else labels, "id")
             .groupBy("grp")
@@ -297,46 +297,77 @@ def connected_components_groups(
             .groupBy("id")
             .agg(F.min("grp_comp").alias("nbr_comp"))
         )
-        nxt = F.least(
-            F.col("component"),
-            F.coalesce(F.col("nbr_comp"), F.col("component")),
+        labels, changed = _finish_cc_round(
+            labels, nbr_min, bcast, jump=rnd >= _JUMP_FROM
         )
-        half = labels.join(nbr_min, "id", "left").select(
-            "id", F.col("component").alias("__old"), nxt.alias("__c1")
-        )
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components_groups did not converge in {max_iterations} iterations"
+    )
+
+
+#: first round index that pays the pointer-jump hop join.  LSH dedup
+#: graphs are usually shallow (bucket cliques chained through shared
+#: docs: 2-4 propagation rounds), and for them the per-round hop join
+#: costs more than the rounds it saves — the r15 driver stamps showed
+#: the always-jump loop consistently slower on the shallow-graph
+#: consumers (cluster_best_doc +34%) while the deep embedding graph
+#: (semantic_dedup, diameter ~14) got faster.  Gating by round index
+#: keeps both: rounds 0..1 are plain propagation (shallow graphs
+#: converge there and never pay the hop), and any graph still moving
+#: at round 2 has real diameter, so jumping engages and convergence
+#: stays O(log diameter).  The fixed point is unchanged either way —
+#: a plain round is ordinary min-label propagation.
+_JUMP_FROM = 2
+
+
+def _finish_cc_round(labels, nbr_min, bcast, jump):
+    """Shared tail of one CC round: fold the neighbour minimum into the
+    labels, optionally pointer-jump (label <- label(label)), observe
+    the changed-row count on the checkpoint action itself (r15: one
+    driver job per round, not checkpoint + count).  Returns
+    ``(new_labels, n_changed)``."""
+    nxt = F.least(
+        F.col("component"),
+        F.coalesce(F.col("nbr_comp"), F.col("component")),
+    )
+    half = labels.join(nbr_min, "id", "left").select(
+        "id", F.col("component").alias("__old"), nxt.alias("__c1")
+    )
+    if jump:
+        # pointer jump: component <- label(component).  __c1 values are
+        # node ids, so every jump target exists in `half`; the left
+        # join cannot lose rows and coalesce is only belt-and-braces.
         hop = half.select(
             F.col("id").alias("__jid"), F.col("__c1").alias("__c2")
         )
         fin = F.least(
             F.col("__c1"), F.coalesce(F.col("__c2"), F.col("__c1"))
         )
-        # convergence count observed on the checkpoint action (r15):
-        # one driver job per round instead of checkpoint + count
-        obs = Observation()
-        new_labels = (
-            half.join(
-                F.broadcast(hop) if bcast else hop,
-                F.col("__c1") == F.col("__jid"),
-                "left",
-            )
-            .select(
-                "id",
-                fin.alias("component"),
-                (fin < F.col("__old")).alias("__changed"),
-            )
-            .observe(
-                obs,
-                F.sum(F.col("__changed").cast("long")).alias("n_changed"),
-            )
-            .localCheckpoint()
+        folded = half.join(
+            F.broadcast(hop) if bcast else hop,
+            F.col("__c1") == F.col("__jid"),
+            "left",
         )
-        changed = int(obs.get["n_changed"] or 0)
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components_groups did not converge in {max_iterations} iterations"
+    else:
+        fin = F.col("__c1")
+        folded = half
+    obs = Observation()
+    new_labels = (
+        folded.select(
+            "id",
+            fin.alias("component"),
+            (fin < F.col("__old")).alias("__changed"),
+        )
+        .observe(
+            obs,
+            F.sum(F.col("__changed").cast("long")).alias("n_changed"),
+        )
+        .localCheckpoint()
     )
+    changed = int(obs.get["n_changed"] or 0)
+    return new_labels.drop("__changed"), changed
 
 
 
@@ -579,18 +610,20 @@ def connected_components(
     contractions).  Each iteration is ``localCheckpoint``-ed: iterative
     lineage otherwise grows the plan exponentially.
 
-    Each round does edge propagation THEN pointer jumping
-    (``label <- label(label)``, the shortcutting half of classic
-    parallel CC): labels are monotonically decreasing node ids bounded
-    by the component minimum, jumping only follows already-established
-    same-component links, and the loop exits on the same
-    nothing-changed criterion — so the fixed point (min reachable id)
-    is identical while convergence drops from O(diameter) to
-    O(log diameter) rounds.  The r15 job trace measured the
-    propagation-only loop at 14 rounds x ~7 driver jobs on the sf0.1
-    embedding graph (chained hub-star clusters have real diameter);
-    each round is driver-latency-bound at any scale, so halving rounds
-    matters more than per-round task work."""
+    Rounds past ``_JUMP_FROM`` do edge propagation THEN pointer
+    jumping (``label <- label(label)``, the shortcutting half of
+    classic parallel CC): labels are monotonically decreasing node ids
+    bounded by the component minimum, jumping only follows
+    already-established same-component links, and the loop exits on
+    the same nothing-changed criterion — so the fixed point (min
+    reachable id) is identical while convergence drops from
+    O(diameter) to O(log diameter) rounds.  The r15 job trace measured
+    the propagation-only loop at 14 rounds x ~7 driver jobs on the
+    sf0.1 embedding graph (chained hub-star clusters have real
+    diameter); each round is driver-latency-bound at any scale, so
+    halving rounds matters more than per-round task work.  Shallow
+    graphs converge before the gate opens and never pay the hop join
+    (see ``_JUMP_FROM``)."""
     sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -604,7 +637,7 @@ def connected_components(
     # the (much larger) edge table in place with zero shuffle on the
     # join side; fall back to a shuffled join at corpus scale
     bcast_labels = _fits_broadcast(labels)
-    for _ in range(max_iterations):
+    for rnd in range(max_iterations):
         lab_dst = labels.select(
             F.col("id").alias("dst"), F.col("component").alias("dst_comp")
         )
@@ -614,45 +647,9 @@ def connected_components(
             .agg(F.min("dst_comp").alias("nbr_comp"))
             .withColumnRenamed("src", "id")
         )
-        nxt = F.least(
-            F.col("component"),
-            F.coalesce(F.col("nbr_comp"), F.col("component")),
+        labels, changed = _finish_cc_round(
+            labels, nbr_min, bcast_labels, jump=rnd >= _JUMP_FROM
         )
-        half = labels.join(nbr_min, "id", "left").select(
-            "id", F.col("component").alias("__old"), nxt.alias("__c1")
-        )
-        # pointer jump: component <- label(component).  __c1 values are
-        # node ids, so every jump target exists in `half`; the left
-        # join cannot lose rows and coalesce is only belt-and-braces.
-        hop = half.select(
-            F.col("id").alias("__jid"), F.col("__c1").alias("__c2")
-        )
-        fin = F.least(
-            F.col("__c1"), F.coalesce(F.col("__c2"), F.col("__c1"))
-        )
-        # the convergence count rides the checkpoint action itself as
-        # an observed metric (r15) — one driver job per round, not a
-        # checkpoint job plus a count job
-        obs = Observation()
-        new_labels = (
-            half.join(
-                F.broadcast(hop) if bcast_labels else hop,
-                F.col("__c1") == F.col("__jid"),
-                "left",
-            )
-            .select(
-                "id",
-                fin.alias("component"),
-                (fin < F.col("__old")).alias("__changed"),
-            )
-            .observe(
-                obs,
-                F.sum(F.col("__changed").cast("long")).alias("n_changed"),
-            )
-            .localCheckpoint()
-        )
-        changed = int(obs.get["n_changed"] or 0)
-        labels = new_labels.drop("__changed")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -984,7 +984,7 @@ def _tuned_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     c = (
         scale_out(e)
         .select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
-        .withColumn("bucket", sim.lsh_bucket(F.col("v"), planes))
+        .withColumn("bucket", sim.lsh_bucket("v", planes))
         .withColumn("nrm", sim.norm(F.col("v")))
     )
     sizes = c.groupBy("bucket").agg(

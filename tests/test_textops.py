@@ -238,6 +238,24 @@ def test_connected_components_pointer_jump_accelerates_long_chain(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_shallow_graph_converges_before_jump_gate(spark):
+    """r16: the pointer jump is gated to rounds >= _JUMP_FROM so shallow
+    LSH dedup graphs never pay the hop join.  A star converges in 2
+    plain rounds (propagate-all, then detect-no-change), i.e. entirely
+    BEFORE the gate opens — this pins that the pre-gate plain rounds
+    still reach and detect the fixed point on their own."""
+    assert dedup_ops._JUMP_FROM >= 2
+    ids = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["id_a", "id_b"]
+    )
+    cc = dedup_ops.connected_components(
+        pairs, ids, "doc_id", max_iterations=dedup_ops._JUMP_FROM
+    )
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+
+
 def test_cc_groups_matches_pair_cc(spark):
     """Hypergraph label propagation over (id, bucket) incidence must
     produce the exact components of pair-CC over the clique expansion —
@@ -1221,6 +1239,35 @@ def test_substring_dedup_run_stats(spark, tmp_path):
     r = got[5]  # wholly unique doc
     assert (r.n_dup_grams, r.n_runs, r.max_run_tokens) == (0, 0, 0)
     assert not r.drop_candidate
+
+
+def test_lsh_bucket_sql_text_matches_column_path(spark):
+    """r16: lsh_bucket over a column NAME builds the whole bucket
+    expression as one server-parsed F.expr (the per-plane Column
+    composition cost 0.8-1.7 s of py4j round-trips per construction).
+    Bucket values must be bit-identical to the Column path on awkward
+    vectors (negatives, zeros, subnormals, exact-zero dots), and a
+    Column input must still take the fallback."""
+    from delta_lake_gcp_implementation_spark.functions import similarity as sim
+
+    planes = sim.hyperplanes(16, 8)
+    vecs = [
+        (0, [0.0] * 8),
+        (1, [1.0, -1.0, 0.5, -0.5, 2.0, -2.0, 0.25, -0.25]),
+        (2, [5e-324] * 8),
+        (3, [0.1 + 0.2, -0.3, 1e16, -1e-16, 7.0, 0.0, -0.0, 3.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, v array<double>")
+    got = df.select(
+        "vec_id",
+        sim.lsh_bucket("v", planes).alias("b_sql"),
+        sim.lsh_bucket(F.col("v"), planes).alias("b_col"),
+    ).collect()
+    for r in got:
+        assert r.b_sql == r.b_col, (r.vec_id, r.b_sql, r.b_col)
+    # non-finite planes fall back even for a name input
+    bad = [[float("nan")] * 8]
+    assert df.select(sim.lsh_bucket("v", bad)).collect()
 
 
 def test_sql_text_literals_bit_exact(spark):
