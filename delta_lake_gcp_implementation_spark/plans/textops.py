@@ -741,8 +741,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     v = scale_out(e).select(
         "vec_id", sim.as_double(F.col("embedding")).alias("v")
     )
+    # centroid collect reads the UN-spread projection: scale_out is
+    # row-preserving, so the doubles are identical, and the K-row
+    # collect skips the round-robin exchange stage (r16)
     cent_rows = sorted(
-        v.filter(F.col("vec_id") < _IVF_K).collect(), key=lambda r: r.vec_id
+        e.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+        .filter(F.col("vec_id") < _IVF_K)
+        .collect(),
+        key=lambda r: r.vec_id,
     )
     # one py4j round-trip for the k*dim codebook literal (r15; see
     # sim.lit_cent_structs — the per-element form cost ~1 s of driver
