@@ -31,6 +31,7 @@ only* (dims are small by construction; see
 from __future__ import annotations
 
 import contextvars
+import functools
 import json
 import uuid
 from datetime import date, datetime
@@ -39,6 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dedup_ops
+from . import storage as storage_mod
 from .storage import TableStore
 
 # ---------------------------------------------------------------- shared helpers
@@ -264,6 +266,30 @@ def _batch_cutoff():
     return F.lit(datetime.utcnow().strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
 
 
+
+
+def _scoped_checkpoints(fn):
+    """Release a stage's localCheckpoint blocks when it exits (ADVICE
+    r15): the SCD2 rollup / validation-slice checkpoints are consumed
+    entirely inside their stage, but without an explicit release the
+    pinned RDD blocks wait for a JVM GC + ContextCleaner pass that a
+    long-lived driver never runs in time (the same leak ingest_batch
+    and media.ingest already scope away).  Snapshot-scoped, so blocks
+    owned by the caller — protected memo checkpoints included — are
+    untouched."""
+
+    @functools.wraps(fn)
+    def wrapper(store, *args, **kwargs):
+        pre = storage_mod.snapshot_persistent_rdds(store.spark)
+        try:
+            return fn(store, *args, **kwargs)
+        finally:
+            storage_mod.release_checkpoints_since(store.spark, pre)
+
+    return wrapper
+
+
+@_scoped_checkpoints
 def validate_bronze(
     store: TableStore,
     raw: DataFrame,
@@ -437,6 +463,7 @@ def load_bronze(store: TableStore, batch_id: str, run_mode: str = "incremental")
 # ---------------------------------------------------------------- C3 / C4
 
 
+@_scoped_checkpoints
 def backfill_bronze(
     store: TableStore, raw: DataFrame, start_date: str, end_date: str,
     batch_id: str,
@@ -755,6 +782,7 @@ def gdpr_delete(store: TableStore, customer_id: str, batch_id: str) -> dict:
 # ---------------------------------------------------------------- C7: SCD2 dim maintenance
 
 
+@_scoped_checkpoints
 def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
     """C7 SCD Type 2 on customer tier (``gold_dim_customer_scd2.py:26-240``):
     A2 rollup -> A8 key seed -> J3 anti-join new members -> J2 change
@@ -879,6 +907,7 @@ def scd2_dim_customer(store: TableStore, batch_id: str) -> dict:
     return {"inserted": n_inserted, "closed": n_closed}
 
 
+@_scoped_checkpoints
 def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
     """C7 SCD Type 2 on merchant name (``gold_dim_merchant_scd2.py:26-261``):
     like the customer dim, plus two merchant-specific behaviors:
@@ -988,19 +1017,21 @@ def scd2_dim_merchant(store: TableStore, batch_id: str) -> dict:
     )
     # same-day churn: drop still-current same-day versions of changed
     # merchants (guard above left them open) before inserting anew.
-    # Materialize the key set BEFORE delete_matched mutates the dim.
+    # Materialize the key set BEFORE delete_matched mutates the dim —
+    # localCheckpoint pins the pre-mutation snapshot without the table
+    # commit the old sameday_keys staging table paid (write job +
+    # manifest + register + read-back, ~4 driver jobs per run; r16).
+    # Unlike the insert staging table this set is never re-read after
+    # the stage, so durability buys nothing: a retried stage recomputes
+    # it from the dim it is about to mutate, exactly as before.
     same_day = (
         store.read(dim_name)
         .filter(F.col("is_current") == True)  # noqa: E712
         .join(staged.select("merchant_id"), "merchant_id", "left_semi")
         .select("merchant_key")
+        .localCheckpoint()
     )
-    store.overwrite("gold.dim_merchant_sameday_keys", same_day)
-    store.delete_matched(
-        dim_name,
-        store.read("gold.dim_merchant_sameday_keys"),
-        ["merchant_key"],
-    )
+    store.delete_matched(dim_name, same_day, ["merchant_key"])
     store.append(dim_name, staged)
     write_job_control(
         store, "scd2_dim_merchant", "gold", batch_id, "incremental",
