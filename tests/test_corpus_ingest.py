@@ -316,6 +316,45 @@ def test_txn_replay_after_partial_index_commit(
     assert _bucket_counts(store) == _bucket_counts(ref)
 
 
+def test_txn_replay_with_bands_committed_but_sigs_never(spark, tmp_path):
+    """r16: the SIGS and BANDS appends run concurrently (they never had
+    a mutual order — replay checks their markers independently), which
+    makes {BANDS committed, SIGS never attempted-to-commit} a reachable
+    crash subset.  Pin it deterministically: SIGS raises BEFORE its
+    commit while BANDS commits, then the replay must marker-skip BANDS,
+    recompute SIGS against the pre-batch view, and land row-identical
+    to a clean run."""
+    b1 = [(1, A), (2, B)]
+    b2 = [(11, A), (12, B_NEAR), (13, D), (14, C)]
+    store = TableStore(spark, str(tmp_path / "wh_txn_sigfail"))
+    corpus.ingest_batch(store, _df(spark, b1), txn=("app", 0))
+
+    real_append = store.append
+
+    def failing_sigs_append(name, df, **kw):
+        if name == corpus.SIGS:
+            raise RuntimeError("injected crash before SIGS commit")
+        return real_append(name, df, **kw)
+
+    store.append = failing_sigs_append
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            corpus.ingest_batch(store, _df(spark, b2), txn=("app", 1))
+    finally:
+        store.append = real_append
+
+    assert store.last_txn_version(corpus.DOCS, "app") == 0
+    assert store.last_txn_version(corpus.BANDS, "app") == 1
+    assert (store.last_txn_version(corpus.SIGS, "app") or 0) == 0
+
+    r = corpus.ingest_batch(store, _df(spark, b2), txn=("app", 1))
+    assert r["accepted"] == 2 and r["near_dups"] == 1
+
+    ref = _clean_reference(spark, tmp_path, [b1, b2])
+    assert _tables_snapshot(store) == _tables_snapshot(ref)
+    assert _bucket_counts(store) == _bucket_counts(ref)
+
+
 def test_txn_replay_discards_uncommitted_residue(spark, tmp_path):
     """Crash BETWEEN the parquet job and the manifest commit: the
     orphan files must be DISCARDED on replay (the source re-delivers),
