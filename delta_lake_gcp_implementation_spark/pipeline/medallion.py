@@ -33,7 +33,9 @@ from __future__ import annotations
 import contextvars
 import functools
 import json
+import threading
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from datetime import date, datetime
 
 from pyspark.sql import DataFrame, Window
@@ -109,6 +111,11 @@ JOB_CONTROL_SCHEMA = (
 #: (``bronze_incremental_dag.py:70-77``).
 DEFAULT_STAGE_RETRIES = 2
 
+#: job_control is the one table every stage appends to; with the gold
+#: dimension tier running stages concurrently (run_incremental), its
+#: single-writer-per-table manifest contract needs this lock.
+_JOB_CONTROL_LOCK = threading.Lock()
+
 #: Ambient (retry_count, max_retries) for the CURRENTLY running stage,
 #: set by :func:`run_stage_with_retries` so the stage's own
 #: ``write_job_control`` call records the attempt number without
@@ -171,6 +178,9 @@ def write_job_control(
         retry_count = _STAGE_RETRY.get()[0]
     if max_retries is None:
         max_retries = _STAGE_RETRY.get()[1]
+    # concurrent gold-tier stages (run_incremental) both append here;
+    # manifest versions are single-writer per table, so serialize the
+    # one shared-table write
     now = datetime.utcnow()
     wm_ts = (
         datetime.strptime(watermark, "%Y-%m-%d %H:%M:%S")
@@ -209,7 +219,8 @@ def write_job_control(
     df = store.spark.createDataFrame(
         store.spark.sparkContext.parallelize(row, 1), JOB_CONTROL_SCHEMA
     )
-    store.append("job_control", df, optimize=False)
+    with _JOB_CONTROL_LOCK:
+        store.append("job_control", df, optimize=False)
 
 
 def typed_cast(raw: DataFrame) -> DataFrame:
@@ -268,6 +279,18 @@ def _batch_cutoff():
 
 
 
+#: _scoped_checkpoints concurrency state: the gold dimension tier runs
+#: scoped stages concurrently (run_incremental), and the snapshot/
+#: release discipline is single-writer — one stage's exit release
+#: would free a sibling's in-flight checkpoint blocks.  Overlapping
+#: scopes therefore merge: the first entering scope takes the
+#: snapshot, the LAST exiting scope releases everything since it.
+#: Sequential callers (every scoped stage outside the tier) see the
+#: exact per-stage release as before.
+_SCOPE_LOCK = threading.Lock()
+_SCOPE_STATE: dict = {"active": 0, "snapshot": None}
+
+
 def _scoped_checkpoints(fn):
     """Release a stage's localCheckpoint blocks when it exits (ADVICE
     r15): the SCD2 rollup / validation-slice checkpoints are consumed
@@ -276,15 +299,26 @@ def _scoped_checkpoints(fn):
     long-lived driver never runs in time (the same leak ingest_batch
     and media.ingest already scope away).  Snapshot-scoped, so blocks
     owned by the caller — protected memo checkpoints included — are
-    untouched."""
+    untouched.  Concurrent scopes merge (see ``_SCOPE_STATE``)."""
 
     @functools.wraps(fn)
     def wrapper(store, *args, **kwargs):
-        pre = storage_mod.snapshot_persistent_rdds(store.spark)
+        with _SCOPE_LOCK:
+            _SCOPE_STATE["active"] += 1
+            if _SCOPE_STATE["active"] == 1:
+                _SCOPE_STATE["snapshot"] = (
+                    storage_mod.snapshot_persistent_rdds(store.spark)
+                )
         try:
             return fn(store, *args, **kwargs)
         finally:
-            storage_mod.release_checkpoints_since(store.spark, pre)
+            with _SCOPE_LOCK:
+                _SCOPE_STATE["active"] -= 1
+                if _SCOPE_STATE["active"] == 0:
+                    storage_mod.release_checkpoints_since(
+                        store.spark, _SCOPE_STATE["snapshot"]
+                    )
+                    _SCOPE_STATE["snapshot"] = None
 
     return wrapper
 
@@ -1260,20 +1294,36 @@ def run_incremental(
     r["silver"] = stage(
         "load_silver", "silver", lambda: run_silver(store, batch_id)
     )
-    r["scd2"] = stage(
-        "scd2_dim_customer", "gold",
-        lambda: scd2_dim_customer(store, batch_id),
-    )
-    r["scd2_merchant"] = stage(
-        "scd2_dim_merchant", "gold",
-        lambda: scd2_dim_merchant(store, batch_id),
-    )
-    stage("static_dims", "gold", lambda: build_static_dims(store))
+    # the four gold dimension stages are mutually independent (each
+    # reads silver / writes its own dim table) — in the reference DAG
+    # they share the 04:00 tier, i.e. Airflow would run them
+    # concurrently too.  Overlapping them from driver threads (guide
+    # §2.6) back-fills each stage's straggler tail with the next
+    # stage's tasks; the only shared-table write (job_control) is
+    # serialized inside write_job_control.  Stage retries stay
+    # per-thread (the retry contextvar is thread-local state set by
+    # the runner in the same thread that runs the stage).
+    dim_stages = [
+        ("scd2", "scd2_dim_customer",
+         lambda: scd2_dim_customer(store, batch_id)),
+        ("scd2_merchant", "scd2_dim_merchant",
+         lambda: scd2_dim_merchant(store, batch_id)),
+        (None, "static_dims", lambda: build_static_dims(store)),
+    ]
     if not store.exists("gold.dim_date"):
-        stage(
-            "dim_date", "gold",
-            lambda: build_dim_date(store, "2024-01-01", "2024-12-31"),
+        dim_stages.append(
+            (None, "dim_date",
+             lambda: build_dim_date(store, "2024-01-01", "2024-12-31"))
         )
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            (key, pool.submit(stage, job_name, "gold", fn))
+            for key, job_name, fn in dim_stages
+        ]
+        for key, f in futs:
+            out = f.result()
+            if key is not None:
+                r[key] = out
     r["fact"] = stage(
         "load_fact", "gold", lambda: build_fact(store, batch_id)
     )

@@ -533,3 +533,28 @@ def test_permanent_stage_failure_recorded_failed_after_max_retries(
     assert "permanent schema drift" in row.error_message
     # the failure must NOT advance the bronze watermark
     assert medallion.read_watermark(store, "bronze") is None
+
+
+def test_run_incremental_releases_stage_checkpoints(spark, tmp_path):
+    """r16: the gold dimension tier runs its four stages concurrently
+    and each checkpointing stage is snapshot/release-scoped.  After
+    run_incremental returns, no stage checkpoint blocks may remain
+    pinned (the ADVICE r15 leak), and the merged-scope release must not
+    have freed anything a sibling stage still needed mid-run (the run
+    itself completing with correct outputs pins that)."""
+    from delta_lake_gcp_implementation_spark.pipeline import storage as storage_mod
+
+    pre = storage_mod.snapshot_persistent_rdds(spark)
+    store = TableStore(spark, str(tmp_path / "wh_release"))
+    raw = fixtures.generate_day_spark(spark, 1, 2_000)
+    r = medallion.run_incremental(store, raw)
+    assert r["fact"]["merged"] > 0
+    post = storage_mod.snapshot_persistent_rdds(spark)
+    app = spark.sparkContext.applicationId
+    leaked = {
+        rid for rid in post - pre
+        if (app, rid) not in storage_mod._PROTECTED_RDD_IDS
+    }
+    assert leaked == set(), f"stage checkpoints leaked: {leaked}"
+    # scope bookkeeping returned to idle
+    assert medallion._SCOPE_STATE == {"active": 0, "snapshot": None}
