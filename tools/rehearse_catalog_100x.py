@@ -244,14 +244,23 @@ def main() -> None:
 
     prior_rows = load_prior_rows(here)
 
-    def timed_run(builder, key: str, data_dir: str) -> tuple[int, float]:
+    def timed_run(builder, key: str, data_dir: str) -> tuple[None, float]:
+        """Time the key with the NOOP SINK (r16, VERDICT r15 item 8).
+        The sweep previously timed ``builder().count()``, under which
+        Catalyst prunes aggregate expressions — agg-final keys' sweep
+        factors were lower bounds (discovered r15, held for the
+        r14/r15 comparability window).  bench.py has always used the
+        noop sink, so sweep rows are now methodology-identical to
+        driver numbers; rows-out is no longer observable (None)."""
         sc.setJobGroup(key, f"100x rehearsal {key}", True)
         cancel = threading.Timer(budget_s, lambda: sc.cancelJobGroup(key))
         cancel.start()
         t0 = time.perf_counter()
         try:
-            rows = builder(spark, data_dir).count()
-            return rows, round(time.perf_counter() - t0, 2)
+            builder(spark, data_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return None, round(time.perf_counter() - t0, 2)
         finally:
             cancel.cancel()
             sc.setJobGroup("", "")
@@ -263,7 +272,7 @@ def main() -> None:
         for key in order:
             if key in done:
                 continue
-            rec: dict = {"key": key, "sf01_s": sf01.get(key)}
+            rec: dict = {"key": key, "sf01_s": sf01.get(key), "sink": "noop"}
             if key in STATIC_NOTES:
                 rec["note"] = STATIC_NOTES[key]
             builder = CATALOG[key].builder
