@@ -220,7 +220,7 @@ def write_job_control(
         store.spark.sparkContext.parallelize(row, 1), JOB_CONTROL_SCHEMA
     )
     with _JOB_CONTROL_LOCK:
-        store.append("job_control", df, optimize=False)
+        store.append("job_control", df, size_files=False)
 
 
 def typed_cast(raw: DataFrame) -> DataFrame:

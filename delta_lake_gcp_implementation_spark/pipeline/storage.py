@@ -958,11 +958,18 @@ class TableStore:
 
     def append(
         self, name: str, df: DataFrame, allow_schema_evolution: bool = False,
-        txn: tuple[str, int] | None = None, optimize: bool = True,
+        txn: tuple[str, int] | None = None, size_files: bool = True,
     ) -> int:
         """S5 INSERT INTO; returns the number of rows appended.
 
-        ``optimize=False`` skips the rebalance sizing shuffle — for
+        ``size_files`` controls the rebalance sizing shuffle (the
+        Delta optimizeWrite analog, on by default for appends — see
+        ``_optimize_write``); the same knob on :meth:`overwrite`
+        defaults off because replace inputs end in an exchange AQE
+        already coalesces.  One name, one sense, different defaults
+        (the r15 ADVICE ambiguity was the same knob spelled
+        ``optimize`` with sense readers had to infer per site).
+        ``size_files=False`` skips the shuffle — for
         literal-scale bookkeeping rows (job_control) whose parallelized
         frames defeat the ``isLocal()`` fast path (r15).
 
@@ -1022,7 +1029,7 @@ class TableStore:
                 df = df.select(*[f.name for f in target_schema.fields])
         before = self.count(name) if existed else 0
         rows = self._write_counted(
-            self._optimize_write(df) if optimize else df,
+            self._optimize_write(df) if size_files else df,
             self.path(name), "append",
         )
         self._save_count(name, before + rows)
@@ -1081,19 +1088,20 @@ class TableStore:
         return df.hint("rebalance")
 
     def overwrite(
-        self, name: str, df: DataFrame, optimize: bool = False,
+        self, name: str, df: DataFrame, size_files: bool = False,
         txn: tuple[str, int] | None = None,
     ) -> int:
         """S6 INSERT OVERWRITE: full replace, schema preserved by the
         caller passing an explicitly-projected frame.  Returns rows
         written.
 
-        ``optimize=True`` forces the rebalance shuffle for frames with
-        no exchange of their own (rare for overwrites — replace inputs
-        are joins/windows whose last shuffle AQE already coalesces to
-        advisory-sized partitions, so a second shuffle would be pure
-        overhead, locally and at 100 TB alike)."""
-        return self._replace(name, df, optimize=optimize, txn=txn)
+        ``size_files=True`` forces the rebalance shuffle for frames
+        with no exchange of their own (rare for overwrites — replace
+        inputs are joins/windows whose last shuffle AQE already
+        coalesces to advisory-sized partitions, so a second shuffle
+        would be pure overhead, locally and at 100 TB alike; same
+        knob and sense as :meth:`append`, which defaults on)."""
+        return self._replace(name, df, optimize=size_files, txn=txn)
 
     # --------------------------------------- file-granular MERGE (pruning)
     #
