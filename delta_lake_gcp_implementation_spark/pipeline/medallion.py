@@ -468,8 +468,17 @@ def load_bronze(store: TableStore, batch_id: str, run_mode: str = "incremental")
     # its own output; watermark + staged count share ONE aggregation
     # job (previously: two table re-scans + two staging passes)
     n_before = store.count("bronze.transactions")
-    n_after = store.upsert(
-        "bronze.transactions", staged, ["transaction_id", "updated_at"]
+    # empty staging (idempotent re-run, no new data) skips the MERGE
+    # entirely: the string merge key defeats file pruning, so an empty
+    # merge would otherwise take the full path and rewrite the WHOLE
+    # table for nothing — at production scale that is a full-table
+    # rewrite per no-op rerun (guide §6)
+    n_after = (
+        n_before
+        if store.count("bronze.transactions_staging") == 0
+        else store.upsert(
+            "bronze.transactions", staged, ["transaction_id", "updated_at"]
+        )
     )
     wm_row = staged.agg(
         F.date_format(
@@ -529,7 +538,10 @@ def backfill_bronze(
         .localCheckpoint()
     )
     n = deduped.count()
-    store.upsert("bronze.transactions", deduped, ["transaction_id", "updated_at"])
+    if n:  # empty date slice: skip the MERGE (see load_bronze)
+        store.upsert(
+            "bronze.transactions", deduped, ["transaction_id", "updated_at"]
+        )
     write_job_control(
         store, "backfill_bronze", "bronze", batch_id, "backfill", "SUCCESS",
         None, n,  # watermark intentionally NULL (``bronze_backfill.py:210-236``)
@@ -750,8 +762,13 @@ def run_silver(store: TableStore, batch_id: str) -> dict:
     n = store.overwrite("silver.transactions_staging", latest)
     staged = store.read("silver.transactions_staging")
     n_before = store.count("silver.transactions")
+    # no new rows -> skip the MERGE (string key defeats file pruning;
+    # an empty merge would full-rewrite the table — see load_bronze)
     inserted = (
-        store.upsert("silver.transactions", staged, ["transaction_id"]) - n_before
+        0
+        if n == 0
+        else store.upsert("silver.transactions", staged, ["transaction_id"])
+        - n_before
     )
     new_wm_rows = staged.agg(
         F.date_format(F.max("updated_at"), "yyyy-MM-dd HH:mm:ss").alias("wm")
@@ -1190,8 +1207,12 @@ def build_fact(
     ).collect()[0]
 
     n_before = store.count("gold.fact_transactions")
+    # no new rows -> skip the MERGE (string key defeats file pruning;
+    # an empty merge would full-rewrite the table — see load_bronze)
     inserted = (
-        store.upsert("gold.fact_transactions", staged, ["transaction_id"])
+        0
+        if n == 0
+        else store.upsert("gold.fact_transactions", staged, ["transaction_id"])
         - n_before
     )
     new_wm = audit.wm if n > 0 else wm

@@ -1421,6 +1421,7 @@ class TableStore:
             source.select(*keys).distinct().localCheckpoint(eager=True)
         )
         touched = set(unprunable)
+        n_src = None
         if boxes:
             # tier 1: ONE cheap bounds agg over the pinned source keys
             # (min/max/count) -> candidate boxes driver-side.  Without
@@ -1466,9 +1467,12 @@ class TableStore:
         before = self.count(name)
         final = self.path(name)
         if not touched:
-            if insert_rows is None:
-                # delete/update matching nothing: commit the (empty)
-                # mutation for history fidelity, touch no data file
+            if insert_rows is None or n_src == 0:
+                # delete/update matching nothing, or an EMPTY source
+                # (n_src == 0 distinct keys proves zero rows): commit
+                # the no-op mutation for history fidelity, touch no
+                # data file — appending a 0-row file would pollute the
+                # directory with a schema-only fragment
                 self._save_count(name, before)
                 self._commit(
                     name, op, before, new_lineage=False, txn=txn,
@@ -1602,11 +1606,19 @@ class TableStore:
         # a shuffled anti join.
         kept = target.join(maybe_broadcast(source.select(*keys).distinct()),
                            keys, "left_anti")
-        return self._replace(
-            name,
-            kept.unionByName(source, allowMissingColumns=allow_schema_evolution),
-            txn=txn,
+        merged = kept.unionByName(
+            source, allowMissingColumns=allow_schema_evolution
         )
+        # the USING-style anti join moves the merge keys to the front
+        # of the output; re-pin the table's declared column order so a
+        # MERGE never silently rewrites the schema's column order
+        # (evolution-added columns append after the existing ones)
+        known = set(target.columns)
+        merged = merged.select(
+            *target.columns,
+            *[c for c in merged.columns if c not in known],
+        )
+        return self._replace(name, merged, txn=txn)
 
     def delete_matched(self, name: str, ids: DataFrame, keys: list[str]) -> int:
         """S9 MERGE-DELETE: drop target rows whose key appears in ids.
@@ -1627,7 +1639,9 @@ class TableStore:
         target = self.read(name)
         after = self._replace(
             name,
-            target.join(maybe_broadcast(ids.select(*keys).distinct()), keys, "left_anti"),
+            target.join(
+                maybe_broadcast(ids.select(*keys).distinct()), keys, "left_anti"
+            ).select(*target.columns),  # USING join reorders keys first
         )
         return before - after
 

@@ -24,28 +24,28 @@ def test_entry_runs(spark):
 
 
 def test_every_query_runs_at_smoke_sf(spark, sf_dir):
+    """One pass over the catalog: every query builds and runs at the
+    smoke SF, and DECIMAL never crosses the driver boundary.
+
+    The decimal check rides the same loop because building all ~150
+    plans costs ~80 s of py4j/analysis time — doing it twice (a
+    separate test used to) doubled that for no extra coverage.
+    DECIMAL rationale: Spark.toPandas() renders it as scale-preserving
+    Decimal objects while DuckDB's pandas fetch renders DECIMAL as
+    float64, so any repr-level value hash diverges on trailing zeros
+    (round-1 star_rollup / topn_revenue / customer_rollup fails).
+    Aggregate THROUGH decimal, cast the final column to double."""
+    from pyspark.sql.types import DecimalType
+
     qs = entrymod.queries()
     assert len(qs) >= 30
     for name, builder in qs.items():
         df = builder(spark, sf_dir)
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+        assert not bad, f"{name}: decimal-typed output columns {bad}"
         n = df.count()
         assert n >= 0, name
         assert df.columns, name
-
-
-def test_no_decimal_at_query_output_boundary(spark, sf_dir):
-    """DECIMAL must not cross the driver boundary: Spark.toPandas()
-    renders it as scale-preserving Decimal objects while DuckDB's
-    pandas fetch renders DECIMAL as float64, so any repr-level value
-    hash diverges on trailing zeros (round-1 star_rollup /
-    topn_revenue / customer_rollup fails).  Aggregate THROUGH decimal,
-    cast the final column to double."""
-    from pyspark.sql.types import DecimalType
-
-    for name, builder in entrymod.queries().items():
-        df = builder(spark, sf_dir)
-        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
-        assert not bad, f"{name}: decimal-typed output columns {bad}"
 
 
 def test_oracle_sql_keys_subset_of_queries():

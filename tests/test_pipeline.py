@@ -22,9 +22,57 @@ def _day(spark, day, **kw):
     return batch.df(spark), batch.counts
 
 
-def test_fresh_load_counts(spark, store):
+@pytest.fixture(scope="module")
+def day1_run(spark, tmp_path_factory):
+    """Shared day-1 pipeline state for READ-ONLY assertions (one
+    run_incremental plus the idempotent re-run, which is itself an
+    asserted scenario).  Replaces nine per-test pipeline runs — the
+    driver's pytest window truncates past ~25 min (r15 verdict item 3),
+    and each redundant run cost ~6 s.  Tests that MUTATE the store
+    (gdpr, full refresh, backfill, retry injection) keep private
+    stores."""
+    import contextlib
+    import io
+
+    store = TableStore(
+        spark, str(tmp_path_factory.mktemp("wh_day1") / "warehouse")
+    )
     raw, counts = _day(spark, 1)
-    r = medallion.run_incremental(store, raw)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        r1 = medallion.run_incremental(store, raw)
+        n_bronze = store.count("bronze.transactions")
+        n_silver = store.count("silver.transactions")
+        rerun = medallion.run_incremental(store, raw)
+    return {
+        "store": store,
+        "r1": r1,
+        "counts": counts,
+        "rerun": rerun,
+        "n_bronze_after_1": n_bronze,
+        "n_silver_after_1": n_silver,
+        "stdout": buf.getvalue(),
+    }
+
+
+@pytest.fixture(scope="module")
+def day12_run(spark, tmp_path_factory):
+    """Shared day-1 + day-2 incremental state for read-only CDC /
+    late-arrival assertions.  test_full_refresh_silver_and_fact_match
+    _incremental also consumes it but rebuilds silver/fact in place —
+    it must stay the LAST consumer in definition order."""
+    store = TableStore(
+        spark, str(tmp_path_factory.mktemp("wh_day12") / "warehouse")
+    )
+    raw1, c1 = _day(spark, 1)
+    r1 = medallion.run_incremental(store, raw1)
+    raw2, c2 = _day(spark, 2)
+    r2 = medallion.run_incremental(store, raw2)
+    return {"store": store, "r1": r1, "c1": c1, "r2": r2, "c2": c2}
+
+
+def test_fresh_load_counts(day1_run):
+    store, r, counts = day1_run["store"], day1_run["r1"], day1_run["counts"]
     # scenario 1 (TESTING_GUIDE:76-107): exact quarantine + staged counts
     assert r["validate"]["quarantined"] == counts["tier1"]
     # staged = total - tier1 - exact dups removed by W1
@@ -43,15 +91,12 @@ def test_fresh_load_counts(spark, store):
     assert b.filter(F.col("product_name").isNull()).count() == 0
 
 
-def test_idempotent_rerun(spark, store):
-    raw, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw)
-    n_bronze = store.count("bronze.transactions")
-    n_silver = store.count("silver.transactions")
+def test_idempotent_rerun(day1_run):
+    store = day1_run["store"]
     # scenario 2 (TESTING_GUIDE:125-161): same batch again -> no growth
-    medallion.run_incremental(store, raw)
-    assert store.count("bronze.transactions") == n_bronze
-    assert store.count("silver.transactions") == n_silver
+    # (the fixture ran the same day-1 batch twice)
+    assert store.count("bronze.transactions") == day1_run["n_bronze_after_1"]
+    assert store.count("silver.transactions") == day1_run["n_silver_after_1"]
     # S11 empty-staging write: the no-new-data run overwrites staging
     # with a 0-row frame that KEEPS the exact 21-column schema, so a
     # downstream reader never sees the previous batch
@@ -60,11 +105,8 @@ def test_idempotent_rerun(spark, store):
     assert staging.columns == medallion.SILVER_COLS
 
 
-def test_cdc_collapse_and_composite_key(spark, store):
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
-    raw2, c2 = _day(spark, 2)
-    medallion.run_incremental(store, raw2)
+def test_cdc_collapse_and_composite_key(spark, day12_run):
+    store, c2 = day12_run["store"], day12_run["c2"]
     b = store.read("bronze.transactions")
     s = store.read("silver.transactions")
     # Bronze keeps every (transaction_id, updated_at) version
@@ -84,11 +126,8 @@ def test_cdc_collapse_and_composite_key(spark, store):
     assert all(v == "Successful" for v in got.values())
 
 
-def test_late_arrivals_flagged_not_dropped(spark, store):
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
-    raw2, c2 = _day(spark, 2)
-    r2 = medallion.run_incremental(store, raw2)
+def test_late_arrivals_flagged_not_dropped(day12_run):
+    store, r2 = day12_run["store"], day12_run["r2"]
     late = (
         store.read("bronze.transactions")
         .filter(F.col("is_late_arrival") == True)  # noqa: E712
@@ -120,7 +159,10 @@ def test_gdpr_dual_delete(spark, store):
     assert b.filter(F.col("delta_change_type") != "DELETE").count() == 0
 
 
-def test_scd2_invariants_and_tier_change(spark, store):
+def test_scd2_invariants_tier_change_and_merchant_best_record(spark, store):
+    """Customer and merchant SCD2 invariants over the SAME 3-day
+    progression (two separate tests each ran their own 3-day pipeline;
+    merged to halve that cost — r15 verdict item 3)."""
     raw1, _ = _day(spark, 1)
     medallion.run_incremental(store, raw1)
     dim1 = store.read("gold.dim_customer")
@@ -131,6 +173,13 @@ def test_scd2_invariants_and_tier_change(spark, store):
         == 0
     )
     n_v1 = dim1.count()
+    # W4 best-record pre-dedup -> exactly one current row per merchant
+    assert (
+        store.read("gold.dim_merchant")
+        .filter(F.col("is_current") == True)  # noqa: E712
+        .groupBy("merchant_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
     # more days -> transaction counts grow -> some tiers change
     for day in (2, 3):
         raw, _ = _day(spark, day)
@@ -150,31 +199,17 @@ def test_scd2_invariants_and_tier_change(spark, store):
     # surrogate keys unique
     assert dim3.select("customer_key").distinct().count() == dim3.count()
 
-
-def test_scd2_merchant_best_record_and_one_current(spark, store):
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
-    dim1 = store.read("gold.dim_merchant")
-    # W4 best-record pre-dedup -> exactly one current row per merchant
-    assert (
-        dim1.filter(F.col("is_current") == True)  # noqa: E712
-        .groupBy("merchant_id").count().filter(F.col("count") > 1).count()
-        == 0
-    )
-    for day in (2, 3):
-        raw, _ = _day(spark, day)
-        medallion.run_incremental(store, raw)
-    dim3 = store.read("gold.dim_merchant")
-    cur = dim3.filter(F.col("is_current") == True)  # noqa: E712
+    dim3m = store.read("gold.dim_merchant")
+    cur = dim3m.filter(F.col("is_current") == True)  # noqa: E712
     # invariant survives churn (same-day guard + replace)
     assert cur.groupBy("merchant_id").count().filter(F.col("count") > 1).count() == 0
     # no corrupted closed rows: end >= start always
-    assert dim3.filter(
+    assert dim3m.filter(
         F.col("effective_end_date") < F.col("effective_start_date")
     ).count() == 0
-    assert dim3.select("merchant_key").distinct().count() == dim3.count()
+    assert dim3m.select("merchant_key").distinct().count() == dim3m.count()
     # MERCH_9xxx never enters the dim (P6)
-    assert dim3.filter(F.col("merchant_id").like("MERCH_9%")).count() == 0
+    assert dim3m.filter(F.col("merchant_id").like("MERCH_9%")).count() == 0
 
 
 def test_watermark_advances_and_backfill_does_not(spark, store):
@@ -206,10 +241,11 @@ def test_full_refresh_resets_state(spark, store):
     assert r["watermark"] is not None
 
 
-def test_full_refresh_silver_and_fact_match_incremental(spark, store):
-    for day in (1, 2):
-        raw, _ = _day(spark, day)
-        medallion.run_incremental(store, raw)
+def test_full_refresh_silver_and_fact_match_incremental(spark, day12_run):
+    # Rebuild-in-place converges to the incrementally-built state, so
+    # sharing the day-1+2 store is safe — but this must stay the LAST
+    # day12_run consumer in definition order (it rewrites silver/fact).
+    store = day12_run["store"]
     n_silver_inc = store.count("silver.transactions")
     n_fact_inc = store.count("gold.fact_transactions")
     rs = medallion.full_refresh_silver(store, "BATCH_FRS", confirm="YES")
@@ -224,9 +260,8 @@ def test_full_refresh_silver_and_fact_match_incremental(spark, store):
     )
 
 
-def test_fact_star_and_null_fk_audit(spark, store):
-    raw1, _ = _day(spark, 1)
-    r = medallion.run_incremental(store, raw1)
+def test_fact_star_and_null_fk_audit(day1_run):
+    store, r = day1_run["store"], day1_run["r1"]
     audit = r["fact"]["null_fk"]
     # all FIVE FKs resolve (validate_fact_transactions.py:233-241)
     assert audit["null_customer_key"] == 0
@@ -256,11 +291,10 @@ def test_fact_star_and_null_fk_audit(spark, store):
     assert unresolved == 0
 
 
-def test_fact_merchant_rollup_through_key(spark, store):
+def test_fact_merchant_rollup_through_key(spark, day1_run):
     """Merchant-sliced revenue through merchant_key (the reference's
     top-10 revenue demo, Gold Layer README.md:417-431)."""
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
+    store = day1_run["store"]
     fact = store.read("gold.fact_transactions")
     dim_m = store.read("gold.dim_merchant").filter(F.col("is_current") == True)  # noqa: E712
     top = (
@@ -305,12 +339,11 @@ def test_unknown_member_resolves_to_minus_one(spark, store):
     assert fact.filter(F.col("customer_key").isNull()).count() == 0
 
 
-def test_job_control_contract_and_runbook_queries(spark, store):
+def test_job_control_contract_and_runbook_queries(spark, day1_run):
     """23-column job_control contract (docs/SCHEMA_REGISTRY.md:53-81)
     expressed by replaying the RUNBOOK monitoring queries
     (bronze/README.md:365-405)."""
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
+    store = day1_run["store"]
     jc = store.read("job_control")
     assert jc.columns == [
         "job_name", "layer", "batch_id", "run_mode", "status",
@@ -350,13 +383,11 @@ def test_job_control_contract_and_runbook_queries(spark, store):
     assert durs and all(d.avg_s is not None for d in durs)
 
 
-def test_result_json_contract(spark, store, capsys):
-    raw1, _ = _day(spark, 1)
+def test_result_json_contract(day1_run):
     import json as _json
 
-    medallion.run_incremental(store, raw1)
     lines = [
-        ln for ln in capsys.readouterr().out.splitlines()
+        ln for ln in day1_run["stdout"].splitlines()
         if ln.startswith("RESULT_JSON:")
     ]
     assert len(lines) >= 5  # bronze, silver, 2x scd2, fact
@@ -365,12 +396,11 @@ def test_result_json_contract(spark, store, capsys):
         assert "job_name" in payload
 
 
-def test_schema_contracts(spark, store):
+def test_schema_contracts(day1_run):
     """Column-list parity with docs/SCHEMA_REGISTRY.md for quarantine
     (24), dim_customer (12), dim_merchant (10), dim_payment_method (5),
     dim_status (6)."""
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
+    store = day1_run["store"]
     assert store.read("bronze.quarantine").columns == medallion.RAW_COLS + [
         "delta_change_type", "delta_version", "error_reason", "error_tier",
         "quarantined_at", "source_file", "processing_batch_id",
@@ -396,12 +426,11 @@ def test_schema_contracts(spark, store):
     ]
 
 
-def test_bi_star_join_smoke_and_tier_analysis(spark, store):
+def test_bi_star_join_smoke_and_tier_analysis(spark, day1_run):
     """Replay the reference's documented BI queries over our Gold star
     (Gold Layer README.md:390-447): the 6-table star join resolves for
     every fact row, and tier analysis aggregates through dim_customer."""
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
+    store = day1_run["store"]
     for t in ["fact_transactions", "dim_customer", "dim_merchant",
               "dim_payment_method", "dim_status", "dim_date"]:
         store.read(f"gold.{t}").createOrReplaceTempView(t)
@@ -436,11 +465,10 @@ def test_bi_star_join_smoke_and_tier_analysis(spark, store):
     assert tiers and sum(t.transactions for t in tiers) == joined.count()
 
 
-def test_fact_plan_broadcasts_all_five_dims(spark, store):
+def test_fact_plan_broadcasts_all_five_dims(spark, day1_run):
     """The 100 TB-correct star plan: every dim side is a broadcast hash
     join — the silver fact stream must never shuffle for a dim."""
-    raw1, _ = _day(spark, 1)
-    medallion.run_incremental(store, raw1)
+    store = day1_run["store"]
     silver = store.read("silver.transactions").filter(
         ~F.col("merchant_id").like("MERCH_9%")
     )

@@ -1122,3 +1122,46 @@ def test_read_schema_cache_tracks_mutations_and_other_writers(
     # overwrite with a narrower schema invalidates again
     a.overwrite("db.sc", df.select(F.col("id").alias("only")))
     assert b.read("db.sc").columns == ["only"]
+
+
+def test_merge_pins_column_order_and_empty_merge_writes_nothing(spark, tmp_path):
+    """r16: (a) a full-path MERGE must not reorder the table's columns
+    (the USING-style anti join moves merge keys to the front — the
+    no-op fact rerun used to flip the 30-column contract); (b) a MERGE
+    whose source is empty must not write any data file (it used to
+    full-rewrite the table when the key defeats pruning, or append a
+    0-row schema fragment on the pruned path)."""
+    import os
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # key deliberately NOT the first column, and a STRING key so the
+    # merge takes the unprunable full path
+    df = spark.createDataFrame(
+        [("alpha", "k1", 1.0), ("beta", "k2", 2.0)], ["name", "id", "v"]
+    )
+    store.overwrite("db.order", df)
+    store.upsert("db.order", spark.createDataFrame(
+        [("gamma", "k3", 3.0)], ["name", "id", "v"]), ["id"])
+    assert store.read("db.order").columns == ["name", "id", "v"]
+    assert store.count("db.order") == 3
+
+    # pruned-path empty merge (int key -> file stats exist): no file
+    # may be added or replaced
+    dfi = spark.range(5).select(
+        F.lit("x").alias("payload"), F.col("id").cast("long").alias("id")
+    )
+    store.overwrite("db.noop", dfi)
+    store.prune_min_table_bytes = 0  # force the file-granular path
+    path = store.path("db.noop")
+
+    def data_files():
+        return sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    files_before = data_files()
+    n = store.upsert("db.noop", dfi.filter(F.col("id") < 0), ["id"])
+    assert n == 5  # post-merge count unchanged
+    assert data_files() == files_before
+    assert store.read("db.noop").columns == ["payload", "id"]
