@@ -314,12 +314,20 @@ def connected_components_groups(
 #: the always-jump loop consistently slower on the shallow-graph
 #: consumers (cluster_best_doc +34%) while the deep embedding graph
 #: (semantic_dedup, diameter ~14) got faster.  Gating by round index
-#: keeps both: rounds 0..1 are plain propagation (shallow graphs
+#: keeps both: the first rounds are plain propagation (shallow graphs
 #: converge there and never pay the hop), and any graph still moving
-#: at round 2 has real diameter, so jumping engages and convergence
+#: at the gate has real diameter, so jumping engages and convergence
 #: stays O(log diameter).  The fixed point is unchanged either way —
 #: a plain round is ordinary min-label propagation.
-_JUMP_FROM = 2
+#:
+#: Gate placement (r16 three-arm interleaved A/B, best-of-3 noop):
+#: at 2, the 3-4-round LSH graphs still paid hop joins in rounds 2-3
+#: (dup_clusters 3.68 vs 3.24 never-jump); at 4 the shallow keys match
+#: never-jump (3.29/3.40 vs 3.24/3.37) while the deep graph keeps its
+#: win (semantic_dedup 4.62 vs 5.99 never-jump, 5.36 jump-at-2).  A
+#: graph that needs >4 plain rounds has diameter where O(log d)
+#: dominates, so later engagement loses nothing asymptotically.
+_JUMP_FROM = 4
 
 
 def _finish_cc_round(labels, nbr_min, bcast, jump):
