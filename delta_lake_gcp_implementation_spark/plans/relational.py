@@ -643,21 +643,25 @@ FROM lineitem
 def q_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
     """A5 summary-stats block (``validate_fact_transactions.py:324-333``).
 
-    ``scale_out`` first (r15): the three COUNT(DISTINCT)s plan as one
-    shared Expand — a 4x row multiply — and a one-file scan would run
-    that whole partial aggregation on a single core (measured: the
-    2 s single-task stage at sf0.1).  Every aggregate here is exact
-    (counts + decimal sums), so the result is partitioning-invariant;
-    at real corpus scale the repartition is a no-op."""
+    ``scale_out`` first (r15): a one-file scan would single-thread the
+    partial aggregation (measured: the 2 s single-task stage at
+    sf0.1).  Every aggregate here is exact (counts + decimal sums), so
+    the result is partitioning-invariant; at real corpus scale the
+    repartition is a no-op.
+
+    Split aggregations (r16, guide §2.2): fusing the three
+    COUNT(DISTINCT)s with the sums planned ONE shared Expand — a 4x
+    row multiply with the decimal sums evaluated on the expanded
+    stream (measured 55.7 s at 100x).  Each distinct count as its own
+    two-phase aggregate reads one column-pruned int column and
+    shuffles only partial distinct sets (9.9 s at 100x, same values);
+    the 1-row arms recombine via broadcast cross joins — no shuffle."""
     li = load_table(spark, sf, "lineitem")
     from ..tables import scale_out
 
     li = scale_out(li)
-    return li.agg(
+    out = li.agg(
         F.count("*").alias("row_count"),
-        F.countDistinct("l_orderkey").alias("distinct_orders"),
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
         F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
         .cast("decimal(30,2)")
         .cast("double")
@@ -669,6 +673,16 @@ def q_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
         .cast("decimal(30,4)")
         .cast("double")
         .alias("discount_total"),
+    )
+    for col, alias in [
+        ("l_orderkey", "distinct_orders"),
+        ("l_partkey", "distinct_parts"),
+        ("l_suppkey", "distinct_suppliers"),
+    ]:
+        out = out.crossJoin(F.broadcast(li.agg(F.countDistinct(col).alias(alias))))
+    return out.select(
+        "row_count", "distinct_orders", "distinct_parts",
+        "distinct_suppliers", "gross_total", "discount_total",
     )
 
 
@@ -1265,12 +1279,18 @@ def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     Expand, not one scan per column) — then a zero-shuffle unpivot of
     the 1-row result to the long report layout.
 
-    ``scale_out`` first (r15): the shared Expand multiplies rows by
-    the distinct-aggregate count before the partial aggregation, and a
-    one-file scan pins all of it on one core (the 2 s single-task
-    stage at sf0.1); all aggregates are exact, so results are
-    partitioning-invariant, and at corpus scale the spread is a
-    no-op."""
+    ``scale_out`` first (r15): a one-file scan pins the partial
+    aggregation on one core (the 2 s single-task stage at sf0.1); all
+    aggregates are exact, so results are partitioning-invariant, and
+    at corpus scale the spread is a no-op.
+
+    Split aggregations (r16, guide §2.2): the four COUNT(DISTINCT)s
+    used to share one Expand — a 5x row multiply with every null/min/
+    max aggregate evaluated on the expanded stream (the summary_stats
+    pathology, 55.7 -> 9.9 s at 100x there).  The null/min/max block
+    is one clean codegen aggregation; each distinct count is its own
+    two-phase aggregate over one column-pruned column; the 1-row arms
+    recombine via broadcast cross joins."""
     o = load_table(spark, sf, "orders")
     from ..tables import scale_out
 
@@ -1282,11 +1302,14 @@ def q_table_profile(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
+    for c in cols:
+        wide = wide.crossJoin(
+            F.broadcast(o.agg(F.countDistinct(c).alias(f"{c}__distinct")))
+        )
     per_col = [
         F.struct(
             F.lit(c).alias("column_name"),
@@ -1546,24 +1569,36 @@ def q_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     sketch columns alone (constant-size state at 100 TB).
 
     ``scale_out`` first (r15): the partial aggregation builds an HLL
-    register set, a KLL sketch, an exact-percentile buffer and a
-    distinct hash set per group — CPU-heavy per row — and a one-file
-    scan single-threads it (the 2 s 1-task stage at sf0.1).  Exact
-    companions are partitioning-invariant; the sketch estimates may
-    merge in a different order but the verdict booleans carry 10% /
-    IQR margins versus a 2% rsd, so the hash is unaffected.  At
-    corpus scale the spread is a no-op."""
+    register set, a KLL sketch and an exact-percentile buffer per
+    group — CPU-heavy per row — and a one-file scan single-threads it
+    (the 2 s 1-task stage at sf0.1).  Exact companions are
+    partitioning-invariant; the sketch estimates may merge in a
+    different order but the verdict booleans carry 10% / IQR margins
+    versus a 2% rsd, so the hash is unaffected.  At corpus scale the
+    spread is a no-op.
+
+    Split aggregations (r16, guide §2.2): COUNT(DISTINCT) fused with
+    the sketch/percentile buffers planned an Expand that pushed every
+    buffering aggregate through the doubled row stream — 83 s at 100x;
+    the distinct count as its own two-phase aggregate plus a 5-row
+    broadcast join back is 3.2 s with identical values (null-safe on
+    the group key, matching the single-agg's null-group semantics)."""
     ev = load_table(spark, sf, "events")
     from ..tables import scale_out
 
     ev = scale_out(ev)
     agg = ev.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_hll_users"),
         F.percentile_approx("value", 0.5, 10_000).alias("_p50_sketch"),
         F.expr("percentile(value, array(0.25, 0.75))").alias("_iqr_exact"),
     )
+    nd = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    agg = agg.join(
+        F.broadcast(nd), F.col("event_type").eqNullSafe(F.col("_et"))
+    ).drop("_et")
     return agg.select(
         "event_type",
         "n_events",
