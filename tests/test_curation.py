@@ -48,6 +48,40 @@ def test_normalize_text(spark):
     assert got == "hello world 42 ok"
 
 
+def test_normalize_positive_class_matches_negated(spark):
+    """r16: the strip class is spelled as the POSITIVE complement
+    (negated classes run ~70x slower in Java regex).  Pin
+    match-for-match parity against the negated spelling on adversarial
+    inputs: controls, Unicode case pairs, fullwidth digits, astral
+    code points, lone text, empties."""
+    rows = [
+        ("ÅBc déf # xyz \U0001d11e end",),
+        ("ß123\t\nok",),
+        ("",),
+        ("\U0001d11e",),
+        ("ｆｕｌｌwidth５",),
+        ("plain ascii 042, with. punct!",),
+        ("\x00\x08\x0e\x1f mixed \x7f",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    neg = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower("text"), "[^a-z0-9 \\t\\n\\x0B\\f\\r]", " "
+            ),
+            r"[ \t\n\x0B\f\r]+",
+            " ",
+        )
+    )
+    got = [
+        (r.a, r.b)
+        for r in df.select(
+            T.normalize_text(F.col("text")).alias("a"), neg.alias("b")
+        ).collect()
+    ]
+    assert all(a == b for a, b in got), got
+
+
 def test_stratified_sample_deterministic_and_rate(spark):
     df = spark.range(0, 20000).select(
         F.col("id").alias("doc_id"),
